@@ -1,0 +1,179 @@
+"""Bit-compatibility tests against independent implementations.
+
+Two optional oracles, both skipped when unavailable:
+
+* the upstream reference's pure-Python reader (proves files tpgsd writes
+  are consumed unchanged by upstream GSD tooling), and
+* the upstream golden v1 binary fixture (proves tpgsd reads real v1 files).
+
+Plus a self-contained v1 read test against a v1 file synthesized from the
+byte-layout spec (pgsd/doc/pgsd.tex:341-606), which always runs.
+"""
+
+import pathlib
+import random
+import struct
+
+import numpy
+import numpy.testing
+import pytest
+
+import tpgsd.fl
+import tpgsd.pypgsd
+
+_REF = pathlib.Path("/root/reference/pgsd/pgsd")
+_V1_FIXTURE = _REF / "test" / "test_gsd_v1.gsd"
+
+
+def _make_v1_file(path, chunks_per_frame, nframes=2):
+    """Synthesize a GSD v1 file directly from the spec byte layout.
+
+    v1: 64-byte fixed name slots; index sorted by frame only (entries in
+    insertion order within a frame).
+    """
+    names = sorted({name for name, _ in chunks_per_frame[0]})
+    name_ids = {n: i for i, n in enumerate(names)}
+    namelist_entries = 16
+    index_entries = 128
+
+    header = struct.pack(
+        "QQQQQII64s64s80s",
+        0x65DF65DF65DF65DF,
+        256,
+        index_entries,
+        256 + index_entries * 32,
+        namelist_entries,
+        (1 << 16) | 2,
+        (1 << 16) | 0,  # v1.0
+        b"synthetic",
+        b"none",
+        b"\x00" * 80,
+    )
+    namelist = b"".join(
+        n.encode().ljust(64, b"\x00") for n in names
+    ) + b"\x00" * 64 * (namelist_entries - len(names))
+
+    data_start = 256 + index_entries * 32 + namelist_entries * 64
+    blob = b""
+    index = []
+    for frame in range(nframes):
+        for name, arr in chunks_per_frame[frame]:
+            location = data_start + len(blob)
+            blob += arr.tobytes()
+            n = arr.shape[0]
+            m = arr.shape[1] if arr.ndim == 2 else 1
+            tcode = {numpy.dtype("int32"): 7, numpy.dtype("float32"): 9}[arr.dtype]
+            index.append(
+                struct.pack("QQqIHBB", frame, n, location, m, name_ids[name], tcode, 0)
+            )
+    index_block = b"".join(index) + b"\x00" * 32 * (index_entries - len(index))
+    path.write_bytes(header + index_block + namelist + blob)
+
+
+def test_read_synthetic_v1(tmp_path):
+    """tpgsd readers consume spec-conformant v1 files."""
+    rng = numpy.random.RandomState(7)
+    frames = []
+    for _ in range(2):
+        frames.append(
+            [
+                ("zz_last", rng.randint(0, 100, size=(5,)).astype(numpy.int32)),
+                ("aa_first", rng.rand(4, 3).astype(numpy.float32)),
+            ]
+        )
+    fname = tmp_path / "synthetic_v1.gsd"
+    _make_v1_file(fname, frames)
+
+    for opener in (
+        lambda: tpgsd.fl.open(name=fname, mode="r"),
+        lambda: tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")),
+    ):
+        with opener() as f:
+            assert f.pgsd_version == (1, 0)
+            assert f.nframes == 2
+            for frame in range(2):
+                for name, arr in frames[frame]:
+                    numpy.testing.assert_array_equal(
+                        f.read_chunk(frame, name), arr.squeeze() if arr.ndim == 1 else arr
+                    )
+            assert sorted(f.find_matching_chunk_names("")) == ["aa_first", "zz_last"]
+
+
+def test_append_to_v1_writes_v1_names(tmp_path):
+    """Appending to a v1 file keeps the v1 fixed-slot namelist readable."""
+    frames = [[("c0", numpy.arange(3, dtype=numpy.int32))]] * 1
+    fname = tmp_path / "v1_append.gsd"
+    _make_v1_file(fname, frames, nframes=1)
+
+    long_name = "x" * 100  # must truncate to 63 in v1
+    with tpgsd.fl.open(name=fname, mode="r+") as f:
+        f.write_chunk(name=long_name, data=numpy.arange(4, dtype=numpy.int32))
+        f.end_frame()
+
+    with tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.nframes == 2
+        names = f.find_matching_chunk_names("x")
+        assert names == ["x" * 63]
+        numpy.testing.assert_array_equal(
+            f.read_chunk(1, "x" * 63), numpy.arange(4, dtype=numpy.int32)
+        )
+
+
+@pytest.mark.skipif(not _V1_FIXTURE.exists(), reason="upstream v1 fixture not present")
+def test_upstream_golden_v1_fixture():
+    """Read the upstream golden v1 file (reference: test_fl.py:613-651)."""
+    values = list(range(127))
+    values_str = sorted(str(v) for v in values)
+
+    def check(f):
+        assert f.pgsd_version == (1, 0)
+        for frame in range(5):
+            random.shuffle(values)
+            for value in values:
+                expected = numpy.array([value * 13], dtype=numpy.int32)
+                numpy.testing.assert_array_equal(
+                    expected, f.read_chunk(frame=frame, name=str(value))
+                )
+        assert sorted(f.find_matching_chunk_names("")) == values_str
+
+    with tpgsd.fl.open(name=_V1_FIXTURE, mode="r") as f:
+        check(f)
+    with tpgsd.pypgsd.PGSDFile(open(str(_V1_FIXTURE), "rb")) as f:
+        check(f)
+
+
+@pytest.mark.skipif(
+    not (_REF / "pypgsd.py").exists(), reason="upstream reference not present"
+)
+def test_upstream_reader_consumes_tpgsd_output(tmp_path):
+    """Files tpgsd writes are readable by the reference's own pure-Python reader."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_pypgsd", _REF / "pypgsd.py")
+    ref_pypgsd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_pypgsd)
+
+    fname = tmp_path / "ours_for_upstream.gsd"
+    rng = numpy.random.RandomState(3)
+    payload = {
+        "particles/position": rng.rand(50, 3).astype(numpy.float32),
+        "particles/typeid": rng.randint(0, 4, size=50).astype(numpy.uint32),
+        "log/energy": numpy.array([1.25], dtype=numpy.float64),
+    }
+    with tpgsd.fl.open(
+        name=fname, mode="w", application="tpgsd", schema="hoomd",
+        schema_version=[1, 4],
+    ) as f:
+        for nframe in range(3):
+            for name, arr in payload.items():
+                f.write_chunk(name=name, data=arr + nframe)
+            f.end_frame()
+
+    with ref_pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.nframes == 3
+        assert f.schema == "hoomd"
+        assert f.pgsd_version == (2, 0)
+        for nframe in range(3):
+            for name, arr in payload.items():
+                got = f.read_chunk(frame=nframe, name=name)
+                numpy.testing.assert_array_equal(got, (arr + nframe).squeeze())
