@@ -277,13 +277,37 @@ class PGSDFile:
     def __getstate__(self):
         """Pickle support, read mode only (reference: pgsd/pgsd/fl.pyx:971-978)."""
         if self.mode != "r":
-            raise RuntimeError(
+            import pickle
+
+            raise pickle.PicklingError(
                 "only read-mode ('r') PGSDFile objects can be pickled"
             )
         return dict(name=self._name, mode=self._mode)
 
     def __setstate__(self, state):
         self.__init__(state["name"], state["mode"])
+
+    def truncate(self):
+        """Remove all frames and chunk names, keeping application/schema.
+
+        Restores the capability the reference disables
+        (reference: pgsd/pgsd/pgsd.h:442-459 - commented out upstream
+        ``gsd_truncate``); useful for restart files.
+        """
+        if not self._is_open:
+            raise ValueError("File is not open")
+        if self._readonly:
+            raise RuntimeError("File must be writable: " + self._name)
+        app = self.application
+        schema = self.schema
+        schema_version = self.schema_version
+        self._initialize_file(app, schema, schema_version)
+        self._fh.truncate(
+            HEADER_SIZE
+            + INITIAL_INDEX_SIZE * INDEX_ENTRY_SIZE
+            + INITIAL_NAME_BUFFER_SIZE
+        )
+        self._initialize_handle(readonly=False)
 
     # ------------------------------------------------------------------ #
     # names
