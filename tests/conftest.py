@@ -8,14 +8,23 @@ reference never had; reference CI builds only: .github/workflows/ci.yml).
 import collections
 import os
 
-# Force a CPU platform with 8 virtual devices BEFORE jax is imported
-# anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a CPU platform with 8 virtual devices.  The interpreter's
+# sitecustomize imports jax at startup (before this file runs), so env vars
+# are too late - but backends initialize lazily, so the runtime config
+# switch still lands as long as no devices have been touched yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except ImportError:
+    pass
 
 import pytest
 

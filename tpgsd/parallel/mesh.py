@@ -1,0 +1,62 @@
+"""Device-mesh helpers for particle-axis sharding.
+
+The reference's parallel axis is the particle row partition
+(reference: pgsd/scripts/benchmark-write.cc:30-45 uneven row split).  On
+TPU that is a 1-D mesh axis named ``"shard"``; arrays carry a
+``NamedSharding`` partitioned on axis 0.
+"""
+
+import numpy as np
+
+
+def make_mesh(n_devices=None, axis_name="shard", devices=None):
+    """A 1-D :class:`jax.sharding.Mesh` over ``n_devices`` devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def row_sharding(mesh, axis_name="shard"):
+    """NamedSharding that partitions axis 0 over ``axis_name``."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(axis_name))
+
+
+def pad_rows(array, n_shards):
+    """Zero-pad axis 0 up to a multiple of ``n_shards``.
+
+    Returns ``(padded, n_valid)``.  XLA shardings must divide evenly; the
+    reference instead spreads uneven remainders over low ranks
+    (reference: pgsd/scripts/benchmark-write.cc:33-37) - on TPU the
+    idiomatic equivalent is pad+mask with the true count carried alongside
+    (the writer's ``n_rows`` argument strips the padding on disk).
+    """
+    import jax.numpy as jnp
+
+    n = array.shape[0]
+    rem = (-n) % n_shards
+    if rem == 0:
+        return array, n
+    pad_widths = [(0, rem)] + [(0, 0)] * (array.ndim - 1)
+    return jnp.pad(array, pad_widths), n
+
+
+def shard_rows(array, mesh=None, axis_name="shard"):
+    """Place ``array`` with axis 0 partitioned over the mesh.
+
+    The TPU-native equivalent of the reference's per-rank row partition
+    (reference: pgsd/scripts/benchmark-write.cc:30-45).  Uneven row counts
+    are zero-padded to the mesh size; pass the true count as ``n_rows``
+    when writing so the padding never reaches the file.
+    """
+    import jax
+
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    n_shards = mesh.devices.size
+    padded, _ = pad_rows(array, n_shards)
+    return jax.device_put(padded, row_sharding(mesh, axis_name))
