@@ -1,0 +1,177 @@
+"""SPH stepper tests: kernel math, cell-list vs brute force, stability."""
+
+import numpy
+import numpy.testing
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tpgsd.sph import (  # noqa: E402
+    CubicSpline,
+    SPHParams,
+    SPHState,
+    WendlandC2,
+    dam_break,
+    density_and_pressure,
+    make_step_fn,
+)
+from tpgsd.sph.cells import (  # noqa: E402
+    build_cells,
+    cell_id,
+    gather_from_cells,
+    make_grid,
+    neighbor_table,
+    scatter_to_cells,
+)
+
+
+@pytest.mark.parametrize("kernel", [CubicSpline, WendlandC2])
+def test_kernel_normalization(kernel):
+    """The smoothing kernel integrates to 1 over its support."""
+    h = 0.7
+    edge = 2.0 * h
+    n = 80
+    dx = 2 * edge / n
+    axis = numpy.linspace(-edge + dx / 2, edge - dx / 2, n)
+    gx, gy, gz = numpy.meshgrid(axis, axis, axis, indexing="ij")
+    r = numpy.sqrt(gx**2 + gy**2 + gz**2)
+    w = numpy.asarray(kernel.w(jnp.asarray(r, jnp.float32), h))
+    integral = w.sum() * dx**3
+    assert abs(integral - 1.0) < 2e-2
+
+
+@pytest.mark.parametrize("kernel", [CubicSpline, WendlandC2])
+def test_kernel_gradient_consistency(kernel):
+    """dw_over_r matches the numerical derivative of w."""
+    h = 0.5
+    r = jnp.linspace(0.05, 2 * h * 0.99, 50)
+    eps = 1e-4
+    dw_num = (kernel.w(r + eps, h) - kernel.w(r - eps, h)) / (2 * eps)
+    dw_ana = kernel.dw_over_r(r, h) * r
+    numpy.testing.assert_allclose(
+        numpy.asarray(dw_num), numpy.asarray(dw_ana), rtol=1e-2, atol=1e-3
+    )
+
+
+def test_kernel_compact_support():
+    h = 0.3
+    for kernel in (CubicSpline, WendlandC2):
+        assert float(kernel.w(jnp.asarray(2.0 * h + 1e-4), h)) == 0.0
+        assert float(kernel.w(jnp.asarray(0.0), h)) > 0.0
+
+
+def test_cell_roundtrip():
+    """scatter -> gather over the cell layout is the identity."""
+    rng = numpy.random.RandomState(0)
+    x = jnp.asarray(rng.rand(500, 3).astype(numpy.float32))
+    grid = make_grid((0, 0, 0), (1, 1, 1), support=0.25, capacity=64)
+    cells = build_cells(x, grid)
+    assert int(cells.overflow) == 0
+    dense = scatter_to_cells(x, cells, grid)
+    back = gather_from_cells(dense, cells, grid)
+    numpy.testing.assert_array_equal(numpy.asarray(back), numpy.asarray(x))
+
+
+def test_cell_id_bounds():
+    grid = make_grid((0, 0, 0), (1, 1, 1), support=0.25, capacity=8)
+    x = jnp.asarray([[-5.0, 0.5, 0.5], [5.0, 0.5, 0.5], [0.5, 0.5, 0.5]], jnp.float32)
+    cid = cell_id(x, grid)
+    assert (numpy.asarray(cid) >= 0).all()
+    assert (numpy.asarray(cid) < grid.n_cells).all()
+
+
+def test_neighbor_table_sentinel():
+    grid = make_grid((0, 0, 0), (1, 1, 1), support=0.34, capacity=8)  # 2x2x2 grid
+    nbr = numpy.asarray(neighbor_table(grid))
+    assert nbr.shape == (8, 27)
+    # corner cell: 8 real neighbors (including itself), 19 sentinels
+    assert (nbr[0] == grid.n_cells).sum() == 19
+    real = sorted(set(nbr[0]) - {grid.n_cells})
+    assert real == list(range(8))
+
+
+def test_density_matches_bruteforce():
+    """Cell-list density == O(N^2) brute-force density."""
+    rng = numpy.random.RandomState(1)
+    n = 200
+    x = rng.rand(n, 3).astype(numpy.float32)
+    h = 0.12
+    params = SPHParams(mass=1.0, h=h, dt=1e-4)
+    grid = make_grid((0, 0, 0), (1, 1, 1), support=2 * h, capacity=128)
+
+    rho, p = density_and_pressure(jnp.asarray(x), grid, params)
+
+    diff = x[:, None, :] - x[None, :, :]
+    r = numpy.sqrt((diff**2).sum(-1))
+    w = numpy.asarray(WendlandC2.w(jnp.asarray(r), h))
+    rho_brute = params.mass * w.sum(axis=1)
+
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho), rho_brute, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_lattice_density_near_rest():
+    """A uniform lattice at spacing dx with h=1.3dx sums to ~rho0."""
+    db = dam_break(n_side=8, box=(1.0, 1.0, 1.0), fill=(1.0, 1.0, 1.0))
+    rho, p = density_and_pressure(db.state.x, db.grid, db.params)
+    rho = numpy.asarray(rho)
+    # interior particles: within 10% of rest density
+    interior = rho > 0.8 * db.params.rho0  # surface particles are deficient
+    assert interior.mean() > 0.4
+    assert abs(numpy.median(rho[interior]) / db.params.rho0 - 1.0) < 0.15
+
+
+def test_dam_break_short_run_stable():
+    """A dam-break rollout stays finite, in-box, and near incompressible."""
+    db = dam_break(n_side=6)
+    step = make_step_fn(db.grid, db.params)
+    step = jax.jit(step)
+
+    state = db.state
+    for _ in range(50):
+        state, (rho, p, overflow) = step(state)
+
+    x = numpy.asarray(state.x)
+    v = numpy.asarray(state.v)
+    rho = numpy.asarray(rho)
+    assert numpy.isfinite(x).all()
+    assert numpy.isfinite(v).all()
+    assert int(overflow) == 0
+    lo = numpy.zeros(3)
+    hi = numpy.asarray(db.box)
+    assert (x >= lo - 1e-5).all() and (x <= hi + 1e-5).all()
+    # weakly compressible: density within ~30% of rest
+    assert (numpy.abs(rho / db.params.rho0 - 1.0) < 0.3).mean() > 0.9
+
+
+def test_gravity_free_fall():
+    """A single isolated particle free-falls under gravity."""
+    grid = make_grid((0, 0, 0), (1, 1, 1), support=0.25, capacity=8)
+    params = SPHParams(mass=1.0, h=0.1, dt=0.001, gravity=(0.0, 0.0, -10.0))
+    step = jax.jit(make_step_fn(grid, params))
+    state = SPHState(
+        x=jnp.asarray([[0.5, 0.5, 0.9]], jnp.float32),
+        v=jnp.zeros((1, 3), jnp.float32),
+    )
+    for _ in range(100):
+        state, _ = step(state)
+    # after t=0.1s: dz = -g t^2 / 2 = -0.05 (symplectic Euler is first order)
+    z = float(state.x[0, 2])
+    assert abs((0.9 - z) - 0.05) < 0.005
+    assert abs(float(state.v[0, 2]) + 1.0) < 0.02
+
+
+def test_step_under_scan():
+    """The step function composes with lax.scan (compiler-friendly loop)."""
+    db = dam_break(n_side=5)
+    step = make_step_fn(db.grid, db.params)
+
+    def scan_body(state, _):
+        new_state, (rho, _, _) = step(state)
+        return new_state, rho.mean()
+
+    final, rho_means = jax.lax.scan(scan_body, db.state, None, length=10)
+    assert rho_means.shape == (10,)
+    assert bool(jnp.isfinite(rho_means).all())

@@ -1,0 +1,25 @@
+"""JAX/Pallas SPH (smoothed particle hydrodynamics) stepper.
+
+The live frame producer for the trajectory pipeline: weakly-compressible
+SPH with cell-list neighbor search, kernel-weighted density summation,
+Tait equation of state, artificial viscosity, and a symplectic integrator
+(the SPH formulation the reference's schema fields serve:
+pgsd/doc/pgsd.tex:525-565 - slength/density/pressure/energy chunks).
+
+TPU-first design:
+
+* fixed-capacity dense cell layout ``[n_cells+1, capacity]`` - static
+  shapes, masked slots, sentinel row for out-of-range neighbors; built
+  with one XLA sort per step.
+* pairwise distances inside a cell neighborhood via ``|x|^2 + |y|^2 -
+  2 x.y^T`` so the inner product rides the MXU (see
+  ``tpgsd.sph.pallas_ops``).
+* multi-chip scaling by sharding the cell axis into spatial slabs
+  (x-major linear cell index) - XLA inserts the halo collectives; the
+  SPH analogue of context parallelism.
+"""
+
+from .kernels import CubicSpline, WendlandC2  # noqa: F401
+from .cells import CellGrid, build_cells  # noqa: F401
+from .step import SPHParams, SPHState, make_step_fn, density_and_pressure  # noqa: F401
+from .dam_break import dam_break  # noqa: F401

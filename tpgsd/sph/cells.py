@@ -1,0 +1,149 @@
+"""Fixed-capacity cell list for neighbor search.
+
+TPU constraint: no dynamic shapes under jit.  The cell list is a dense
+``[n_cells + 1, capacity]`` slot array built with one sort + one scatter;
+slot overflow drops particles from *neighbor interactions only* (they keep
+integrating ballistically) and is reported via the returned overflow count
+so callers can size ``capacity``.  Row ``n_cells`` is a zero sentinel: the
+static 27-neighbor table points out-of-range neighbors at it, making
+boundary cells branch-free.
+
+Linear cell index is x-major (``c = ix*ny*nz + iy*nz + iz``) so sharding
+the cell axis over devices yields contiguous x-slabs - halo traffic
+between slabs is the SPH analogue of context-parallel halo exchange.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class CellGrid(NamedTuple):
+    """Static cell-grid geometry (all fields trace-time constants)."""
+
+    lo: tuple  # domain lower corner (3,)
+    cell_size: float  # == interaction support radius (2h)
+    dims: tuple  # (nx, ny, nz)
+    capacity: int  # max particles per cell
+
+    @property
+    def n_cells(self):
+        nx, ny, nz = self.dims
+        return nx * ny * nz
+
+
+def make_grid(lo, hi, support, capacity):
+    """Build a CellGrid covering [lo, hi] with cells >= ``support`` wide."""
+    lo = tuple(float(v) for v in lo)
+    hi = tuple(float(v) for v in hi)
+    dims = tuple(max(1, int(np.floor((h - l) / support))) for l, h in zip(lo, hi))
+    # stretch cells slightly so the grid tiles the domain exactly
+    cell_size = max((h - l) / d for l, h, d in zip(lo, hi, dims))
+    return CellGrid(lo=lo, cell_size=float(cell_size), dims=dims, capacity=int(capacity))
+
+
+def neighbor_table(grid):
+    """Static ``[n_cells, 27]`` int32 table of neighbor cell ids.
+
+    Out-of-range neighbors point at the sentinel row ``n_cells``.
+    Computed in numpy at trace time - it depends only on the grid.
+    """
+    nx, ny, nz = grid.dims
+    ix, iy, iz = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    coords = np.stack([ix.ravel(), iy.ravel(), iz.ravel()], axis=1)  # [C,3]
+    offsets = np.array(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+    )  # [27,3]
+    nbr = coords[:, None, :] + offsets[None, :, :]  # [C,27,3]
+    valid = ((nbr >= 0) & (nbr < np.array(grid.dims))).all(axis=2)
+    lin = nbr[..., 0] * (ny * nz) + nbr[..., 1] * nz + nbr[..., 2]
+    lin = np.where(valid, lin, grid.n_cells)  # sentinel
+    return jnp.asarray(lin.astype(np.int32))
+
+
+def cell_id(x, grid):
+    """Linear (x-major) cell id of each position, clipped into the grid."""
+    lo = jnp.asarray(grid.lo, dtype=x.dtype)
+    dims = jnp.asarray(grid.dims, dtype=jnp.int32)
+    idx3 = jnp.floor((x - lo) / grid.cell_size).astype(jnp.int32)
+    idx3 = jnp.clip(idx3, 0, dims - 1)
+    _, ny, nz = grid.dims
+    return idx3[:, 0] * (ny * nz) + idx3[:, 1] * nz + idx3[:, 2]
+
+
+class CellList(NamedTuple):
+    """Dense cell decomposition of one particle set.
+
+    ``order`` sorts particles by cell; ``cid``/``slot`` are each sorted
+    particle's dense coordinates; ``mask`` marks live slots; ``overflow``
+    counts particles dropped from neighbor sums (capacity exceeded).
+    """
+
+    order: jax.Array  # [N] permutation: particle index in sorted order
+    cid: jax.Array  # [N] cell id per sorted particle
+    slot: jax.Array  # [N] slot per sorted particle (== capacity if dropped)
+    mask: jax.Array  # [n_cells+1, capacity] bool
+    overflow: jax.Array  # [] int32
+
+
+@partial(jax.jit, static_argnums=1)
+def build_cells(x, grid):
+    """Assign particles to cells: one sort + one cumulative count.
+
+    Returns a :class:`CellList`; use :func:`scatter_to_cells` to lay
+    per-particle quantities out densely and :func:`gather_from_cells` to
+    bring per-slot results back to particle order.
+    """
+    n = x.shape[0]
+    c = grid.n_cells
+    cid = cell_id(x, grid)
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    # slot within cell = position among equal cids
+    counts = jnp.zeros(c, jnp.int32).at[cid].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
+    dropped = slot >= grid.capacity
+    slot = jnp.where(dropped, grid.capacity, slot)  # out-of-bounds -> dropped
+
+    mask = (
+        jnp.zeros((c + 1, grid.capacity), bool)
+        .at[cid_s, slot]
+        .set(True, mode="drop")
+    )
+    return CellList(
+        order=order,
+        cid=cid_s,
+        slot=slot,
+        mask=mask,
+        overflow=dropped.sum().astype(jnp.int32),
+    )
+
+
+def scatter_to_cells(values, cells, grid, fill=0.0):
+    """Scatter per-particle ``values`` (particle order) into the dense
+    ``[n_cells+1, capacity, ...]`` layout (sentinel row stays ``fill``)."""
+    trailing = values.shape[1:]
+    out = jnp.full((grid.n_cells + 1, grid.capacity) + trailing, fill, values.dtype)
+    return out.at[cells.cid, cells.slot].set(values[cells.order], mode="drop")
+
+
+def gather_from_cells(dense, cells, grid):
+    """Gather per-slot ``dense`` values back to particle order.
+
+    Dropped (overflow) particles read the sentinel row.
+    """
+    n = cells.order.shape[0]
+    slot = jnp.minimum(cells.slot, grid.capacity - 1)
+    cid = jnp.where(cells.slot >= grid.capacity, grid.n_cells, cells.cid)
+    sorted_vals = dense[cid, slot]
+    inv = jnp.zeros(n, cells.order.dtype).at[cells.order].set(
+        jnp.arange(n, dtype=cells.order.dtype)
+    )
+    return sorted_vals[inv]

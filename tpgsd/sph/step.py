@@ -1,0 +1,269 @@
+"""Weakly-compressible SPH step: density -> EOS -> forces -> integrate.
+
+Formulation (standard WCSPH; the physics behind the reference's SPH schema
+fields, pgsd/doc/pgsd.tex:525-565):
+
+* density summation  rho_i = sum_j m W(r_ij, h)
+* Tait EOS           p = (rho0 c0^2 / gamma) ((rho/rho0)^gamma - 1)
+* momentum           dv_i/dt = -sum_j m (p_i/rho_i^2 + p_j/rho_j^2
+                      + Pi_ij) grad_W_ij + g   (Monaghan artificial
+                      viscosity Pi_ij)
+* symplectic Euler (kick-drift) + reflective box walls
+
+Compute structure: all pair interactions happen inside 27-cell
+neighborhoods of the dense cell layout (``tpgsd.sph.cells``).  Cells are
+processed in fixed-size blocks under ``lax.map`` so the peak intermediate
+is ``[block, K, 27K]`` - a few MB - regardless of domain size.  Everything
+is static-shaped, mask-predicated jnp; XLA fuses the pair math into a
+handful of kernels, and the per-block inner product can be routed through
+the MXU Pallas kernel (``tpgsd.sph.pallas_ops``).
+
+Multi-chip: jit the returned step function with the particle axis sharded
+(``NamedSharding(mesh, P("shard"))``); the scatter/gather between particle
+order and the cell-dense layout gives XLA the halo pattern and it inserts
+the collectives (the scaling-book recipe: annotate, let GSPMD place
+comms).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cells import (
+    build_cells,
+    gather_from_cells,
+    neighbor_table,
+    scatter_to_cells,
+)
+from .kernels import WendlandC2
+
+
+class SPHParams(NamedTuple):
+    """Physical + numerical parameters (trace-time constants)."""
+
+    mass: float  # per-particle mass
+    h: float  # smoothing length
+    dt: float  # time step
+    rho0: float = 1000.0  # rest density
+    c0: float = 40.0  # artificial speed of sound
+    gamma: float = 7.0  # Tait exponent
+    alpha: float = 0.1  # artificial viscosity strength
+    gravity: tuple = (0.0, 0.0, -9.81)
+    wall_damping: float = 0.5  # velocity retained on wall reflection
+    eps: float = 0.01  # viscosity denominator regularizer (times h^2)
+
+
+class SPHState(NamedTuple):
+    """Dynamic state: positions and velocities, ``[N, 3]`` float32."""
+
+    x: jax.Array
+    v: jax.Array
+
+
+def tait_pressure(rho, params):
+    """Tait equation of state."""
+    B = params.rho0 * params.c0**2 / params.gamma
+    return B * ((rho / params.rho0) ** params.gamma - 1.0)
+
+
+def _pad_cells(arr, block):
+    """Pad the leading (cell) axis to a multiple of ``block``."""
+    c = arr.shape[0]
+    rem = (-c) % block
+    if rem == 0:
+        return arr
+    pad = [(0, rem)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad)
+
+
+def _density_blocks(dense_x, mask, nbr, params, kernel, block):
+    """Per-slot density over cell blocks -> ``[n_cells, K]``."""
+    c, k = nbr.shape[0], dense_x.shape[1]
+    nbr_p = _pad_cells(nbr, block)  # padded rows point at sentinel 0-cells? no:
+    # padded rows are all-zero -> they gather cell 0; their outputs are
+    # sliced off below and their masks are False via mask_p
+    x_p = _pad_cells(dense_x[:c], block)
+    mask_p = _pad_cells(mask[:c], block)
+    nblocks = x_p.shape[0] // block
+
+    def one_block(args):
+        xb, mb, nb = args  # [B,K,3], [B,K], [B,27]
+        y = dense_x[nb].reshape(block, 27 * k, 3)  # [B,27K,3]
+        ym = mask[nb].reshape(block, 27 * k)  # [B,27K]
+        diff = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        w = kernel.w(r, params.h) * ym[:, None, :]
+        return params.mass * jnp.sum(w, axis=-1) * mb  # [B,K]
+
+    rho = jax.lax.map(
+        one_block,
+        (
+            x_p.reshape(nblocks, block, k, 3),
+            mask_p.reshape(nblocks, block, k),
+            nbr_p.reshape(nblocks, block, 27),
+        ),
+    )
+    return rho.reshape(-1, k)[:c]
+
+
+def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
+    """Per-slot acceleration (pressure + viscosity) -> ``[n_cells, K, 3]``."""
+    c, k = nbr.shape[0], dense_x.shape[1]
+    x_p = _pad_cells(dense_x[:c], block)
+    v_p = _pad_cells(dense_v[:c], block)
+    rho_p = _pad_cells(dense_rho[:c], block)
+    p_p = _pad_cells(dense_p[:c], block)
+    mask_p = _pad_cells(mask[:c], block)
+    nbr_p = _pad_cells(nbr, block)
+    nblocks = x_p.shape[0] // block
+    h2eps = params.eps * params.h * params.h
+
+    def one_block(args):
+        xb, vb, rhob, pb, mb, nb = args
+        y = dense_x[nb].reshape(block, 27 * k, 3)
+        vy = dense_v[nb].reshape(block, 27 * k, 3)
+        rhoy = dense_rho[nb].reshape(block, 27 * k)
+        py = dense_p[nb].reshape(block, 27 * k)
+        ym = mask[nb].reshape(block, 27 * k)
+
+        dx = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
+        dv = vb[:, :, None, :] - vy[:, None, :, :]
+        r2 = jnp.sum(dx * dx, axis=-1)
+        r = jnp.sqrt(r2)
+        dwr = kernel.dw_over_r(r, params.h)  # [B,K,27K]
+
+        # pressure term
+        press = pb[:, :, None] / (rhob[:, :, None] ** 2) + py[:, None, :] / (
+            rhoy[:, None, :] ** 2
+        )
+
+        # Monaghan artificial viscosity
+        vdotx = jnp.sum(dv * dx, axis=-1)
+        mu = vdotx / (r2 + h2eps)
+        rho_bar = 0.5 * (rhob[:, :, None] + rhoy[:, None, :])
+        pi = jnp.where(
+            vdotx < 0.0, -params.alpha * params.c0 * params.h * mu / rho_bar, 0.0
+        )
+
+        scale = -params.mass * (press + pi) * dwr * ym[:, None, :]  # [B,K,27K]
+        acc = jnp.sum(scale[..., None] * dx, axis=2)  # [B,K,3]
+        return acc * mb[:, :, None]
+
+    acc = jax.lax.map(
+        one_block,
+        (
+            x_p.reshape(nblocks, block, k, 3),
+            v_p.reshape(nblocks, block, k, 3),
+            rho_p.reshape(nblocks, block, k),
+            p_p.reshape(nblocks, block, k),
+            mask_p.reshape(nblocks, block, k),
+            nbr_p.reshape(nblocks, block, 27),
+        ),
+    )
+    return acc.reshape(-1, k, 3)[:c]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32):
+    """Standalone density + Tait pressure of a configuration.
+
+    Returns per-particle ``(rho, p)`` - the SPH quantities the schema's
+    ``particles/density`` / ``particles/pressure`` chunks carry.
+    """
+    cells = build_cells(x, grid)
+    nbr = neighbor_table(grid)
+    dense_x = scatter_to_cells(x, cells, grid)
+    rho_dense = _density_blocks(dense_x, cells.mask, nbr, params, kernel, block)
+    rho_dense = jnp.concatenate(
+        [rho_dense, jnp.full((1, grid.capacity), params.rho0, rho_dense.dtype)]
+    )
+    rho = gather_from_cells(rho_dense, cells, grid)
+    rho = jnp.maximum(rho, 0.1 * params.rho0)  # isolated-particle floor
+    return rho, tait_pressure(rho, params)
+
+
+def make_step_fn(grid, params, kernel=WendlandC2, block=32, use_pallas=False):
+    """Build the jittable SPH step.
+
+    Returns ``step(state) -> (state, aux)`` with ``aux = (rho, p,
+    overflow)``.  Pure function of static-shaped arrays: jit it directly,
+    ``lax.scan`` it for multi-step rollouts, or jit with sharded
+    in/out-shardings for multi-chip (the particle axis is the data-parallel
+    axis).
+
+    Args:
+        grid: static :class:`CellGrid`.
+        params: :class:`SPHParams`.
+        kernel: smoothing kernel class.
+        block: cells per ``lax.map`` block (memory/parallelism knob).
+        use_pallas: route density/force inner loops through the Pallas MXU
+            kernels (TPU only; see ``tpgsd.sph.pallas_ops``).
+    """
+    nbr_static = neighbor_table(grid)
+    lo = jnp.asarray(grid.lo, jnp.float32)
+    hi = lo + grid.cell_size * jnp.asarray(grid.dims, jnp.float32)
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+
+    if use_pallas:
+        from . import pallas_ops
+
+    def step(state):
+        x, v = state.x, state.v
+        cells = build_cells(x, grid)
+        dense_x = scatter_to_cells(x, cells, grid)
+        dense_v = scatter_to_cells(v, cells, grid)
+
+        if use_pallas:
+            rho_dense = pallas_ops.density(
+                dense_x, cells.mask, nbr_static, params, kernel
+            )
+        else:
+            rho_dense = _density_blocks(
+                dense_x, cells.mask, nbr_static, params, kernel, block
+            )
+        # sentinel row: rest density (never 0 - avoids NaN in p/rho^2)
+        rho_dense = jnp.concatenate(
+            [rho_dense, jnp.full((1, grid.capacity), params.rho0, rho_dense.dtype)]
+        )
+        rho_dense = jnp.where(
+            cells.mask, jnp.maximum(rho_dense, 0.1 * params.rho0), params.rho0
+        )
+        p_dense = tait_pressure(rho_dense, params)
+        p_dense = jnp.where(cells.mask, p_dense, 0.0)
+
+        if use_pallas:
+            acc_dense = pallas_ops.accel(
+                dense_x, dense_v, rho_dense, p_dense, cells.mask,
+                nbr_static, params, kernel,
+            )
+        else:
+            acc_dense = _accel_blocks(
+                dense_x, dense_v, rho_dense, p_dense, cells.mask,
+                nbr_static, params, kernel, block,
+            )
+        acc_dense = jnp.concatenate(
+            [acc_dense, jnp.zeros((1, grid.capacity, 3), acc_dense.dtype)]
+        )
+
+        acc = gather_from_cells(acc_dense, cells, grid) + gravity
+
+        # symplectic Euler: kick then drift
+        v_new = v + params.dt * acc
+        x_new = x + params.dt * v_new
+
+        # reflective walls with damping
+        under = x_new < lo
+        over = x_new > hi
+        x_new = jnp.where(under, 2.0 * lo - x_new, x_new)
+        x_new = jnp.where(over, 2.0 * hi - x_new, x_new)
+        bounce = under | over
+        v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
+        x_new = jnp.clip(x_new, lo, hi)
+
+        rho = gather_from_cells(rho_dense, cells, grid)
+        p = gather_from_cells(p_dense, cells, grid)
+        return SPHState(x=x_new, v=v_new), (rho, p, cells.overflow)
+
+    return step
