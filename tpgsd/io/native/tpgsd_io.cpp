@@ -1,0 +1,184 @@
+// tpgsd native I/O core: batched positioned reads/writes with a thread pool.
+//
+// This is the tpgsd counterpart of the reference's native I/O engine role
+// (reference: pgsd/pgsd/pgsd.c - the MPI_File_write_at fan-out,
+// pgsd.c:2225-2237): many disjoint-offset writes of one chunk's shards
+// issued concurrently.  Here the concurrency is C++ threads inside one
+// process (per-host), with the GIL released for the whole batch; across
+// hosts, each process writes only its own shards (see
+// tpgsd/parallel/shard_io.py).
+//
+// C ABI only - consumed from Python via ctypes (no pybind11 in this
+// environment).  All functions return 0 on success or -errno.
+
+#include <atomic>
+#include <cerrno>
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/stat.h>
+#include <sys/uio.h>
+#include <unistd.h>
+
+namespace {
+
+// Full-write loop: pwrite until every byte lands (short writes retried).
+int pwrite_full(int fd, const char* buf, size_t len, off_t off) {
+    while (len > 0) {
+        ssize_t n = ::pwrite(fd, buf, len, off);
+        if (n < 0) {
+            if (errno == EINTR) continue;
+            return -errno;
+        }
+        buf += n;
+        len -= static_cast<size_t>(n);
+        off += n;
+    }
+    return 0;
+}
+
+int pread_full(int fd, char* buf, size_t len, off_t off) {
+    while (len > 0) {
+        ssize_t n = ::pread(fd, buf, len, off);
+        if (n < 0) {
+            if (errno == EINTR) continue;
+            return -errno;
+        }
+        if (n == 0) return -EIO;  // unexpected EOF
+        buf += n;
+        len -= static_cast<size_t>(n);
+        off += n;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct TioSlice {
+    const void* buf;
+    uint64_t len;
+    int64_t off;
+};
+
+// Write every slice at its offset.  n_threads > 1 fans the slices out
+// over a transient thread team; slices are claimed atomically so large
+// and small slices balance.  Offsets must be disjoint.
+int tio_pwrite_batch(int fd, const TioSlice* slices, int64_t n, int n_threads) {
+    if (n <= 0) return 0;
+    if (n_threads <= 1 || n == 1) {
+        for (int64_t i = 0; i < n; ++i) {
+            int rc = pwrite_full(fd, static_cast<const char*>(slices[i].buf),
+                                 slices[i].len, slices[i].off);
+            if (rc != 0) return rc;
+        }
+        return 0;
+    }
+    std::atomic<int64_t> next(0);
+    std::atomic<int> err(0);
+    auto work = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n || err.load(std::memory_order_relaxed) != 0) return;
+            int rc = pwrite_full(fd, static_cast<const char*>(slices[i].buf),
+                                 slices[i].len, slices[i].off);
+            if (rc != 0) err.store(rc, std::memory_order_relaxed);
+        }
+    };
+    int nt = n_threads < static_cast<int>(n) ? n_threads : static_cast<int>(n);
+    std::vector<std::thread> team;
+    team.reserve(static_cast<size_t>(nt - 1));
+    for (int t = 1; t < nt; ++t) team.emplace_back(work);
+    work();
+    for (auto& th : team) th.join();
+    return err.load();
+}
+
+// Read every slice at its offset (parallel strided read-back).
+int tio_pread_batch(int fd, const TioSlice* slices, int64_t n, int n_threads) {
+    if (n <= 0) return 0;
+    std::atomic<int64_t> next(0);
+    std::atomic<int> err(0);
+    auto work = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n || err.load(std::memory_order_relaxed) != 0) return;
+            int rc = pread_full(fd, const_cast<char*>(static_cast<const char*>(slices[i].buf)),
+                                slices[i].len, slices[i].off);
+            if (rc != 0) err.store(rc, std::memory_order_relaxed);
+        }
+    };
+    int nt = n_threads < static_cast<int>(n) ? n_threads : static_cast<int>(n);
+    if (nt <= 1) { work(); return err.load(); }
+    std::vector<std::thread> team;
+    team.reserve(static_cast<size_t>(nt - 1));
+    for (int t = 1; t < nt; ++t) team.emplace_back(work);
+    work();
+    for (auto& th : team) th.join();
+    return err.load();
+}
+
+int tio_pwrite(int fd, const void* buf, uint64_t len, int64_t off) {
+    return pwrite_full(fd, static_cast<const char*>(buf), len, off);
+}
+
+int tio_pread(int fd, void* buf, uint64_t len, int64_t off) {
+    return pread_full(fd, static_cast<char*>(buf), len, off);
+}
+
+// Gathered sequential write at one offset (namelist/index/header blocks
+// assembled from pieces without a Python-side join).
+int tio_pwritev(int fd, const TioSlice* slices, int64_t n, int64_t off) {
+    constexpr int kMaxIov = 64;  // well under every platform's IOV_MAX
+    for (int64_t i = 0; i < n;) {
+        struct iovec iov[kMaxIov];
+        int cnt = 0;
+        size_t bytes = 0;
+        while (i < n && cnt < static_cast<int>(sizeof(iov) / sizeof(iov[0]))) {
+            iov[cnt].iov_base = const_cast<void*>(slices[i].buf);
+            iov[cnt].iov_len = slices[i].len;
+            bytes += slices[i].len;
+            ++cnt;
+            ++i;
+        }
+        size_t written = 0;
+        int base = cnt;
+        struct iovec* cur = iov;
+        while (written < bytes) {
+            ssize_t w = ::pwritev(fd, cur, base, off + written);
+            if (w < 0) {
+                if (errno == EINTR) continue;
+                return -errno;
+            }
+            written += static_cast<size_t>(w);
+            // advance iovec past fully written pieces
+            size_t adv = static_cast<size_t>(w);
+            while (base > 0 && adv >= cur->iov_len) {
+                adv -= cur->iov_len;
+                ++cur;
+                --base;
+            }
+            if (base > 0 && adv > 0) {
+                cur->iov_base = static_cast<char*>(cur->iov_base) + adv;
+                cur->iov_len -= adv;
+            }
+        }
+        off += written;
+    }
+    return 0;
+}
+
+int tio_fsync(int fd) { return ::fsync(fd) == 0 ? 0 : -errno; }
+
+int64_t tio_file_size(int fd) {
+    struct stat st;
+    if (::fstat(fd, &st) != 0) return -errno;
+    return st.st_size;
+}
+
+}  // extern "C"

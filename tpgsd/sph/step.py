@@ -184,7 +184,9 @@ def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32):
     return rho, tait_pressure(rho, params)
 
 
-def make_step_fn(grid, params, kernel=WendlandC2, block=32, use_pallas=False):
+def make_step_fn(
+    grid, params, kernel=WendlandC2, block=32, use_pallas=False, pallas_interpret=None
+):
     """Build the jittable SPH step.
 
     Returns ``step(state) -> (state, aux)`` with ``aux = (rho, p,
@@ -198,8 +200,10 @@ def make_step_fn(grid, params, kernel=WendlandC2, block=32, use_pallas=False):
         params: :class:`SPHParams`.
         kernel: smoothing kernel class.
         block: cells per ``lax.map`` block (memory/parallelism knob).
-        use_pallas: route density/force inner loops through the Pallas MXU
-            kernels (TPU only; see ``tpgsd.sph.pallas_ops``).
+        use_pallas: route density/force inner loops through the Pallas
+            windowed-stencil kernels (see ``tpgsd.sph.pallas_ops``).
+        pallas_interpret: force/disable Pallas interpreter mode (default:
+            interpret everywhere except on real TPU hardware).
     """
     nbr_static = neighbor_table(grid)
     lo = jnp.asarray(grid.lo, jnp.float32)
@@ -217,7 +221,8 @@ def make_step_fn(grid, params, kernel=WendlandC2, block=32, use_pallas=False):
 
         if use_pallas:
             rho_dense = pallas_ops.density(
-                dense_x, cells.mask, nbr_static, params, kernel
+                dense_x, cells.mask, grid, params, kernel=kernel,
+                interpret=pallas_interpret,
             )
         else:
             rho_dense = _density_blocks(
@@ -236,7 +241,7 @@ def make_step_fn(grid, params, kernel=WendlandC2, block=32, use_pallas=False):
         if use_pallas:
             acc_dense = pallas_ops.accel(
                 dense_x, dense_v, rho_dense, p_dense, cells.mask,
-                nbr_static, params, kernel,
+                grid, params, kernel=kernel, interpret=pallas_interpret,
             )
         else:
             acc_dense = _accel_blocks(
