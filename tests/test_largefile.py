@@ -1,0 +1,43 @@
+"""Large-file scale tests (>2 GB), gated behind ``pytest --validate``.
+
+(reference: pgsd/pgsd/test/test_largefile.py:12-13 - 2^27 / 2^28 /
+2^29+1 uint32 chunks)
+"""
+
+import gc
+
+import numpy
+import numpy.testing
+import pytest
+
+import tpgsd.fl
+import tpgsd.pypgsd
+
+
+@pytest.mark.validate
+@pytest.mark.parametrize("N", [2**27, 2**28, 2**29 + 1])
+def test_large_chunk_roundtrip(tmp_path, N):
+    data = numpy.linspace(0, N, num=N, endpoint=False, dtype=numpy.uint32)
+    fname = tmp_path / ("large_%d.gsd" % N)
+
+    with tpgsd.fl.open(
+        name=fname, mode="w", application="test_largefile", schema="none",
+        schema_version=[1, 0],
+    ) as f:
+        f.write_chunk(name="data", data=data)
+        f.end_frame()
+
+    for opener in (
+        lambda: tpgsd.fl.open(name=fname, mode="r"),
+        lambda: tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")),
+    ):
+        with opener() as f:
+            read_data = f.read_chunk(frame=0, name="data")
+            assert read_data.shape == (N,)
+            numpy.testing.assert_array_equal(data[:1000], read_data[:1000])
+            numpy.testing.assert_array_equal(data[-1000:], read_data[-1000:])
+            assert int(read_data[N // 2]) == N // 2
+            del read_data
+            gc.collect()
+
+    fname.unlink()

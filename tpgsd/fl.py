@@ -36,6 +36,7 @@ import numpy
 
 from . import io as tio
 from .format import structs, validate
+from .utils.trace import get_tracer
 from .format.structs import (
     DEFAULT_INDEX_ENTRIES_TO_BUFFER,
     DEFAULT_MAXIMUM_WRITE_BUFFER_SIZE,
@@ -482,7 +483,15 @@ class PGSDFile:
                 if arr.size:
                     writes.append((location + row_offset * M * itemsize, arr.data))
             if writes:
-                self._fh.pwrite_many(writes)
+                tracer = get_tracer()
+                if tracer.enabled:
+                    with tracer.span(
+                        "write_chunk", name=name, location=location,
+                        shards=len(writes), bytes=local_size,
+                    ):
+                        self._fh.pwrite_many(writes)
+                else:
+                    self._fh.pwrite_many(writes)
             # file size advances by the *global* chunk size; shards this
             # process does not hold are written by their own processes at
             # the same precomputed offsets
@@ -505,6 +514,7 @@ class PGSDFile:
 
         self._cur_frame += 1
         self._pending_index_entries = 0
+        self._check_consistency()
 
         flush_indicator = (
             len(self._frame_index) > 0
@@ -512,6 +522,37 @@ class PGSDFile:
         )
         if self._comm.allreduce_sum(int(flush_indicator)):
             self.flush()
+
+    def _check_consistency(self):
+        """Cross-process invariant check: every participant must agree on
+        the frame counter and the derived file size.
+
+        The TPU-side equivalent of the reference's Allreduce-MIN
+        same-value checks (reference: pgsd/pgsd/pgsd.c:174-202, invoked
+        at pgsd.c:1938, 2219, 2272); divergence indicates a rank wrote a
+        different chunk set and is reported on stderr rather than
+        silently corrupting offsets.
+        """
+        if self._comm.size == 1:
+            return
+        frames = self._comm.allgather(self._cur_frame)
+        sizes = self._comm.allgather(self._file_size)
+        if len(set(int(f) for f in frames)) != 1:
+            import sys
+
+            print(
+                "tpgsd consistency error: frame counters diverge across "
+                "processes: %s (%s)" % (list(frames), self._name),
+                file=sys.stderr,
+            )
+        if len(set(int(s) for s in sizes)) != 1:
+            import sys
+
+            print(
+                "tpgsd consistency error: derived file sizes diverge "
+                "across processes: %s (%s)" % (list(sizes), self._name),
+                file=sys.stderr,
+            )
 
     def flush(self):
         """Commit buffered data, names, and index entries to the file.
@@ -524,6 +565,14 @@ class PGSDFile:
         if self._readonly:
             raise RuntimeError("File must be writable: " + self._name)
 
+        tracer = get_tracer()
+        if tracer.enabled:
+            tracer.record(
+                "flush", file=self._name,
+                pending_names=len(self._frame_names),
+                buffered_bytes=len(self._write_buffer),
+                pending_entries=len(self._frame_index),
+            )
         self._flush_name_buffer()
         self._flush_write_buffer()
 
@@ -789,7 +838,15 @@ class PGSDFile:
             )
 
         out = numpy.empty(n_rows * m_cols, dtype=dtype)
-        self._fh.pread_into(location + stride, out)
+        tracer = get_tracer()
+        if tracer.enabled:
+            with tracer.span(
+                "read_chunk", name=name, frame=frame,
+                location=location + stride, bytes=size,
+            ):
+                self._fh.pread_into(location + stride, out)
+        else:
+            self._fh.pread_into(location + stride, out)
         if m_cols == 1:
             return out
         return out.reshape([n_rows, m_cols])

@@ -92,11 +92,19 @@ class AsyncDumpRunner:
             try:
                 t0 = time.perf_counter()
                 self._writer.write_frame(chunks, step=step)
-                self.stats.write_seconds += time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                nbytes = sum(_nbytes(a) for a in chunks.values())
+                self.stats.write_seconds += dt
                 self.stats.frames += 1
-                self.stats.bytes += sum(
-                    _nbytes(a) for a in chunks.values()
-                )
+                self.stats.bytes += nbytes
+                from ..utils.trace import get_tracer
+
+                tracer = get_tracer()
+                if tracer.enabled:
+                    tracer.record(
+                        "dump_frame", frame=self.stats.frames - 1,
+                        bytes=nbytes, seconds=round(dt, 6),
+                    )
             except BaseException as e:  # surface on next submit/close
                 logger.exception("async dump failed")
                 self._error = e
