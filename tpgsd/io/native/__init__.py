@@ -54,6 +54,13 @@ _lib.tio_pwrite_batch.restype = ctypes.c_int
 _lib.tio_pwrite_batch.argtypes = [
     ctypes.c_int, ctypes.POINTER(_TioSlice), ctypes.c_int64, ctypes.c_int,
 ]
+_lib.tio_pwrite_batch2.restype = ctypes.c_int
+_lib.tio_pwrite_batch2.argtypes = [
+    ctypes.c_int, ctypes.c_int, ctypes.POINTER(_TioSlice), ctypes.c_int64,
+    ctypes.c_int, ctypes.c_uint64,
+]
+_lib.tio_open_direct.restype = ctypes.c_int
+_lib.tio_open_direct.argtypes = [ctypes.c_char_p]
 _lib.tio_pread_batch.restype = ctypes.c_int
 _lib.tio_pread_batch.argtypes = _lib.tio_pwrite_batch.argtypes
 _lib.tio_pwrite.restype = ctypes.c_int
@@ -89,16 +96,42 @@ class NativeFileHandle(PosixFileHandle):
     threads = int(os.environ.get("TPGSD_IO_THREADS", "0")) or min(
         8, max(2, (os.cpu_count() or 1))
     )
+    #: writes at least this large route through O_DIRECT (0 disables);
+    #: bypassing the page cache sidesteps writeback throttling on
+    #: virtualized block devices while small metadata writes stay cached
+    direct_threshold = int(
+        os.environ.get("TPGSD_IO_DIRECT_THRESHOLD", str(1 << 20))
+    )
+
+    def __init__(self, fd, name=""):
+        super().__init__(fd, name)
+        self._fd_direct = -1
+        if self.direct_threshold > 0 and name:
+            fd_d = _lib.tio_open_direct(os.fsencode(name))
+            self._fd_direct = fd_d if fd_d >= 0 else -1
 
     def pwrite(self, offset, data):
         view = memoryview(data).cast("B")
         if view.nbytes == 0:
             return 0
         buf = (ctypes.c_char * view.nbytes).from_buffer_copy(view) if view.readonly else (ctypes.c_char * view.nbytes).from_buffer(view)
-        _raise(
-            _lib.tio_pwrite(self.fd, ctypes.addressof(buf), view.nbytes, offset),
-            "pwrite", self.name,
-        )
+        if self._fd_direct >= 0 and view.nbytes >= self.direct_threshold:
+            slice_ = (_TioSlice * 1)()
+            slice_[0].buf = ctypes.addressof(buf)
+            slice_[0].len = view.nbytes
+            slice_[0].off = offset
+            _raise(
+                _lib.tio_pwrite_batch2(
+                    self.fd, self._fd_direct, slice_, 1, 1,
+                    self.direct_threshold,
+                ),
+                "pwrite(direct)", self.name,
+            )
+        else:
+            _raise(
+                _lib.tio_pwrite(self.fd, ctypes.addressof(buf), view.nbytes, offset),
+                "pwrite", self.name,
+            )
         return view.nbytes
 
     def pread_into(self, offset, buffer):
@@ -138,7 +171,10 @@ class NativeFileHandle(PosixFileHandle):
             arr[i].off = off
         nthreads = self.threads if (parallel is None or parallel) else 1
         _raise(
-            _lib.tio_pwrite_batch(self.fd, arr, n, nthreads),
+            _lib.tio_pwrite_batch2(
+                self.fd, self._fd_direct, arr, n, nthreads,
+                self.direct_threshold,
+            ),
             "pwrite_batch", self.name,
         )
 
@@ -165,3 +201,12 @@ class NativeFileHandle(PosixFileHandle):
 
     def fsync(self):
         _raise(_lib.tio_fsync(self.fd), "fsync", self.name)
+
+    def close(self):
+        if self._fd_direct >= 0:
+            try:
+                os.close(self._fd_direct)
+            except OSError:
+                pass
+            self._fd_direct = -1
+        super().close()

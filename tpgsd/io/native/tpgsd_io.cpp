@@ -11,10 +11,12 @@
 // C ABI only - consumed from Python via ctypes (no pybind11 in this
 // environment).  All functions return 0 on success or -errno.
 
+#include <algorithm>
 #include <atomic>
 #include <cerrno>
 #include <cstddef>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -56,6 +58,49 @@ int pread_full(int fd, char* buf, size_t len, off_t off) {
     return 0;
 }
 
+// O_DIRECT granule: covers 512B and 4KiB logical block devices.
+constexpr uint64_t kAlign = 4096;
+// Per-thread bounce buffer for O_DIRECT writes (page-aligned).
+constexpr size_t kBounce = 8u << 20;
+
+uint64_t align_up(uint64_t v) { return (v + kAlign - 1) & ~(kAlign - 1); }
+uint64_t align_down(uint64_t v) { return v & ~(kAlign - 1); }
+
+// Write one slice, routing the aligned middle through the O_DIRECT fd
+// via an aligned bounce buffer and the unaligned head/tail through the
+// buffered fd.  The page-cache writeback path can be pathologically
+// slow on virtualized block devices; O_DIRECT bypasses it while the
+// memcpy into the bounce buffer costs ~1% of the direct write time.
+int pwrite_direct_split(int fd, int fd_direct, const char* buf, uint64_t len,
+                        int64_t off, char* bounce) {
+    uint64_t head = std::min<uint64_t>(align_up(off) - off, len);
+    if (head > 0) {
+        int rc = pwrite_full(fd, buf, head, off);
+        if (rc != 0) return rc;
+        buf += head;
+        off += head;
+        len -= head;
+    }
+    uint64_t mid = align_down(len);
+    while (mid > 0) {
+        size_t chunk = std::min<uint64_t>(mid, kBounce);
+        std::memcpy(bounce, buf, chunk);
+        ssize_t w = ::pwrite(fd_direct, bounce, chunk, off);
+        if (w < 0) {
+            if (errno == EINTR) continue;
+            // O_DIRECT can fail at runtime (e.g. FS fallback): degrade
+            // to the buffered fd for the rest of this slice
+            return pwrite_full(fd, buf, len, off);
+        }
+        buf += w;
+        off += w;
+        len -= static_cast<uint64_t>(w);
+        mid -= static_cast<uint64_t>(w);
+    }
+    if (len > 0) return pwrite_full(fd, buf, len, off);
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -66,37 +111,64 @@ struct TioSlice {
     int64_t off;
 };
 
+// Open a second descriptor on the same path with O_DIRECT; returns the
+// fd or -errno (callers fall back to buffered-only when negative).
+int tio_open_direct(const char* path) {
+    int fd = ::open(path, O_WRONLY | O_DIRECT | O_CLOEXEC);
+    return fd >= 0 ? fd : -errno;
+}
+
 // Write every slice at its offset.  n_threads > 1 fans the slices out
 // over a transient thread team; slices are claimed atomically so large
-// and small slices balance.  Offsets must be disjoint.
-int tio_pwrite_batch(int fd, const TioSlice* slices, int64_t n, int n_threads) {
+// and small slices balance.  Offsets must be disjoint.  When
+// fd_direct >= 0, slices of at least direct_threshold bytes route their
+// aligned middle through O_DIRECT (each worker owns an aligned bounce
+// buffer).
+int tio_pwrite_batch2(int fd, int fd_direct, const TioSlice* slices,
+                      int64_t n, int n_threads, uint64_t direct_threshold) {
     if (n <= 0) return 0;
-    if (n_threads <= 1 || n == 1) {
-        for (int64_t i = 0; i < n; ++i) {
-            int rc = pwrite_full(fd, static_cast<const char*>(slices[i].buf),
-                                 slices[i].len, slices[i].off);
-            if (rc != 0) return rc;
-        }
-        return 0;
-    }
     std::atomic<int64_t> next(0);
     std::atomic<int> err(0);
     auto work = [&]() {
+        char* bounce = nullptr;
         for (;;) {
             int64_t i = next.fetch_add(1, std::memory_order_relaxed);
-            if (i >= n || err.load(std::memory_order_relaxed) != 0) return;
-            int rc = pwrite_full(fd, static_cast<const char*>(slices[i].buf),
-                                 slices[i].len, slices[i].off);
+            if (i >= n || err.load(std::memory_order_relaxed) != 0) break;
+            const char* buf = static_cast<const char*>(slices[i].buf);
+            int rc;
+            if (fd_direct >= 0 && slices[i].len >= direct_threshold) {
+                if (bounce == nullptr &&
+                    posix_memalign(reinterpret_cast<void**>(&bounce), kAlign,
+                                   kBounce) != 0) {
+                    bounce = nullptr;  // fall through to buffered
+                }
+                rc = bounce != nullptr
+                         ? pwrite_direct_split(fd, fd_direct, buf,
+                                               slices[i].len, slices[i].off,
+                                               bounce)
+                         : pwrite_full(fd, buf, slices[i].len, slices[i].off);
+            } else {
+                rc = pwrite_full(fd, buf, slices[i].len, slices[i].off);
+            }
             if (rc != 0) err.store(rc, std::memory_order_relaxed);
         }
+        free(bounce);
     };
     int nt = n_threads < static_cast<int>(n) ? n_threads : static_cast<int>(n);
+    if (nt <= 1) {
+        work();
+        return err.load();
+    }
     std::vector<std::thread> team;
     team.reserve(static_cast<size_t>(nt - 1));
     for (int t = 1; t < nt; ++t) team.emplace_back(work);
     work();
     for (auto& th : team) th.join();
     return err.load();
+}
+
+int tio_pwrite_batch(int fd, const TioSlice* slices, int64_t n, int n_threads) {
+    return tio_pwrite_batch2(fd, -1, slices, n, n_threads, 0);
 }
 
 // Read every slice at its offset (parallel strided read-back).

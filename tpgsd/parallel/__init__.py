@@ -17,9 +17,10 @@ JAX is imported lazily so the core file layers stay importable without it.
 
 from .shard_io import (  # noqa: F401
     ShardedFrameWriter,
+    ShardedTrajectoryReader,
     array_shards,
     read_sharded_chunk,
     write_sharded_chunk,
 )
 from .comm import JaxProcessComm, SingleComm, default_comm  # noqa: F401
-from .mesh import make_mesh, shard_rows  # noqa: F401
+from .mesh import make_mesh, pad_rows, row_sharding, shard_rows  # noqa: F401

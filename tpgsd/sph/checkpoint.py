@@ -1,0 +1,61 @@
+"""Checkpoint / resume for simulation dump loops.
+
+The trajectory file *is* the checkpoint (the reference notes the same
+usage for restart files, reference: pgsd/pgsd/pgsd.h:442-449): every
+``end_frame`` is a durable, crash-consistent restart point, and append
+mode continues exactly after the last complete frame
+(reference: pgsd/pgsd/pgsd.c:1630-1639 frame-counter derivation).
+
+:func:`resume` re-derives each device shard's rows from the index and
+the target sharding - the "resume must re-derive per-shard offsets"
+requirement (SURVEY.md section 5) - and returns a sharded
+:class:`~tpgsd.sph.step.SPHState` plus the writer positioned to append.
+"""
+
+import numpy
+
+from ..parallel.shard_io import ShardedFrameWriter, ShardedTrajectoryReader
+from .step import SPHState
+
+
+def resume(
+    name,
+    sharding=None,
+    mesh=None,
+    extra_chunks=(),
+    application="tpgsd.sph",
+):
+    """Resume a dump loop from the last complete frame of ``name``.
+
+    Args:
+        name: trajectory file path (must exist and hold >= 1 frame).
+        sharding: target sharding for the state arrays (default: row
+            sharding over the default mesh).
+        mesh: mesh to build the default sharding from.
+        extra_chunks: additional chunk names to load alongside
+            position/velocity.
+
+    Returns:
+        ``(state, step, writer, extras)``: the sharded
+        :class:`SPHState` of the last frame, its ``configuration/step``
+        value (or ``nframes - 1``), a :class:`ShardedFrameWriter` opened
+        in append mode whose next ``write_frame`` lands at
+        ``frame == nframes``, and a dict of the extra chunks.
+    """
+    with ShardedTrajectoryReader(name, sharding=sharding, mesh=mesh) as reader:
+        if reader.nframes == 0:
+            raise ValueError("cannot resume from an empty trajectory: " + str(name))
+        last = reader.nframes - 1
+        chunks = reader.read_frame(
+            last, ["particles/position", "particles/velocity"] + list(extra_chunks)
+        )
+        if reader.file.chunk_exists(last, "configuration/step"):
+            step = int(reader.file.read_chunk(last, "configuration/step")[0])
+        else:
+            step = last
+    state = SPHState(
+        x=chunks["particles/position"], v=chunks["particles/velocity"]
+    )
+    writer = ShardedFrameWriter(name, mode="a", application=application)
+    extras = {k: chunks[k] for k in extra_chunks}
+    return state, step, writer, extras

@@ -1,0 +1,432 @@
+"""Explicitly-communicating distributed SPH: slab decomposition over a
+device mesh with ppermute halo exchange and particle migration.
+
+The jit-sharded step in ``tpgsd.sph.step`` lets GSPMD place collectives
+around a *global* cell sort - simple, but the sort gathers across the
+whole mesh every step.  This module is the scale-out design: the domain
+is cut into contiguous x-slabs (the linear cell index is x-major, so a
+slab is a contiguous cell range), each device owns the particles in its
+slab, and each step communicates only:
+
+* one cell-plane of boundary data to each x-neighbor
+  (``lax.ppermute`` - halo traffic scales with slab *surface*), and
+* the particles that crossed a slab face (migration buffers, also
+  ``ppermute``).
+
+No global sort, no all-gather of particle state.  This is the SPH
+analogue of context-parallel halo exchange (SURVEY.md section 5
+"long-context" entry).  The per-device compute reuses the same
+fixed-capacity cell-dense layout as the single-device path.
+
+Capacity model (all static shapes): each device holds ``cap`` particle
+slots with an ``alive`` mask, and at most ``migrate_cap`` particles can
+cross a face per step; both overflows are counted and reported in
+``aux.overflow`` rather than silently dropped mid-flight (particles
+that cannot migrate stay alive locally one more step - physically a
+one-step delay at worst, never data loss).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .cells import CellGrid, neighbor_table
+from .kernels import WendlandC2
+from .step import _accel_blocks, _density_blocks, tait_pressure
+
+
+class DistState(NamedTuple):
+    """Per-device particle slots, globally ``[n_devices * cap, ...]``
+    sharded on axis 0.
+
+    ``pid`` preserves particle identity across migrations (-1 = dead
+    slot).
+    """
+
+    x: jax.Array  # [S*cap, 3] float32
+    v: jax.Array  # [S*cap, 3] float32
+    pid: jax.Array  # [S*cap] int32, -1 for dead slots
+
+
+class DistAux(NamedTuple):
+    rho: jax.Array  # [S*cap]
+    p: jax.Array  # [S*cap]
+    cell_overflow: jax.Array  # [S] per-device dropped-from-cells count
+    migrate_overflow: jax.Array  # [S] per-device failed-migration count
+
+
+def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
+    """Cell assignment for one device's slab (x-major local ids).
+
+    Dead slots get slot == capacity so every scatter drops them.
+    Returns (cid_sorted, slot, order, mask, overflow).
+    """
+    n = x.shape[0]
+    c = nxl * ny * nz
+    lo = jnp.asarray(lo_local)
+    idx = jnp.floor((x - lo) / cell_size).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.asarray([nxl - 1, ny - 1, nz - 1]))
+    cid = idx[:, 0] * (ny * nz) + idx[:, 1] * nz + idx[:, 2]
+    cid = jnp.where(alive, cid, c)  # dead -> sentinel cell
+
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    counts = jnp.zeros(c + 1, jnp.int32).at[cid].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
+    dead_s = cid_s == c
+    dropped = (slot >= capacity) & ~dead_s
+    slot = jnp.where(dropped | dead_s, capacity, slot)
+
+    mask = (
+        jnp.zeros((c + 1, capacity), bool).at[cid_s, slot].set(True, mode="drop")
+    )
+    return cid_s, slot, order, mask, dropped.sum().astype(jnp.int32)
+
+
+def _scatter(values, cid_s, slot, order, c, capacity, fill=0.0):
+    trailing = values.shape[1:]
+    out = jnp.full((c + 1, capacity) + trailing, fill, values.dtype)
+    return out.at[cid_s, slot].set(values[order], mode="drop")
+
+
+def _gather(dense, cid_s, slot, order, c, capacity):
+    n = order.shape[0]
+    slot_c = jnp.minimum(slot, capacity - 1)
+    cid_c = jnp.where(slot >= capacity, c, cid_s)
+    sorted_vals = dense[cid_c, slot_c]
+    inv = jnp.zeros(n, order.dtype).at[order].set(jnp.arange(n, dtype=order.dtype))
+    return sorted_vals[inv]
+
+
+def _halo_exchange(arrays, nynz, axis, n_dev):
+    """Append each x-neighbor's boundary cell-plane as ghost planes.
+
+    ``arrays``: list of ``[c+1, K, ...]`` dense arrays (sentinel row
+    last).  Returns extended ``[nynz + c + nynz (+1 sentinel), ...]``
+    arrays.  Edge devices receive zeros (lax.ppermute semantics for
+    unnamed targets), which is exactly the empty-ghost boundary
+    condition since the mask rides along.
+    """
+    send_right = [(i, i + 1) for i in range(n_dev - 1)]
+    send_left = [(i + 1, i) for i in range(n_dev - 1)]
+    c = arrays[0].shape[0] - 1
+
+    out = []
+    for a in arrays:
+        right_face = a[c - nynz : c]  # last x-plane (w/o sentinel)
+        left_face = a[:nynz]  # first x-plane
+        ghost_left = jax.lax.ppermute(right_face, axis, send_right)
+        ghost_right = jax.lax.ppermute(left_face, axis, send_left)
+        out.append(jnp.concatenate([ghost_left, a[:c], ghost_right, a[c:]], axis=0))
+    return out
+
+
+def _pack_migrants(values, send_mask, cap):
+    """Pack rows where ``send_mask`` into a fixed ``[cap, ...]`` buffer.
+
+    Returns (buffer, n_packed, overflow_count).  Rows beyond ``cap``
+    are NOT packed (caller keeps them alive locally for one more step).
+    """
+    rank = jnp.cumsum(send_mask.astype(jnp.int32)) - 1  # pack position
+    ok = send_mask & (rank < cap)
+    dest = jnp.where(ok, rank, cap)  # cap = dropped by mode="drop"
+    buf = jnp.zeros((cap,) + values.shape[1:], values.dtype)
+    buf = buf.at[dest].set(values, mode="drop")
+    n_packed = ok.sum().astype(jnp.int32)
+    overflow = (send_mask.sum() - n_packed).astype(jnp.int32)
+    return buf, n_packed, overflow, ok
+
+
+def _insert(values, alive, recv_vals, recv_valid):
+    """Insert received rows into dead slots (first-fit)."""
+    n = alive.shape[0]
+    dead_rank = jnp.cumsum((~alive).astype(jnp.int32)) - 1  # rank among dead
+    # slot index of the k-th dead slot: scatter positions by dead rank
+    slot_of_rank = jnp.full(n, n, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(~alive, dead_rank, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    k = recv_vals.shape[0]
+    targets = slot_of_rank[jnp.minimum(jnp.arange(k), n - 1)]
+    targets = jnp.where(recv_valid, targets, n)  # invalid -> dropped
+    return values.at[targets].set(recv_vals, mode="drop"), targets
+
+
+def make_distributed_step_fn(
+    grid,
+    params,
+    mesh,
+    capacity=None,
+    migrate_cap=None,
+    axis_name="shard",
+    kernel=WendlandC2,
+    block=32,
+):
+    """Build the slab-decomposed distributed step.
+
+    Args:
+        grid: global :class:`CellGrid`; ``grid.dims[0]`` must be a
+            multiple of the mesh size (each device owns
+            ``nx / n_devices`` x-planes of cells).
+        params: :class:`SPHParams`.
+        mesh: 1-D ``jax.sharding.Mesh``.
+        capacity: particle slots per device (default: next multiple of 8
+            of ``2 * n_global / n_devices`` chosen by the caller - this
+            builder has no n, so REQUIRED in practice via
+            :func:`distribute_state`).
+        migrate_cap: max migrations per face per step (default
+            ``capacity // 4``).
+
+    Returns:
+        ``step(state: DistState) -> (DistState, DistAux)``, jitted with
+        axis-0 shardings on every array.
+    """
+    n_dev = mesh.devices.size
+    nx, ny, nz = grid.dims
+    if nx % n_dev != 0:
+        raise ValueError(
+            "grid nx=%d must be a multiple of the mesh size %d" % (nx, n_dev)
+        )
+    nxl = nx // n_dev
+    nynz = ny * nz
+    c_local = nxl * nynz
+    if capacity is None:
+        raise ValueError("pass capacity (slots per device)")
+    cap = int(capacity)
+    mig_cap = int(migrate_cap) if migrate_cap is not None else max(8, cap // 4)
+    k = grid.capacity
+
+    # static geometry
+    cell = grid.cell_size
+    lo_g = jnp.asarray(grid.lo, jnp.float32)
+    hi_g = lo_g + cell * jnp.asarray(grid.dims, jnp.float32)
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+
+    # extended (ghost-padded) local grid for the pair loops
+    ext_grid = CellGrid(
+        lo=(0.0, 0.0, 0.0), cell_size=cell, dims=(nxl + 2, ny, nz), capacity=k
+    )
+    nbr_ext = neighbor_table(ext_grid)
+
+    send_right = [(i, i + 1) for i in range(n_dev - 1)]
+    send_left = [(i + 1, i) for i in range(n_dev - 1)]
+
+    def local_step(x, v, pid):
+        # x/v/pid are this device's [cap] slot arrays
+        d = jax.lax.axis_index(axis_name)
+        alive = pid >= 0
+        lo_local = lo_g + jnp.asarray([d * nxl * cell, 0.0, 0.0], jnp.float32)
+
+        cid_s, slot, order, mask, cell_ovf = _local_cells(
+            x, alive, nxl, ny, nz, k, lo_local, cell
+        )
+        dense_x = _scatter(x, cid_s, slot, order, c_local, k)
+        dense_v = _scatter(v, cid_s, slot, order, c_local, k)
+
+        # halo exchange: one x-plane of cells each way
+        ext_x, ext_v, ext_m = _halo_exchange(
+            [dense_x, dense_v, mask.astype(jnp.float32)[..., None]],
+            nynz,
+            axis_name,
+            n_dev,
+        )
+        ext_mask = ext_m[..., 0] > 0.5
+
+        # density over the extended slab (ghost outputs discarded)
+        rho_d = _density_blocks(ext_x, ext_mask, nbr_ext, params, kernel, block)
+        rho_d = jnp.concatenate(
+            [rho_d, jnp.full((1, k), params.rho0, rho_d.dtype)]
+        )
+        rho_d = jnp.where(ext_mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0)
+        p_d = jnp.where(ext_mask, tait_pressure(rho_d, params), 0.0)
+
+        # pressure of ghost cells is needed by core cells -> second halo
+        # exchange is avoided by computing rho/p over the extended slab
+        # directly (ghost cells have full neighbor data for their side
+        # facing the core; their far side is wrong but their values are
+        # only read BY core cells whose kernels never extend past one
+        # plane - the plane itself was computed with complete data).
+        acc_d = _accel_blocks(
+            ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel, block
+        )
+        acc_d = jnp.concatenate([acc_d, jnp.zeros((1, k, 3), acc_d.dtype)])
+
+        # slice the core planes back out of the extended arrays
+        core = slice(nynz, nynz + c_local)
+        acc_core = jnp.concatenate([acc_d[core], acc_d[-1:]], axis=0)
+        rho_core = jnp.concatenate([rho_d[core], rho_d[-1:]], axis=0)
+        p_core = jnp.concatenate([p_d[core], p_d[-1:]], axis=0)
+
+        acc = _gather(acc_core, cid_s, slot, order, c_local, k) + gravity
+        rho = _gather(rho_core, cid_s, slot, order, c_local, k)
+        p = _gather(p_core, cid_s, slot, order, c_local, k)
+
+        # integrate (dead slots don't move)
+        v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
+        x_new = jnp.where(alive[:, None], x + params.dt * v_new, x)
+
+        # global reflective walls
+        under = x_new < lo_g
+        over = x_new > hi_g
+        x_new = jnp.where(under, 2.0 * lo_g - x_new, x_new)
+        x_new = jnp.where(over, 2.0 * hi_g - x_new, x_new)
+        v_new = jnp.where(
+            (under | over) & alive[:, None], -params.wall_damping * v_new, v_new
+        )
+        x_new = jnp.clip(x_new, lo_g, hi_g)
+
+        # ---- migration: particles that left this slab ----
+        slab_lo = lo_g[0] + d * nxl * cell
+        slab_hi = slab_lo + nxl * cell
+        go_left = alive & (x_new[:, 0] < slab_lo) & (d > 0)
+        go_right = alive & (x_new[:, 0] >= slab_hi) & (d < n_dev - 1)
+
+        payload = jnp.concatenate(
+            [x_new, v_new, pid.astype(jnp.float32)[:, None]], axis=1
+        )  # [cap, 7]
+
+        buf_r, n_r, ovf_r, sent_r = _pack_migrants(payload, go_right, mig_cap)
+        buf_l, n_l, ovf_l, sent_l = _pack_migrants(payload, go_left, mig_cap)
+        valid_r = jnp.arange(mig_cap) < n_r
+        valid_l = jnp.arange(mig_cap) < n_l
+
+        recv_from_left = jax.lax.ppermute(buf_r, axis_name, send_right)
+        recv_from_left_valid = jax.lax.ppermute(valid_r, axis_name, send_right)
+        recv_from_right = jax.lax.ppermute(buf_l, axis_name, send_left)
+        recv_from_right_valid = jax.lax.ppermute(valid_l, axis_name, send_left)
+
+        # remove the migrants we actually sent
+        pid_after = jnp.where(sent_r | sent_l, -1, pid)
+        alive_after = pid_after >= 0
+
+        recv_vals = jnp.concatenate([recv_from_left, recv_from_right], axis=0)
+        recv_valid = jnp.concatenate(
+            [recv_from_left_valid, recv_from_right_valid], axis=0
+        )
+
+        payload_new = jnp.concatenate(
+            [x_new, v_new, pid_after.astype(jnp.float32)[:, None]], axis=1
+        )
+        payload_new = jnp.where(
+            alive_after[:, None], payload_new, jnp.zeros_like(payload_new)
+        )
+        payload_new = payload_new.at[:, 6].set(
+            jnp.where(alive_after, pid_after.astype(jnp.float32), -1.0)
+        )
+        merged, _ = _insert(payload_new, alive_after, recv_vals, recv_valid)
+
+        x_out = merged[:, 0:3]
+        v_out = merged[:, 3:6]
+        pid_out = merged[:, 6].astype(jnp.int32)
+
+        mig_ovf = ovf_r + ovf_l
+        return (
+            x_out,
+            v_out,
+            pid_out,
+            rho,
+            p,
+            cell_ovf[None],
+            mig_ovf[None],
+        )
+
+    sh = NamedSharding(mesh, P(axis_name))
+    spec = P(axis_name)
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec, spec, spec),
+    )
+
+    @partial(
+        jax.jit,
+        in_shardings=(DistState(x=sh, v=sh, pid=sh),),
+        out_shardings=(
+            DistState(x=sh, v=sh, pid=sh),
+            DistAux(rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh),
+        ),
+    )
+    def step(state):
+        x, v, pid, rho, p, covf, movf = mapped(state.x, state.v, state.pid)
+        return (
+            DistState(x=x, v=v, pid=pid),
+            DistAux(rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf),
+        )
+
+    return step
+
+
+def distribute_state(state, grid, mesh, capacity=None, axis_name="shard"):
+    """Partition an ``SPHState`` onto the mesh by x-slab ownership.
+
+    Returns a :class:`DistState` (``[n_devices * capacity, ...]``,
+    sharded on axis 0) where each device's slots hold exactly the
+    particles inside its slab, in original-index ``pid`` order.
+
+    Args:
+        capacity: slots per device (default: smallest multiple of 8
+            at least ``2 * max slab population``).
+    """
+    n_dev = mesh.devices.size
+    nx = grid.dims[0]
+    nxl = nx // n_dev
+    x = np.asarray(state.x)
+    v = np.asarray(state.v)
+    n = x.shape[0]
+
+    slab_width = nxl * grid.cell_size
+    owner = np.clip(
+        ((x[:, 0] - grid.lo[0]) // slab_width).astype(np.int64), 0, n_dev - 1
+    )
+    pops = np.bincount(owner, minlength=n_dev)
+    if capacity is None:
+        capacity = int(-(-2 * max(int(pops.max()), 1) // 8) * 8)
+
+    xs = np.zeros((n_dev, capacity, 3), np.float32)
+    vs = np.zeros((n_dev, capacity, 3), np.float32)
+    pids = np.full((n_dev, capacity), -1, np.int32)
+    for d in range(n_dev):
+        sel = np.nonzero(owner == d)[0]
+        if len(sel) > capacity:
+            raise ValueError(
+                "device %d slab holds %d particles > capacity %d"
+                % (d, len(sel), capacity)
+            )
+        xs[d, : len(sel)] = x[sel]
+        vs[d, : len(sel)] = v[sel]
+        pids[d, : len(sel)] = sel
+
+    sh = NamedSharding(mesh, P(axis_name))
+    return DistState(
+        x=jax.device_put(xs.reshape(-1, 3), sh),
+        v=jax.device_put(vs.reshape(-1, 3), sh),
+        pid=jax.device_put(pids.reshape(-1), sh),
+    ), capacity
+
+
+def collect_state(dist_state, n_global):
+    """Gather a :class:`DistState` back to host, in original pid order.
+
+    Returns ``(x, v)`` numpy arrays of shape ``[n_global, 3]``.
+    """
+    x = np.asarray(dist_state.x)
+    v = np.asarray(dist_state.v)
+    pid = np.asarray(dist_state.pid)
+    alive = pid >= 0
+    out_x = np.zeros((n_global, 3), np.float32)
+    out_v = np.zeros((n_global, 3), np.float32)
+    out_x[pid[alive]] = x[alive]
+    out_v[pid[alive]] = v[alive]
+    return out_x, out_v
