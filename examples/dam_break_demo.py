@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""End-to-end demo: dam-break WCSPH simulation with overlapped dumps.
+
+Runs the jitted SPH step (sharded over all available devices), streams
+every Nth frame to a hoomd-schema GSD file through the async dump
+runtime, prints throughput stats, and (optionally) converts the result
+to VTK point clouds.
+
+    python examples/dam_break_demo.py --steps 200 --every 5 --vtu
+
+The output file is readable by upstream GSD tooling (OVITO, gsd-vmd)
+and by `python -m tpgsd read/info`.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--every", type=int, default=5, help="dump cadence")
+    p.add_argument("--n-side", type=int, default=14)
+    p.add_argument("--out", default="dam_break.gsd")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the particle axis over all devices")
+    p.add_argument("--vtu", action="store_true", help="convert to .vtu after")
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="force N virtual CPU devices (env vars alone do "
+                        "not override accelerator plugins)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+    import jax.numpy as jnp
+    import numpy
+
+    from tpgsd.io_runtime import AsyncDumpRunner
+    from tpgsd.parallel import ShardedFrameWriter, make_mesh
+    from tpgsd.sph import SPHState, dam_break, make_step_fn
+
+    db = dam_break(n_side=args.n_side)
+    print("particles: %d  grid: %s cells  dt: %.2e"
+          % (db.n, db.grid.dims, db.params.dt))
+
+    state = db.state
+    if args.sharded and len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh()
+        sharding = NamedSharding(mesh, P("shard"))
+        n_dev = mesh.devices.size
+        pad = (-db.n) % n_dev
+        x = jnp.pad(state.x, ((0, pad), (0, 0)))
+        x = x.at[db.n:].set(jnp.asarray(db.box, jnp.float32) * 0.999)
+        v = jnp.pad(state.v, ((0, pad), (0, 0)))
+        step = jax.jit(
+            make_step_fn(db.grid, db.params),
+            in_shardings=(SPHState(x=sharding, v=sharding),),
+            out_shardings=(
+                SPHState(x=sharding, v=sharding),
+                (sharding, sharding, None),
+            ),
+        )
+        state = SPHState(
+            x=jax.device_put(x, sharding), v=jax.device_put(v, sharding)
+        )
+        print("sharded over %d devices" % n_dev)
+    else:
+        step = jax.jit(make_step_fn(db.grid, db.params))
+
+    writer = ShardedFrameWriter(
+        args.out,
+        static={
+            "configuration/box": numpy.array(
+                list(db.box) + [0, 0, 0], numpy.float32
+            ),
+            "particles/N": numpy.array([db.n], numpy.uint32),
+        },
+    )
+    with AsyncDumpRunner(writer) as dump:
+        for i in range(args.steps):
+            state, (rho, pres, overflow) = step(state)
+            if i % args.every == 0:
+                dump.submit(
+                    {
+                        "particles/position": state.x,
+                        "particles/velocity": state.v,
+                        "particles/density": rho,
+                        "particles/pressure": pres,
+                        "particles/slength": jnp.full(
+                            state.x.shape[0], db.params.h, jnp.float32
+                        ),
+                    },
+                    step=i,
+                )
+        dump.flush()
+
+    s = dump.stats
+    print(
+        "dumped %d frames, %.1f MB: writer %.1f MB/s, overlapped %.1f MB/s "
+        "(overlap efficiency %.0f%%)"
+        % (s.frames, s.bytes / 1e6, s.write_mb_s, s.effective_mb_s,
+           100 * s.overlap_efficiency)
+    )
+
+    import tpgsd.hoomd
+
+    with tpgsd.hoomd.open(args.out, mode="r") as traj:
+        last = traj[-1]
+        print(
+            "trajectory: %d frames; last frame step=%d, max|v|=%.3f, "
+            "rho in [%.0f, %.0f]"
+            % (
+                len(traj),
+                last.configuration.step,
+                float(numpy.abs(last.particles.velocity).max()),
+                float(last.particles.density.min()),
+                float(last.particles.density.max()),
+            )
+        )
+
+    if args.vtu:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
+        import pgsd2vtu
+
+        written = pgsd2vtu.convert(args.out, quiet=True)
+        print("wrote %d .vtu files" % len(written))
+
+
+if __name__ == "__main__":
+    main()

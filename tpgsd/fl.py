@@ -248,6 +248,13 @@ class PGSDFile:
         self._pending_index_entries = 0
         self._maximum_write_buffer_size = DEFAULT_MAXIMUM_WRITE_BUFFER_SIZE
         self._index_entries_to_buffer = DEFAULT_INDEX_ENTRIES_TO_BUFFER
+        # write combining (see batched_writes()): inside a batch, direct
+        # chunk writes are deferred and issued as one threaded
+        # pwrite_many call.  Offsets are precomputed, so deferral never
+        # changes on-disk layout, and the batch lands before any index
+        # commit (data-before-index preserved).
+        self._combine_writes = False
+        self._pending_data_writes = []  # [(offset, buffer), ...]
 
     def close(self):
         """Flush pending writes and close the file.
@@ -483,15 +490,20 @@ class PGSDFile:
                 if arr.size:
                     writes.append((location + row_offset * M * itemsize, arr.data))
             if writes:
-                tracer = get_tracer()
-                if tracer.enabled:
-                    with tracer.span(
-                        "write_chunk", name=name, location=location,
-                        shards=len(writes), bytes=local_size,
-                    ):
-                        self._fh.pwrite_many(writes)
+                if self._combine_writes:
+                    # deferred until _flush_data_writes: one threaded
+                    # batch per frame instead of one call per chunk
+                    self._pending_data_writes.extend(writes)
                 else:
-                    self._fh.pwrite_many(writes)
+                    tracer = get_tracer()
+                    if tracer.enabled:
+                        with tracer.span(
+                            "write_chunk", name=name, location=location,
+                            shards=len(writes), bytes=local_size,
+                        ):
+                            self._fh.pwrite_many(writes)
+                    else:
+                        self._fh.pwrite_many(writes)
             # file size advances by the *global* chunk size; shards this
             # process does not hold are written by their own processes at
             # the same precomputed offsets
@@ -574,6 +586,7 @@ class PGSDFile:
                 pending_entries=len(self._frame_index),
             )
         self._flush_name_buffer()
+        self._flush_data_writes()
         self._flush_write_buffer()
 
         # index entries to commit, excluding those of the current
@@ -705,6 +718,61 @@ class PGSDFile:
         self._header["namelist_allocated_entries"] = self._comm.bcast(
             int(self._header["namelist_allocated_entries"])
         )
+
+    def batched_writes(self):
+        """Context manager combining the enclosed direct chunk writes
+        into one threaded batch.
+
+        Inside the context, ``write_chunk`` records (offset, buffer)
+        pairs zero-copy instead of writing immediately; on exit all
+        pairs go down in a single ``pwrite_many`` call, spreading every
+        chunk's bytes over the native backend's worker threads.
+        Contract: the data arrays must not be mutated until the context
+        exits (the default non-batched path captures bytes at call
+        time, matching the reference's write-at-call semantics).
+
+        Example:
+            with f.batched_writes():
+                for name, arr in frame_chunks.items():
+                    f.write_chunk(name, arr)
+            f.end_frame()
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _batch():
+            prev = self._combine_writes
+            self._combine_writes = True
+            try:
+                yield self
+            finally:
+                self._combine_writes = prev
+                if not prev:
+                    self._flush_data_writes()
+
+        return _batch()
+
+    def _flush_data_writes(self):
+        """Issue the frame's combined direct writes as one threaded batch.
+
+        Runs before the index commit, preserving the data-before-index
+        crash-consistency ordering.  Batching a frame's chunks into a
+        single call lets the native backend spread ALL of the frame's
+        bytes over its worker threads (17 disjoint stripes beat 17
+        sequential writes on any device with queue depth).
+        """
+        if not self._pending_data_writes:
+            return
+        writes, self._pending_data_writes = self._pending_data_writes, []
+        tracer = get_tracer()
+        if tracer.enabled:
+            with tracer.span(
+                "write_batch", slices=len(writes),
+                bytes=sum(memoryview(d).nbytes for _, d in writes),
+            ):
+                self._fh.pwrite_many(writes)
+        else:
+            self._fh.pwrite_many(writes)
 
     def _flush_write_buffer(self):
         """Write the buffered bytes at EOF and rebase buffered entries.

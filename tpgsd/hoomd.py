@@ -397,6 +397,15 @@ class HOOMDTrajectory:
         if self._initial_frame is None and len(self) > 0:
             self._read_frame(0)
 
+        import contextlib
+
+        batch = getattr(self.file, "batched_writes", None)
+        with batch() if batch is not None else contextlib.nullcontext():
+            self._append_chunks(frame)
+
+        self.file.end_frame()
+
+    def _append_chunks(self, frame):
         for path in _CONTAINERS:
             container = getattr(frame, path)
             for name in container._default_value:
@@ -438,8 +447,6 @@ class HOOMDTrajectory:
 
         for log, data in frame.log.items():
             self.file.write_chunk("log/" + log, numpy.asarray(data))
-
-        self.file.end_frame()
 
     def _should_write(self, path, name, frame):
         """True when the chunk differs from frame 0 and from the default.

@@ -35,7 +35,14 @@ def _lib_path():
 
 
 def _build():
-    """Compile the native core (one-time, cached next to the source)."""
+    """Compile the native core (one-time, cached next to the source).
+
+    A CMake-built ``libtpgsd_io.so`` (see /CMakeLists.txt) is preferred
+    when present and current.
+    """
+    cmake_out = os.path.join(os.path.dirname(__file__), "libtpgsd_io.so")
+    if os.path.exists(cmake_out) and os.path.getmtime(cmake_out) >= os.path.getmtime(_SRC):
+        return cmake_out
     out = _lib_path()
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
         return out

@@ -318,8 +318,15 @@ class ShardedFrameWriter:
             for name, value in self._static.items():
                 self.file.write_chunk(name, numpy.asarray(value), write_all=False)
             self._static_written = True
-        for name, array in chunks.items():
-            write_sharded_chunk(self.file, name, array)
+        batch = getattr(self.file, "batched_writes", None)
+        if batch is not None:
+            # combine the frame's chunk writes into one threaded batch
+            with batch():
+                for name, array in chunks.items():
+                    write_sharded_chunk(self.file, name, array)
+        else:
+            for name, array in chunks.items():
+                write_sharded_chunk(self.file, name, array)
         self.file.end_frame()
 
     def flush(self):
