@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""SPH stepper benchmark: steps/sec and particle-steps/sec.
+
+Runs the dam-break workload with the jnp pair loops and (optionally)
+the Pallas windowed-stencil kernels, reporting wall time per step after
+a warm-up.  The frame-producer speed bounds the overlapped dump rate
+(BASELINE north star: frames/sec with the SPH step fully overlapped).
+
+    python benchmarks/benchmark_sph.py --n-side 20 --steps 30 --pallas
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def bench_step(step, state, steps):
+    import jax
+
+    state, aux = step(state)  # compile + first run
+    jax.block_until_ready(state.x)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, aux = step(state)
+    jax.block_until_ready(state.x)
+    return (time.perf_counter() - t0) / steps, state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n-side", type=int, default=20)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--block", type=int, default=32, help="jnp cell block")
+    p.add_argument("--pallas", action="store_true",
+                   help="also benchmark the Pallas kernels")
+    p.add_argument("--pallas-block", type=int, default=8)
+    p.add_argument("--capacity", type=int, default=64)
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="force N virtual CPU devices")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+
+    from tpgsd.sph import dam_break, make_step_fn
+
+    db = dam_break(n_side=args.n_side, capacity=args.capacity)
+    print(
+        "backend=%s particles=%d cells=%s capacity=%d"
+        % (jax.default_backend(), db.n, db.grid.dims, db.grid.capacity)
+    )
+
+    step = jax.jit(make_step_fn(db.grid, db.params, block=args.block))
+    dt, _ = bench_step(step, db.state, args.steps)
+    print(
+        "jnp    : %8.2f ms/step  %12.3g particle-steps/s"
+        % (dt * 1e3, db.n / dt)
+    )
+
+    if args.pallas:
+        step_p = jax.jit(
+            make_step_fn(
+                db.grid, db.params, use_pallas=True,
+                block=args.pallas_block,
+            )
+        )
+        dt_p, _ = bench_step(step_p, db.state, args.steps)
+        print(
+            "pallas : %8.2f ms/step  %12.3g particle-steps/s  (%.2fx)"
+            % (dt_p * 1e3, db.n / dt_p, dt / dt_p)
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,13 +148,23 @@ class PGSDFile:
             if schema_version is None:
                 raise ValueError("Provide schema_version when creating a file")
 
-        self._fh = tio.open_file(
-            self._name,
-            readonly=readonly,
-            create=create and self._comm.rank == 0,
-            exclusive=exclusive,
-            truncate=False,
-        )
+        # collective open: the controller creates the file first, other
+        # processes open it after the barrier (the role of the
+        # collective MPI_File_open; reference: pgsd/pgsd/pgsd.c:1748)
+        if self._comm.rank == 0:
+            self._fh = tio.open_file(
+                self._name,
+                readonly=readonly,
+                create=create,
+                exclusive=exclusive,
+                truncate=False,
+            )
+        self._comm.barrier()
+        if self._comm.rank != 0:
+            self._fh = tio.open_file(
+                self._name, readonly=readonly, create=False,
+                exclusive=False, truncate=False,
+            )
 
         if overwrite:
             self._initialize_file(application, schema, schema_version)
@@ -471,13 +481,18 @@ class PGSDFile:
 
         if max_size < self._maximum_write_buffer_size and not write_all:
             # ---- buffered path: stage bytes in the write buffer ----
+            # Only the controller's copy is ever indexed, so only the
+            # controller stages bytes.  (The reference buffers on every
+            # rank and leaves the non-root bytes dead in the file -
+            # SURVEY.md 2.6#2; skipping them here produces a denser,
+            # still spec-valid file.)
             if local_size > self._maximum_write_buffer_size - len(self._write_buffer):
                 self._flush_write_buffer()
             if self._comm.rank == 0:
                 entry[2] = len(self._write_buffer)  # location in the buffer
                 self._buffer_index.append(entry)
-            for _, arr in shards:
-                self._write_buffer += numpy.ascontiguousarray(arr).tobytes()
+                for _, arr in shards:
+                    self._write_buffer += numpy.ascontiguousarray(arr).tobytes()
         else:
             # ---- direct path: every shard writes its stripe at EOF ----
             location = self._file_size
@@ -595,8 +610,22 @@ class PGSDFile:
             if self._pending_index_entries > len(self._frame_index):
                 raise RuntimeError("Invalid argument: inconsistent pending index state")
             n_write = len(self._frame_index) - self._pending_index_entries
-            if n_write > 0:
-                self._commit_index_entries(n_write)
+            batch = self._commit_index_entries(n_write) if n_write > 0 else b""
+        else:
+            batch = b""
+
+        if self._comm.size > 1:
+            # replicate the committed entries so every process can serve
+            # reads locally.  The reference instead keeps the index
+            # rank-0-only and broadcasts each find result
+            # (reference: pgsd/pgsd/pgsd.c:2371-2378, a per-read Bcast
+            # and the bogus-pointer quirk SURVEY.md 2.6#4); replicating
+            # at flush costs 32 bytes/entry once and removes the
+            # per-read collective entirely.
+            batch = self._comm.bcast(batch)
+            if self._comm.rank != 0 and batch:
+                new = structs.unpack_index(batch)
+                self._file_index = numpy.concatenate([self._file_index, new])
 
         # controller metadata may have moved (index relocation); keep every
         # process's derived scalars in sync - the reference's Bcast tail
@@ -611,7 +640,8 @@ class PGSDFile:
         self._comm.barrier()
 
     def _commit_index_entries(self, n_write):
-        """Sort and write ``n_write`` completed-frame entries to the index."""
+        """Sort and write ``n_write`` completed-frame entries to the
+        index; returns the committed bytes (for replication)."""
         n_used = len(self._file_index)
         if n_used + n_write > int(self._header["index_allocated_entries"]):
             self._expand_file_index(n_used + n_write)
@@ -622,10 +652,12 @@ class PGSDFile:
         batch = validate.sort_index(batch)
 
         write_pos = int(self._header["index_location"]) + INDEX_ENTRY_SIZE * n_used
-        self._fh.pwrite(write_pos, batch.tobytes())
+        raw = batch.tobytes()
+        self._fh.pwrite(write_pos, raw)
 
         self._file_index = numpy.concatenate([self._file_index, batch])
         self._frame_index = self._frame_index[n_write:]
+        return raw
 
     def _expand_file_index(self, size_required):
         """Double the index by relocating it to the end of the file.
@@ -659,7 +691,13 @@ class PGSDFile:
         if n_pending == 0:
             return
         if self._comm.rank != 0:
-            # receive the controller's updated scalars
+            # replicate the committed names (so local reads resolve ids
+            # without a per-read collective) and the controller's
+            # updated scalars
+            new_names = self._comm.bcast(None)
+            for n in new_names:
+                self._name_map[n] = len(self._names)
+                self._names.append(n)
             self._file_size = self._comm.bcast(None)
             self._header["namelist_location"] = self._comm.bcast(None)
             self._header["namelist_allocated_entries"] = self._comm.bcast(None)
@@ -681,6 +719,7 @@ class PGSDFile:
         new_size = old_size + len(new_bytes)
         new_reserved = _grow_reserved(old_reserved, new_size)
 
+        committed_names = self._frame_names
         self._names.extend(self._frame_names)
         self._frame_names = []
         self._namelist_used = new_size
@@ -710,7 +749,8 @@ class PGSDFile:
             tail = new_bytes + b"\x00" * (new_reserved - new_size)
             self._fh.pwrite(location, tail)
 
-        # publish the controller's updated scalars
+        # publish the committed names and the controller's updated scalars
+        self._comm.bcast(committed_names)
         self._file_size = self._comm.bcast(self._file_size)
         self._header["namelist_location"] = self._comm.bcast(
             int(self._header["namelist_location"])

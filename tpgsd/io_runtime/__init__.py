@@ -14,5 +14,12 @@ hazard, no explicit double buffer.
 """
 
 from .dump import AsyncDumpRunner, DumpStats, run_dump_loop
+from .jit_dump import JitDumpChannel, scan_simulate
 
-__all__ = ["AsyncDumpRunner", "DumpStats", "run_dump_loop"]
+__all__ = [
+    "AsyncDumpRunner",
+    "DumpStats",
+    "JitDumpChannel",
+    "run_dump_loop",
+    "scan_simulate",
+]
