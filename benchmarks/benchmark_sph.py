@@ -67,7 +67,7 @@ def main(argv=None):
         step_p = jax.jit(
             make_step_fn(
                 db.grid, db.params, use_pallas=True,
-                block=args.pallas_block,
+                pallas_block=args.pallas_block,
             )
         )
         dt_p, _ = bench_step(step_p, db.state, args.steps)

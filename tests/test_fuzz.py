@@ -1,0 +1,111 @@
+"""Randomized round-trip fuzzing of the file layer.
+
+Seeded random operation sequences (chunk sizes, dtypes, frame
+boundaries, reopen/append cycles, buffered vs direct, shard splits) are
+written through ``tpgsd.fl`` and verified through three independent
+readers: ``tpgsd.fl``, ``tpgsd.pypgsd``, and - when present - the
+upstream reference's own pure-Python reader.  Catches protocol drift
+the targeted unit tests cannot anticipate.
+"""
+
+import importlib.util
+import pathlib
+
+import numpy
+import numpy.testing
+import pytest
+
+import tpgsd.fl
+import tpgsd.pypgsd
+
+_REF_READER = pathlib.Path("/root/reference/pgsd/pgsd/pypgsd.py")
+
+_DTYPES = [
+    numpy.uint8, numpy.uint16, numpy.uint32, numpy.uint64,
+    numpy.int8, numpy.int16, numpy.int32, numpy.int64,
+    numpy.float32, numpy.float64,
+]
+
+
+def _random_chunk(rng):
+    dtype = _DTYPES[rng.randint(len(_DTYPES))]
+    n = int(rng.randint(0, 2000))
+    m = int(rng.randint(1, 6))
+    if rng.rand() < 0.3:
+        shape = (n,)
+    else:
+        shape = (n, m)
+    info = numpy.iinfo(dtype) if numpy.issubdtype(dtype, numpy.integer) else None
+    if info is not None:
+        data = rng.randint(
+            max(info.min, -(2**31)), min(info.max, 2**31 - 1), size=shape
+        ).astype(dtype)
+    else:
+        data = (rng.rand(*shape) * 100).astype(dtype)
+    return data
+
+
+def _ref_reader():
+    spec = importlib.util.spec_from_file_location("ref_pypgsd", _REF_READER)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_roundtrip(tmp_path, seed):
+    rng = numpy.random.RandomState(seed)
+    fname = str(tmp_path / ("fuzz_%d.gsd" % seed))
+
+    expected = []  # list of dict name -> array per frame
+    n_sessions = int(rng.randint(1, 4))
+    for session in range(n_sessions):
+        mode = "w" if session == 0 else "a"
+        with tpgsd.fl.open(
+            fname, mode, application="fuzz", schema="none",
+            schema_version=[1, 0],
+        ) as f:
+            if rng.rand() < 0.5:
+                f.maximum_write_buffer_size = int(rng.randint(1, 64)) * 1024
+            for _ in range(int(rng.randint(1, 6))):
+                frame = {}
+                for _ in range(int(rng.randint(1, 8))):
+                    name = "c%02d/%s" % (rng.randint(12), "ab"[rng.randint(2)])
+                    if name in frame:
+                        # duplicate names within a frame are undefined
+                        # (two index entries with the same (frame, id))
+                        continue
+                    data = _random_chunk(rng)
+                    write_all = bool(rng.rand() < 0.5)
+                    f.write_chunk(name, data, write_all=write_all)
+                    frame[name] = data
+                f.end_frame()
+                expected.append(frame)
+
+    readers = [
+        lambda: tpgsd.fl.open(fname, "r"),
+        lambda: tpgsd.pypgsd.PGSDFile(open(fname, "rb")),
+    ]
+    if _REF_READER.exists():
+        ref = _ref_reader()
+        readers.append(lambda: ref.PGSDFile(open(fname, "rb")))
+
+    for opener in readers:
+        with opener() as f:
+            assert f.nframes == len(expected)
+            for idx, frame in enumerate(expected):
+                for name, data in frame.items():
+                    got = f.read_chunk(idx, name)
+                    # readers return M == 1 chunks as 1-D
+                    if data.ndim == 1 or data.shape[1] == 1:
+                        want = data.reshape(-1)
+                    else:
+                        want = data
+                    if want.size == 0:
+                        assert got.size == 0
+                        continue
+                    numpy.testing.assert_array_equal(
+                        got, want, err_msg="frame %d chunk %s" % (idx, name)
+                    )
+                # chunks never written in this frame don't appear
+                assert not f.chunk_exists(idx, "never/written")

@@ -327,6 +327,47 @@ class PGSDFile:
         )
         self._initialize_handle(readonly=False)
 
+    def upgrade(self):
+        """Upgrade a v1 file to v2 in place.
+
+        Rewrites the namelist in the v2 packed encoding, re-sorts the
+        index globally by (frame, id), and bumps the header version -
+        restoring the capability upstream GSD has and the reference
+        disables (reference: pgsd/pgsd/pgsd.h:675, fl.pyx:947-963
+        commented out).  The header is written last so a crash before
+        that point leaves a file v1 readers still parse (the sorted
+        index remains frame-ordered and the namelist block is rewritten
+        through a temporary relocation).
+        """
+        if not self._is_open:
+            raise ValueError("File is not open")
+        if self._readonly:
+            raise RuntimeError("File must be writable: " + self._name)
+        if int(self._header["pgsd_version"]) >= make_version(2, 0):
+            return  # already v2
+        self.flush()
+
+        # v2 namelist packing never exceeds the v1 fixed-slot block
+        packed = validate.pack_namelist_v2(self._names, self._namelist_reserved)
+        self._fh.pwrite(int(self._header["namelist_location"]), packed)
+        self._namelist_used = sum(
+            len(n.encode("utf-8")) + 1 for n in self._names
+        )
+
+        # globally (frame, id)-sorted index; still frame-ordered, so a
+        # v1 reader parses it too
+        if len(self._file_index):
+            self._file_index = validate.sort_index(self._file_index)
+            self._fh.pwrite(
+                int(self._header["index_location"]),
+                self._file_index.tobytes(),
+            )
+        self._fh.fsync()
+
+        self._header["pgsd_version"] = make_version(2, 0)
+        self._fh.pwrite(0, structs.pack_header(self._header))
+        self._fh.fsync()
+
     # ------------------------------------------------------------------ #
     # names
     # ------------------------------------------------------------------ #

@@ -50,7 +50,10 @@ def neighbor_table(grid):
     """Static ``[n_cells, 27]`` int32 table of neighbor cell ids.
 
     Out-of-range neighbors point at the sentinel row ``n_cells``.
-    Computed in numpy at trace time - it depends only on the grid.
+    Returned as a host (numpy) array: it is a trace-time constant, and
+    eager device placement would cost a host->device transfer at trace
+    time (pathologically slow on tunneled runtimes) for no benefit -
+    embedded constants ship with the compiled executable.
     """
     nx, ny, nz = grid.dims
     ix, iy, iz = np.meshgrid(
@@ -64,7 +67,7 @@ def neighbor_table(grid):
     valid = ((nbr >= 0) & (nbr < np.array(grid.dims))).all(axis=2)
     lin = nbr[..., 0] * (ny * nz) + nbr[..., 1] * nz + nbr[..., 2]
     lin = np.where(valid, lin, grid.n_cells)  # sentinel
-    return jnp.asarray(lin.astype(np.int32))
+    return lin.astype(np.int32)
 
 
 def cell_id(x, grid):

@@ -71,7 +71,9 @@ def dam_break(
     params = SPHParams(
         mass=float(mass), h=float(h), dt=float(dt), rho0=float(rho0), c0=float(c0)
     )
-    state = SPHState(
-        x=jnp.asarray(x0, dtype), v=jnp.zeros_like(jnp.asarray(x0, dtype))
-    )
+    # host (numpy) arrays: the first jitted call transfers them with the
+    # executable's arguments; eager device placement here would add a
+    # standalone transfer at build time
+    x_host = np.asarray(x0, dtype=np.dtype(str(jnp.dtype(dtype))))
+    state = SPHState(x=x_host, v=np.zeros_like(x_host))
     return DamBreak(state=state, grid=grid, params=params, box=box, n=n)

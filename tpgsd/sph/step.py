@@ -185,7 +185,13 @@ def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32):
 
 
 def make_step_fn(
-    grid, params, kernel=WendlandC2, block=32, use_pallas=False, pallas_interpret=None
+    grid,
+    params,
+    kernel=WendlandC2,
+    block=32,
+    use_pallas=False,
+    pallas_interpret=None,
+    pallas_block=8,
 ):
     """Build the jittable SPH step.
 
@@ -205,10 +211,15 @@ def make_step_fn(
         pallas_interpret: force/disable Pallas interpreter mode (default:
             interpret everywhere except on real TPU hardware).
     """
+    # trace-time constants stay on the host (numpy): eager jnp.asarray
+    # here would trigger device transfers at build time; as embedded
+    # constants they ship with the compiled executable instead
+    import numpy as _np
+
     nbr_static = neighbor_table(grid)
-    lo = jnp.asarray(grid.lo, jnp.float32)
-    hi = lo + grid.cell_size * jnp.asarray(grid.dims, jnp.float32)
-    gravity = jnp.asarray(params.gravity, jnp.float32)
+    lo = _np.asarray(grid.lo, _np.float32)
+    hi = lo + grid.cell_size * _np.asarray(grid.dims, _np.float32)
+    gravity = _np.asarray(params.gravity, _np.float32)
 
     if use_pallas:
         from . import pallas_ops
@@ -222,7 +233,7 @@ def make_step_fn(
         if use_pallas:
             rho_dense = pallas_ops.density(
                 dense_x, cells.mask, grid, params, kernel=kernel,
-                interpret=pallas_interpret,
+                block=pallas_block, interpret=pallas_interpret,
             )
         else:
             rho_dense = _density_blocks(
@@ -241,7 +252,8 @@ def make_step_fn(
         if use_pallas:
             acc_dense = pallas_ops.accel(
                 dense_x, dense_v, rho_dense, p_dense, cells.mask,
-                grid, params, kernel=kernel, interpret=pallas_interpret,
+                grid, params, kernel=kernel, block=pallas_block,
+                interpret=pallas_interpret,
             )
         else:
             acc_dense = _accel_blocks(
