@@ -15,9 +15,11 @@ import tpgsd.pypgsd
 
 
 @pytest.mark.validate
-@pytest.mark.parametrize("N", [2**27, 2**28, 2**29 + 1])
+@pytest.mark.parametrize("N", [2**27, 2**29 + 1])
 def test_large_chunk_roundtrip(tmp_path, N):
-    data = numpy.linspace(0, N, num=N, endpoint=False, dtype=numpy.uint32)
+    # arange, not linspace: no float64 intermediate - data generation
+    # cost is dominated by first-touch page faults on some VMs
+    data = numpy.arange(N, dtype=numpy.uint32)
     fname = tmp_path / ("large_%d.gsd" % N)
 
     with tpgsd.fl.open(

@@ -101,9 +101,27 @@ def validate_index_block(index, n_used, n_names=None, file_size=None, name=""):
     used = index[:n_used]
     if n_used == 0:
         return
-    for i in range(n_used):
-        if not entry_valid(used[i], n_names=n_names, file_size=file_size):
-            raise FileCorruptError("Corrupt GSD file (invalid index entry %d): %s" % (i, name))
+    # vectorized per-entry checks: open latency must stay flat for
+    # indexes with 10^5+ entries
+    sizes = np.array(
+        [sizeof_type(t) for t in range(256)], dtype=np.uint64
+    )[used["type"]]
+    ok = (
+        (sizes != 0)
+        & (used["M"] != 0)
+        & (used["flags"] == 0)
+        & (used["location"] != 0)
+    )
+    if n_names is not None:
+        ok &= used["id"] < n_names
+    if file_size is not None:
+        end = used["location"].astype(np.uint64) + used["N"] * used["M"] * sizes
+        ok &= end <= np.uint64(file_size)
+    if not ok.all():
+        i = int(np.argmin(ok))
+        raise FileCorruptError(
+            "Corrupt GSD file (invalid index entry %d): %s" % (i, name)
+        )
     frames = np.asarray(used["frame"], dtype=np.uint64)
     if n_used > 1 and np.any(frames[1:] < frames[:-1]):
         raise FileCorruptError("Corrupt GSD file (index frames not sorted): " + str(name))

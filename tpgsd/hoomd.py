@@ -534,25 +534,39 @@ class HOOMDTrajectory:
 
         snap = Frame()
 
+        # prefetch: one batched positioned read for the whole frame when
+        # the file layer supports it (tpgsd.fl does; duck-typed handles
+        # fall back to per-chunk reads)
+        prefetch_fn = getattr(self.file, "read_all_chunks", None)
+        chunks = prefetch_fn(idx) if prefetch_fn is not None else None
+
+        def _exists(name):
+            if chunks is not None:
+                return name in chunks
+            return self.file.chunk_exists(frame=idx, name=name, write_all=False)
+
+        def _read(name):
+            if chunks is not None:
+                return chunks[name]
+            return self.file.read_chunk(frame=idx, name=name)
+
         # configuration
-        if self.file.chunk_exists(frame=idx, name="configuration/step", write_all=False):
-            snap.configuration.step = self._read_chunk_scalar(idx, "configuration/step")[0]
+        if _exists("configuration/step"):
+            snap.configuration.step = _read("configuration/step")[0]
         elif self._initial_frame is not None:
             snap.configuration.step = self._initial_frame.configuration.step
         else:
             snap.configuration.step = ConfigurationData._default_value["step"]
 
-        if self.file.chunk_exists(frame=idx, name="configuration/dimensions", write_all=False):
-            snap.configuration.dimensions = self._read_chunk_scalar(
-                idx, "configuration/dimensions"
-            )[0]
+        if _exists("configuration/dimensions"):
+            snap.configuration.dimensions = _read("configuration/dimensions")[0]
         elif self._initial_frame is not None:
             snap.configuration.dimensions = self._initial_frame.configuration.dimensions
         else:
             snap.configuration.dimensions = ConfigurationData._default_value["dimensions"]
 
-        if self.file.chunk_exists(frame=idx, name="configuration/box", write_all=False):
-            snap.configuration.box = self._read_chunk_scalar(idx, "configuration/box")
+        if _exists("configuration/box"):
+            snap.configuration.box = _read("configuration/box")
         elif self._initial_frame is not None:
             snap.configuration.box = self._initial_frame.configuration.box
         else:
@@ -566,14 +580,14 @@ class HOOMDTrajectory:
                 initial_frame_container = getattr(self._initial_frame, path)
 
             container.N = 0
-            if self.file.chunk_exists(frame=idx, name=path + "/N", write_all=False):
-                container.N = self.file.read_chunk(frame=idx, name=path + "/N")[0]
+            if _exists(path + "/N"):
+                container.N = _read(path + "/N")[0]
             elif initial_frame_container is not None:
                 container.N = initial_frame_container.N
 
             if "types" in container._default_value:
-                if self.file.chunk_exists(frame=idx, name=path + "/types", write_all=False):
-                    tmp = self.file.read_chunk(frame=idx, name=path + "/types")
+                if _exists(path + "/types"):
+                    tmp = _read(path + "/types")
                     container.types = _decode_string_list(tmp)
                 elif initial_frame_container is not None:
                     container.types = initial_frame_container.types
@@ -581,10 +595,8 @@ class HOOMDTrajectory:
                     container.types = container._default_value["types"]
 
             if "type_shapes" in container._default_value and path == "particles":
-                if self.file.chunk_exists(
-                    frame=idx, name=path + "/type_shapes", write_all=False
-                ):
-                    tmp = self.file.read_chunk(frame=idx, name=path + "/type_shapes")
+                if _exists(path + "/type_shapes"):
+                    tmp = _read(path + "/type_shapes")
                     container.type_shapes = [
                         json.loads(s) for s in _decode_string_list(tmp)
                     ]
@@ -596,10 +608,8 @@ class HOOMDTrajectory:
             for name in container._default_value:
                 if name in ("N", "types", "type_shapes"):
                     continue
-                if self.file.chunk_exists(frame=idx, name=path + "/" + name, write_all=False):
-                    container.__dict__[name] = self.file.read_chunk(
-                        frame=idx, name=path + "/" + name
-                    )
+                if _exists(path + "/" + name):
+                    container.__dict__[name] = _read(path + "/" + name)
                 else:
                     if (
                         initial_frame_container is not None
@@ -619,15 +629,15 @@ class HOOMDTrajectory:
 
         # state data (with frame-0 fallback like everything else)
         for state in self.file.find_matching_chunk_names("state/", False):
-            if self.file.chunk_exists(frame=idx, name=state, write_all=False):
-                snap.state[state[6:]] = self.file.read_chunk(frame=idx, name=state)
+            if _exists(state):
+                snap.state[state[6:]] = _read(state)
             elif self._initial_frame is not None and state[6:] in self._initial_frame.state:
                 snap.state[state[6:]] = self._initial_frame.state[state[6:]]
 
         # log data
         for log in self.file.find_matching_chunk_names("log/", False):
-            if self.file.chunk_exists(frame=idx, name=log, write_all=False):
-                snap.log[log[4:]] = self.file.read_chunk(frame=idx, name=log)
+            if _exists(log):
+                snap.log[log[4:]] = _read(log)
             elif self._initial_frame is not None:
                 snap.log[log[4:]] = self._initial_frame.log[log[4:]]
 

@@ -206,6 +206,21 @@ class PGSDFile:
         """All chunk names that start with ``match``, in id order."""
         return [key for key in self.__namelist if key.startswith(match)]
 
+    def read_all_chunks(self, frame):
+        """Read every chunk of ``frame``; returns dict name -> array
+        (fl-interchangeable; see :meth:`tpgsd.fl.PGSDFile.read_all_chunks`)."""
+        if not self.__is_open:
+            raise ValueError("File is not open")
+        index = self.__index
+        lo = int(numpy.searchsorted(index["frame"], frame, side="left"))
+        hi = int(numpy.searchsorted(index["frame"], frame, side="right"))
+        names = list(self.__namelist)
+        out = {}
+        for entry in index[lo:hi]:
+            name = names[int(entry["id"])]
+            out[name] = self.read_chunk(frame, name)
+        return out
+
     def __getstate__(self):
         return dict(name=self.name)
 
