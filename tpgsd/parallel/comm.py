@@ -56,11 +56,29 @@ class JaxProcessComm:
         return [arr[i] for i in range(self.size)]
 
     def bcast(self, value, root=0):
+        """Broadcast an arbitrary picklable value from ``root``.
+
+        ``broadcast_one_to_all`` needs identically-shaped array pytrees
+        on every process, but the file layer broadcasts Python objects
+        (name lists, updated scalars) with ``None`` placeholders on
+        non-root processes.  Two phases fix the shape problem: first the
+        pickled length (fixed-shape int64), then the padded bytes.
+        """
+        import pickle
+
+        import numpy
         from jax.experimental import multihost_utils
 
-        return multihost_utils.broadcast_one_to_all(
-            value, is_source=self.rank == root
+        is_source = self.rank == root
+        payload = pickle.dumps(value) if is_source else b""
+        n = multihost_utils.broadcast_one_to_all(
+            numpy.int64(len(payload)), is_source=is_source
         )
+        n = int(n)
+        buf = numpy.frombuffer(payload.ljust(n, b"\x00"), numpy.uint8) if is_source \
+            else numpy.zeros(n, numpy.uint8)
+        out = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+        return pickle.loads(numpy.asarray(out).tobytes())
 
     def barrier(self):
         from jax.experimental import multihost_utils
