@@ -120,6 +120,11 @@ def run():
 
             jax.block_until_ready(produce(0))  # compile outside the timing
 
+            deadline = time.perf_counter() + float(
+                os.environ.get("TPGSD_BENCH_DEVICE_BUDGET_S", 120)
+            )
+            frames_done = [0]
+
             def device_frame_iter():
                 for f in range(device_frames):
                     blk = produce(f)
@@ -128,10 +133,13 @@ def run():
                     # chunk views into the host block are zero-copy
                     host = numpy.asarray(blk)
                     yield {name: host[i] for i, name in enumerate(names)}
+                    frames_done[0] = f + 1
+                    if time.perf_counter() > deadline:
+                        return  # timebox: slow host links must not stall the run
 
             elapsed_d = _write_loop(path, device_frame_iter(), names)
-            _verify(path, device_frames, n_keys)
-            dev_bytes = bytes_per_frame * device_frames
+            _verify(path, frames_done[0], n_keys)
+            dev_bytes = bytes_per_frame * frames_done[0]
             print(
                 "# device-resident (%s): %.2f GB in %.1f s = %.1f MB/s "
                 "(D2H + write overlapped)"

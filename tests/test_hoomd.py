@@ -367,3 +367,84 @@ def test_sph_fields_roundtrip(tmp_path):
             numpy.testing.assert_array_equal(
                 getattr(s.particles, field), getattr(frame.particles, field)
             )
+
+
+def test_topology_roundtrip(tmp_path):
+    """Bond/angle/dihedral/improper/pair/constraint containers round-trip.
+
+    The reference defines BondData but never attaches it to Frame
+    (reference: pgsd/pgsd/hoomd.py:450-453); tpgsd wires the full
+    upstream topology set in.
+    """
+    rng = numpy.random.RandomState(11)
+    frame = tpgsd.hoomd.Frame()
+    frame.particles.N = 10
+    frame.particles.position = rng.rand(10, 3).astype(numpy.float32)
+
+    frame.bonds.N = 4
+    frame.bonds.types = ["b1", "b2"]
+    frame.bonds.typeid = numpy.array([0, 1, 1, 0], numpy.uint32)
+    frame.bonds.group = rng.randint(0, 10, (4, 2)).astype(numpy.int32)
+
+    frame.angles.N = 3
+    frame.angles.types = ["a"]
+    frame.angles.typeid = numpy.zeros(3, numpy.uint32)
+    frame.angles.group = rng.randint(0, 10, (3, 3)).astype(numpy.int32)
+
+    frame.dihedrals.N = 2
+    frame.dihedrals.types = ["d"]
+    frame.dihedrals.typeid = numpy.zeros(2, numpy.uint32)
+    frame.dihedrals.group = rng.randint(0, 10, (2, 4)).astype(numpy.int32)
+
+    frame.impropers.N = 1
+    frame.impropers.types = ["i"]
+    frame.impropers.typeid = numpy.zeros(1, numpy.uint32)
+    frame.impropers.group = rng.randint(0, 10, (1, 4)).astype(numpy.int32)
+
+    frame.pairs.N = 2
+    frame.pairs.types = ["p"]
+    frame.pairs.typeid = numpy.zeros(2, numpy.uint32)
+    frame.pairs.group = rng.randint(0, 10, (2, 2)).astype(numpy.int32)
+
+    frame.constraints.N = 2
+    frame.constraints.value = numpy.array([1.5, 2.5], numpy.float32)
+    frame.constraints.group = rng.randint(0, 10, (2, 2)).astype(numpy.int32)
+
+    fname = tmp_path / "topology.gsd"
+    with tpgsd.hoomd.open(fname, mode="w") as traj:
+        traj.append(frame)
+
+    with tpgsd.hoomd.open(fname, mode="r") as traj:
+        s = traj[0]
+        assert s.bonds.N == 4
+        assert s.bonds.types == ["b1", "b2"]
+        numpy.testing.assert_array_equal(s.bonds.group, frame.bonds.group)
+        assert s.angles.group.shape == (3, 3)
+        assert s.dihedrals.group.shape == (2, 4)
+        assert s.impropers.group.shape == (1, 4)
+        assert s.pairs.group.shape == (2, 2)
+        numpy.testing.assert_array_equal(
+            s.constraints.value, frame.constraints.value
+        )
+        numpy.testing.assert_array_equal(
+            s.constraints.group, frame.constraints.group
+        )
+
+
+def test_extend(tmp_path):
+    """extend() appends every frame from an iterable."""
+    frames = []
+    for i in range(4):
+        f = tpgsd.hoomd.Frame()
+        f.particles.N = 3
+        f.particles.position = numpy.full((3, 3), float(i), numpy.float32)
+        frames.append(f)
+
+    fname = tmp_path / "extend.gsd"
+    with tpgsd.hoomd.open(fname, mode="w") as traj:
+        traj.extend(frames)
+    with tpgsd.hoomd.open(fname, mode="r") as traj:
+        assert len(traj) == 4
+        numpy.testing.assert_array_equal(
+            traj[3].particles.position, numpy.full((3, 3), 3.0)
+        )
