@@ -23,6 +23,7 @@ from .kernels import CubicSpline, WendlandC2  # noqa: F401
 from .cells import CellGrid, build_cells  # noqa: F401
 from .step import SPHParams, SPHState, make_step_fn, density_and_pressure  # noqa: F401
 from .dam_break import dam_break  # noqa: F401
+from .scenarios import Scenario, hydrostatic_tank, still_box  # noqa: F401
 from .checkpoint import resume  # noqa: F401
 from .distributed import (  # noqa: F401
     DistAux,

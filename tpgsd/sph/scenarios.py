@@ -1,0 +1,129 @@
+"""Additional SPH scenarios beyond the dam break.
+
+Each builder returns initial state, grid, and parameters sized for a
+stable run - the "model zoo" of this framework.  ``hydrostatic_tank``
+doubles as a quantitative physics check: after settling, the pressure
+profile must match p(z) = rho0 * g * (H - z).
+"""
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp  # noqa: F401  (kept for API symmetry with dam_break)
+
+from .cells import make_grid
+from .dam_break import DamBreak
+from .step import SPHParams, SPHState
+
+
+class Scenario(NamedTuple):
+    state: SPHState
+    grid: object  # CellGrid
+    params: SPHParams
+    box: tuple
+    n: int
+    n_fixed: int  # static boundary particles (first rows of state)
+
+
+def hydrostatic_tank(
+    n_side=12,
+    box=(1.0, 1.0, 1.0),
+    fill_z=0.6,
+    wall_layers=2,
+    rho0=1000.0,
+    capacity=64,
+):
+    """A tank of fluid at rest over a floor of boundary particles.
+
+    The floor is ``wall_layers`` planes of static dummy particles below
+    z=0 extended into the domain bottom; the fluid column settles into
+    hydrostatic equilibrium.  Use with
+    ``make_step_fn(..., n_fixed=scenario.n_fixed)``.
+
+    Returns:
+        :class:`Scenario`; boundary particles occupy the FIRST
+        ``n_fixed`` rows of ``state.x``.
+    """
+    h_fluid = box[2] * fill_z
+    dx = h_fluid / n_side
+    h = 1.3 * dx
+    support = 2.0 * h
+
+    nx = max(1, int(round(box[0] / dx)))
+    ny = max(1, int(round(box[1] / dx)))
+
+    # floor: wall_layers planes at z = dx/2, 3dx/2, ... (inside the box)
+    gx, gy = np.meshgrid(
+        (np.arange(nx) + 0.5) * dx, (np.arange(ny) + 0.5) * dx, indexing="ij"
+    )
+    walls = []
+    for layer in range(wall_layers):
+        z = (layer + 0.5) * dx
+        plane = np.stack(
+            [gx.ravel(), gy.ravel(), np.full(gx.size, z)], axis=1
+        )
+        walls.append(plane)
+    wall = np.concatenate(walls).astype(np.float32)
+
+    # fluid column above the floor
+    nz = max(1, int(round(h_fluid / dx)))
+    gz = (np.arange(nz) + wall_layers + 0.5) * dx
+    fx, fy, fz = np.meshgrid(
+        (np.arange(nx) + 0.5) * dx, (np.arange(ny) + 0.5) * dx, gz,
+        indexing="ij",
+    )
+    fluid = np.stack([fx.ravel(), fy.ravel(), fz.ravel()], axis=1).astype(
+        np.float32
+    )
+
+    x0 = np.concatenate([wall, fluid])
+    n_fixed = wall.shape[0]
+    n = x0.shape[0]
+
+    mass = rho0 * dx**3
+    v_max = math.sqrt(2.0 * 9.81 * h_fluid)
+    c0 = 10.0 * max(v_max, 1.0)
+    dt = 0.25 * h / c0
+
+    grid = make_grid((0.0, 0.0, 0.0), box, support, capacity)
+    params = SPHParams(
+        mass=float(mass),
+        h=float(h),
+        dt=float(dt),
+        rho0=float(rho0),
+        c0=float(c0),
+        alpha=0.3,  # stronger damping settles the column faster
+    )
+    state = SPHState(x=x0, v=np.zeros_like(x0))
+    return Scenario(
+        state=state, grid=grid, params=params, box=box, n=n, n_fixed=n_fixed
+    )
+
+
+def still_box(n_side=8, box=(1.0, 1.0, 1.0), rho0=1000.0, capacity=64):
+    """A zero-gravity uniform lattice - the regression scenario for
+    density normalization (interior density must come out near rho0)."""
+    dx = box[2] / n_side
+    h = 1.3 * dx
+    support = 2.0 * h
+    counts = [max(1, int(round(b / dx))) for b in box]
+    axes = [(np.arange(c) + 0.5) * dx for c in counts]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    x0 = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(np.float32)
+
+    mass = rho0 * dx**3
+    grid = make_grid((0.0, 0.0, 0.0), box, support, capacity)
+    params = SPHParams(
+        mass=float(mass), h=float(h), dt=1e-4, rho0=float(rho0),
+        gravity=(0.0, 0.0, 0.0),
+    )
+    state = SPHState(x=x0, v=np.zeros_like(x0))
+    return Scenario(
+        state=state, grid=grid, params=params, box=box, n=x0.shape[0], n_fixed=0
+    )
+
+
+# keep the canonical scenario importable from one place
+__all__ = ["Scenario", "hydrostatic_tank", "still_box", "DamBreak"]

@@ -53,6 +53,8 @@ class SPHParams(NamedTuple):
     gravity: tuple = (0.0, 0.0, -9.81)
     wall_damping: float = 0.5  # velocity retained on wall reflection
     eps: float = 0.01  # viscosity denominator regularizer (times h^2)
+    velocity_damping: float = 1.0  # global per-step velocity factor
+    # (< 1 = overdamped relaxation for settling initial conditions)
 
 
 class SPHState(NamedTuple):
@@ -192,6 +194,7 @@ def make_step_fn(
     use_pallas=False,
     pallas_interpret=None,
     pallas_block=8,
+    n_fixed=0,
 ):
     """Build the jittable SPH step.
 
@@ -210,6 +213,9 @@ def make_step_fn(
             windowed-stencil kernels (see ``tpgsd.sph.pallas_ops``).
         pallas_interpret: force/disable Pallas interpreter mode (default:
             interpret everywhere except on real TPU hardware).
+        n_fixed: the first ``n_fixed`` particles are static boundary
+            particles: they contribute to density and pressure forces
+            (the standard dummy-particle wall treatment) but never move.
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -267,7 +273,7 @@ def make_step_fn(
         acc = gather_from_cells(acc_dense, cells, grid) + gravity
 
         # symplectic Euler: kick then drift
-        v_new = v + params.dt * acc
+        v_new = (v + params.dt * acc) * params.velocity_damping
         x_new = x + params.dt * v_new
 
         # reflective walls with damping
@@ -278,6 +284,13 @@ def make_step_fn(
         bounce = under | over
         v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
         x_new = jnp.clip(x_new, lo, hi)
+
+        if n_fixed > 0:
+            # boundary particles: full SPH sources, zero motion
+            x_new = jnp.concatenate([x[:n_fixed], x_new[n_fixed:]])
+            v_new = jnp.concatenate(
+                [jnp.zeros((n_fixed, 3), v.dtype), v_new[n_fixed:]]
+            )
 
         rho = gather_from_cells(rho_dense, cells, grid)
         p = gather_from_cells(p_dense, cells, grid)
