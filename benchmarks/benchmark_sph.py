@@ -25,7 +25,7 @@ def bench_step(step, state, steps):
     t0 = time.perf_counter()
     for _ in range(steps):
         state, aux = step(state)
-    jax.block_until_ready(state.x)
+        jax.block_until_ready(state.x)  # synced: no dispatch pipelining
     return (time.perf_counter() - t0) / steps, state
 
 

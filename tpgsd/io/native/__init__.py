@@ -99,9 +99,11 @@ class NativeFileHandle(PosixFileHandle):
     ``MPI_File_write_at`` (reference: pgsd/pgsd/pgsd.c:2225-2237).
     """
 
-    #: threads for batched writes; overridable via TPGSD_IO_THREADS
+    #: threads for batched writes; overridable via TPGSD_IO_THREADS.
+    #: Floor of 4 regardless of CPU count: batched positioned writes are
+    #: I/O-bound and benefit from queue depth, not cores.
     threads = int(os.environ.get("TPGSD_IO_THREADS", "0")) or min(
-        8, max(2, (os.cpu_count() or 1))
+        8, max(4, (os.cpu_count() or 1))
     )
     #: writes at least this large route through O_DIRECT (0 disables);
     #: bypassing the page cache sidesteps writeback throttling on
