@@ -160,22 +160,42 @@ def read_sharded_chunk(file, frame, name, sharding, pad=False):
         N_out = N + ((-N) % n_shards)
     global_shape = (N_out, M) if M > 1 else (N_out,)
 
+    location = int(chunk["location"])
+    itemsize = dtype.itemsize
+
     index_map = sharding.addressable_devices_indices_map(global_shape)
-    buffers = []
+    # preallocate every device's (zero-padded) stripe, then fill all
+    # valid ranges with ONE batched positioned read when the backend
+    # supports it (tpgsd.fl over the native handle does)
+    stripes = []
+    reads = []
     for device, idx in index_map.items():
         row_slice = idx[0] if idx else slice(None)
         start = row_slice.start or 0
         stop = row_slice.stop if row_slice.stop is not None else N_out
         rows = stop - start
         valid = max(0, min(rows, N - start))
+        buf = numpy.zeros(rows * M, dtype=dtype)
         if valid > 0:
-            stripe = file.read_chunk(frame, name, N=valid, M=M, offset=start, r_all=True)
-        else:
-            stripe = numpy.zeros(valid * M, dtype=dtype)
-        stripe = stripe.reshape(valid, M) if M > 1 else stripe.reshape(valid)
-        if valid < rows:
-            pad_shape = (rows - valid, M) if M > 1 else (rows - valid,)
-            stripe = numpy.concatenate([stripe, numpy.zeros(pad_shape, dtype=dtype)])
+            reads.append((start, valid, buf[: valid * M]))
+        stripes.append((device, buf, rows))
+
+    batched = getattr(getattr(file, "_fh", None), "pread_many", None)
+    if batched is not None:
+        batched(
+            [
+                (location + start * M * itemsize, view)
+                for start, valid, view in reads
+            ]
+        )
+    else:
+        for start, valid, view in reads:
+            out = file.read_chunk(frame, name, N=valid, M=M, offset=start, r_all=True)
+            view[:] = numpy.asarray(out).reshape(-1)
+
+    buffers = []
+    for device, buf, rows in stripes:
+        stripe = buf.reshape(rows, M) if M > 1 else buf
         buffers.append(jax.device_put(stripe, device))
     return jax.make_array_from_single_device_arrays(global_shape, sharding, buffers)
 

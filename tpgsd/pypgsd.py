@@ -88,7 +88,10 @@ class PGSDFile:
         n_used = find_index_end(index)
         self.__index = index[:n_used].copy()
         for i in range(n_used):
-            if not entry_valid(self.__index[i], n_names=len(self.__namelist)):
+            if not entry_valid(
+                self.__index[i], n_names=len(self.__namelist),
+                file_size=file_size,
+            ):
                 raise FileCorruptError("Corrupt GSD file: " + str(file))
         frames = self.__index["frame"]
         if n_used > 1 and numpy.any(frames[1:] < frames[:-1]):
