@@ -92,3 +92,13 @@ def test_read_missing_file_errors(tmp_path):
     result = _run(["read", str(tmp_path / "nope.gsd")])
     assert result.returncode == 1
     assert "Error" in result.stderr
+
+
+def test_convert_subcommand(sample_file, tmp_path):
+    outdir = tmp_path / "vtu_out"
+    result = _run(
+        ["convert", str(sample_file), "-o", str(outdir), "--fields", "density"]
+    )
+    assert result.returncode == 0, result.stderr
+    assert "Frame 1: N=4" in result.stdout
+    assert (outdir / "cli_sample_00001.vtu").exists()

@@ -105,6 +105,26 @@ def main_info(args):
             print("  %-40s %s" % (name, desc))
 
 
+def main_convert(args):
+    """Export the trajectory to per-frame VTK .vtu point clouds."""
+    from .vtu import DEFAULT_FIELDS, convert
+
+    frames = None
+    if args.frames:
+        parts = [int(p) if p else None for p in args.frames.split(":")]
+        frames = slice(*parts)
+    fields = (
+        [f for f in args.fields.split(",") if f] if args.fields else DEFAULT_FIELDS
+    )
+    convert(
+        args.file,
+        outdir=args.outdir,
+        fields=fields,
+        frames=frames,
+        ascii_format=args.ascii,
+    )
+
+
 def main_dump(args):
     """Print one chunk of one frame as a numpy array."""
     import numpy
@@ -146,6 +166,18 @@ def main():
     parser_info = subparsers.add_parser("info")
     parser_info.add_argument("file", type=str, help="GSD file to inspect.")
     parser_info.set_defaults(func=main_info)
+
+    parser_convert = subparsers.add_parser("convert")
+    parser_convert.add_argument("file", type=str, help="trajectory .gsd file")
+    parser_convert.add_argument("-o", "--outdir", default=None)
+    parser_convert.add_argument(
+        "--fields", default=None,
+        help="comma-separated particle fields (default: SPH set)",
+    )
+    parser_convert.add_argument("--frames", default=None,
+                                help="frame slice start:stop[:step]")
+    parser_convert.add_argument("--ascii", action="store_true")
+    parser_convert.set_defaults(func=main_convert)
 
     parser_dump = subparsers.add_parser("dump")
     parser_dump.add_argument("file", type=str, help="GSD file to read.")
