@@ -18,15 +18,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
 def bench_step(step, state, steps):
+    """Per-step wall time with FORCED device completion.
+
+    ``block_until_ready`` can return before the device finishes on
+    tunneled/remote runtimes, so each step is forced by reading back a
+    scalar reduction of the new state; the standalone readback cost is
+    measured and subtracted.
+    """
     import jax
+    import jax.numpy as jnp
+
+    def force(s):
+        return float(jnp.sum(s.x))
 
     state, aux = step(state)  # compile + first run
-    jax.block_until_ready(state.x)
+    force(state)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        force(state)
+    base = (time.perf_counter() - t0) / steps
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state, aux = step(state)
-        jax.block_until_ready(state.x)  # synced: no dispatch pipelining
-    return (time.perf_counter() - t0) / steps, state
+        force(state)
+    per = (time.perf_counter() - t0) / steps
+    return max(per - base, 1e-9), state
 
 
 def main(argv=None):

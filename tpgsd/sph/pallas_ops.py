@@ -29,11 +29,13 @@ Zero padding of ``P = ny*nz + nz + 1`` cells on both sides of the cell
 axis absorbs all negative/overflow window starts; padded cells carry
 mask 0 and never contribute.
 
-Measured on v5e (dam break, capacity 64): ~3x faster than the jnp path
-up to a few thousand cells; beyond that the fixed per-program cost
-(block 8, 18 DMAs + 27-iteration loop) and the 64->128 lane padding let
-the XLA-fused jnp gather path win.  Pick per workload - the step builder
-exposes ``use_pallas`` / ``pallas_block``.
+STATUS (measured on v5e with FORCED completion - block_until_ready is
+unreliable on tunneled runtimes): the XLA-fused jnp path
+(``tpgsd.sph.step._density_blocks``) runs at ~50% of VPU peak and is
+the production path; these kernels are currently ~20x slower (fori over
+VMEM scratch serializes; the 64->128 lane padding quadruples pair math)
+and are kept as an opt-in (``use_pallas=True``) reference for further
+kernel work - see NEXT.md.
 """
 
 import functools
