@@ -33,17 +33,20 @@ def bench_step(step, state, steps):
 
     state, aux = step(state)  # compile + first run
     force(state)
+    # scalar readback costs tens of ms on tunneled runtimes; measure it
+    # and amortize it over `steps` chained steps per forced readback
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(reps):
         force(state)
-    base = (time.perf_counter() - t0) / steps
+    base = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, aux = step(state)
-        force(state)
-    per = (time.perf_counter() - t0) / steps
-    return max(per - base, 1e-9), state
+    force(state)  # forces the whole chain
+    per = (time.perf_counter() - t0 - base) / steps
+    return max(per, 1e-9), state
 
 
 def main(argv=None):

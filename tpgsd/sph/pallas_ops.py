@@ -30,12 +30,14 @@ axis absorbs all negative/overflow window starts; padded cells carry
 mask 0 and never contribute.
 
 STATUS (measured on v5e with FORCED completion - block_until_ready is
-unreliable on tunneled runtimes): the XLA-fused jnp path
-(``tpgsd.sph.step._density_blocks``) runs at ~50% of VPU peak and is
-the production path; these kernels are currently ~20x slower (fori over
-VMEM scratch serializes; the 64->128 lane padding quadruples pair math)
-and are kept as an opt-in (``use_pallas=True``) reference for further
-kernel work - see NEXT.md.
+unreliable on tunneled runtimes): the unrolled density kernel matches
+the XLA-fused jnp path (1.06 vs 1.39 ms on the 6.4k-particle dam break,
+within run-to-run noise); the accel kernel's larger body overflows the
+~16 MB VMEM scoped stack when unrolled, so it runs as a fori_loop over
+scratch, which serializes and loses to XLA by ~an order of magnitude.
+``use_pallas=False`` (the default) remains the production setting; the
+accel fix plan (two-pass split / lane packing / MXU reduction) is in
+NEXT.md.
 """
 
 import functools
@@ -145,7 +147,7 @@ def _start_window_dmas(src, dst, sem, sem_base, base, astarts, wlen):
 
 
 def _density_kernel(
-    x_hbm, m_hbm, rho_ref, xw, mw, nbv, pmv, sems, *, grid, params, kernel, block
+    x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block
 ):
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
@@ -165,23 +167,24 @@ def _density_kernel(
     xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, Kp]
     mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, Kp]
 
-    # pre-gather the 27 neighbor views into VMEM scratch and run the
-    # pair math under a fori_loop reading the scratch refs dynamically:
-    # only ONE iteration's [B, Kp, Kp] temporaries are live at a time
-    # (the fully unrolled form overflows the ~16 MB VMEM scoped-stack
-    # budget, and dynamic_slice on *values* is not lowerable - refs are)
-    _fill_offset_scratch(xw, mw, nbv, pmv, extras, block, ix, iy, iz, nx, ny, nz)
-
-    def body(j, acc):
-        yb = nbv[j]  # [3, B, Kp]
-        pm = pmv[j][:, None, :]  # [B, 1, Kp]
-        ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, Kp, Kp]
-        ddy = xc[1][:, :, None] - yb[1][:, None, :]
-        ddz = xc[2][:, :, None] - yb[2][:, None, :]
-        r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-        return acc + jnp.sum(kernel.w(r, params.h) * pm, axis=-1)
-
-    acc = jax.lax.fori_loop(0, 27, body, jnp.zeros((block, kp), jnp.float32))
+    # fully unrolled 27-offset pair loop with static window slices: the
+    # density body is small enough for the VMEM scoped stack, and the
+    # unrolled form measures ~3x faster than a fori_loop over scratch
+    # (matching the XLA-fused jnp path)
+    acc = jnp.zeros((block, kp), jnp.float32)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    for w, (dx, dy) in enumerate(offs):
+        e = extras[w]
+        for dz in (-1, 0, 1):
+            yb = xw[w, :, e + 1 + dz : e + 1 + dz + block]  # [3, B, Kp]
+            ym = mw[w, e + 1 + dz : e + 1 + dz + block]  # [B, Kp]
+            valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
+            pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
+            ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, Kp, Kp]
+            ddy = xc[1][:, :, None] - yb[1][:, None, :]
+            ddz = xc[2][:, :, None] - yb[2][:, None, :]
+            r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            acc = acc + jnp.sum(kernel.w(r, params.h) * pm, axis=-1)
     rho_ref[:] = params.mass * acc * mc
 
 
@@ -321,8 +324,6 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
         scratch_shapes=[
             pltpu.VMEM((9, 3, wlen, kp), jnp.float32),
             pltpu.VMEM((9, wlen, kp), jnp.float32),
-            pltpu.VMEM((27, 3, block, kp), jnp.float32),
-            pltpu.VMEM((27, block, kp), jnp.float32),
             pltpu.SemaphoreType.DMA((18,)),
         ],
         interpret=interpret,
