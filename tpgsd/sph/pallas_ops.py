@@ -30,14 +30,19 @@ axis absorbs all negative/overflow window starts; padded cells carry
 mask 0 and never contribute.
 
 STATUS (measured on v5e with FORCED completion - block_until_ready is
-unreliable on tunneled runtimes): the unrolled density kernel matches
-the XLA-fused jnp path (1.06 vs 1.39 ms on the 6.4k-particle dam break,
-within run-to-run noise); the accel kernel's larger body overflows the
-~16 MB VMEM scoped stack when unrolled, so it runs as a fori_loop over
-scratch, which serializes and loses to XLA by ~an order of magnitude.
-``use_pallas=False`` (the default) remains the production setting; the
-accel fix plan (two-pass split / lane packing / MXU reduction) is in
-NEXT.md.
+unreliable on tunneled runtimes; 6.4k-particle dam break, 50 steps):
+
+* capacity 128 (lane-native): **pallas 9.3 ms/step vs jnp 14.9 - 1.61x
+  faster.**  Choose pallas whenever the cell capacity is a multiple of
+  128.
+* capacity 64: pallas pads lanes 64->128 and pays ~4x the pair math
+  (9.3 ms vs jnp 3.8-4.4); keep the jnp path.  Packing two 64-slot
+  cells per 128-lane row would close this (NEXT.md).
+
+Both kernels are fully unrolled with static window slices - fori_loop /
+dynamic-slice variants measured 3-5x slower.  The accel body needs
+~44 MB of VMEM scoped stack (`vmem_limit_bytes` raised accordingly);
+v5e carries 128 MB of VMEM per core.
 """
 
 import functools
@@ -188,89 +193,114 @@ def _density_kernel(
     rho_ref[:] = params.mass * acc * mc
 
 
-def _fill_offset_scratch(fw, mw, nbv, pmv, extras, block, ix, iy, iz, nx, ny, nz):
-    """Write the 27 (dx,dy,dz) neighbor views of the DMA'd windows into
-    scratch: ``nbv[27, F, B, Kp]`` fields and ``pmv[27, B, Kp]`` =
-    neighbor mask x geometric validity (pre-fused)."""
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    idx = 0
-    for w, (dx, dy) in enumerate(offs):
-        e = extras[w]
-        for dz in (-1, 0, 1):
-            nbv[idx] = fw[w, :, e + 1 + dz : e + 1 + dz + block]
-            valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
-            pmv[idx] = mw[w, e + 1 + dz : e + 1 + dz + block] * valid
-            idx += 1
-
-
 def _accel_kernel(
-    f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, nbv, pmv, sems,
-    *, grid, params, kernel, block
+    f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
+    *, grid, params, kernel, block, w_subset
 ):
-    """f_hbm: ``[8, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho, p)."""
+    """One dx-plane of the acceleration: fully unrolled pair loop over
+    the (dx, dy) windows in ``w_subset`` (a static subset of 0..8).
+
+    The full 27-offset unrolled body overflows the ~16 MB VMEM scoped
+    stack (Mosaic's stack charge scales with unrolled iteration count),
+    so the 27 offsets are split across three kernel invocations - one
+    per dx plane - whose partial sums add outside.  Static slicing is
+    what keeps the unrolled form fast; fori/dynamic-slice variants
+    measured 3-5x slower.
+
+    f_hbm: ``[8, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho, p).
+    """
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
-    k = kp
     h2eps = params.eps * params.h * params.h
 
     i = pl.program_id(0)
     base = i * block
 
-    fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
-    mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+    fcopies = _start_window_dmas(
+        f_hbm, fw, sems, 0, base,
+        [astarts[w] for w in w_subset], wlen,
+    )
+    mcopies = _start_window_dmas(
+        m_hbm, mw, sems, len(w_subset), base,
+        [astarts[w] for w in w_subset], wlen,
+    )
     for c_ in fcopies + mcopies:
         c_.wait()
 
     ix, iy, iz = _cell_coords(i * block, block, ny, nz)
 
-    e4 = extras[4]
-    cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
-    mc = mw[4, e4 + 1 : e4 + 1 + block]
-    # center p/rho^2 precomputed once
+    # center block: always DMA'd (window 4 may not be in this subset),
+    # cheapest as its own copy when absent
+    if 4 in w_subset:
+        slot4 = w_subset.index(4)
+        e4 = extras[4]
+        cen = fw[slot4, :, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
+        mc = mw[slot4, e4 + 1 : e4 + 1 + block]
+    else:
+        # window 4's aligned start, staged into the spare scratch slot
+        spare = len(w_subset)
+        cp4 = pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
+            fw.at[spare],
+            sems.at[2 * len(w_subset)],
+        )
+        cp4m = pltpu.make_async_copy(
+            m_hbm.at[pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
+            mw.at[spare],
+            sems.at[2 * len(w_subset) + 1],
+        )
+        cp4.start()
+        cp4m.start()
+        cp4.wait()
+        cp4m.wait()
+        e4 = extras[4]
+        cen = fw[spare, :, e4 + 1 : e4 + 1 + block]
+        mc = mw[spare, e4 + 1 : e4 + 1 + block]
+
     rho_c = cen[6]
     p_c = cen[7]
     pterm_c = p_c / (rho_c * rho_c + 1e-30)
 
-    _fill_offset_scratch(fw, mw, nbv, pmv, extras, block, ix, iy, iz, nx, ny, nz)
+    accx = jnp.zeros((block, kp), jnp.float32)
+    accy = jnp.zeros((block, kp), jnp.float32)
+    accz = jnp.zeros((block, kp), jnp.float32)
+    for slot, w in enumerate(w_subset):
+        dx, dy = w // 3 - 1, w % 3 - 1
+        e = extras[w]
+        for dz in (-1, 0, 1):
+            nb = fw[slot, :, e + 1 + dz : e + 1 + dz + block]  # [8, B, Kp]
+            ym = mw[slot, e + 1 + dz : e + 1 + dz + block]
+            valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
+            pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
 
-    def body(j, accs):
-        accx, accy, accz = accs
-        nb = nbv[j]  # [8, B, Kp]
-        pm = pmv[j][:, None, :]  # [B, 1, Kp]
+            ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B, Kp, Kp]
+            ddy = cen[1][:, :, None] - nb[1][:, None, :]
+            ddz = cen[2][:, :, None] - nb[2][:, None, :]
+            dvx = cen[3][:, :, None] - nb[3][:, None, :]
+            dvy = cen[4][:, :, None] - nb[4][:, None, :]
+            dvz = cen[5][:, :, None] - nb[5][:, None, :]
+            rho_n = nb[6][:, None, :]
+            p_n = nb[7][:, None, :]
 
-        ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B, Kp, Kp]
-        ddy = cen[1][:, :, None] - nb[1][:, None, :]
-        ddz = cen[2][:, :, None] - nb[2][:, None, :]
-        dvx = cen[3][:, :, None] - nb[3][:, None, :]
-        dvy = cen[4][:, :, None] - nb[4][:, None, :]
-        dvz = cen[5][:, :, None] - nb[5][:, None, :]
-        rho_n = nb[6][:, None, :]
-        p_n = nb[7][:, None, :]
+            r2 = ddx * ddx + ddy * ddy + ddz * ddz
+            r = jnp.sqrt(r2)
+            dwr = kernel.dw_over_r(r, params.h)  # [B, Kp, Kp]
 
-        r2 = ddx * ddx + ddy * ddy + ddz * ddz
-        r = jnp.sqrt(r2)
-        dwr = kernel.dw_over_r(r, params.h)  # [B, Kp, Kp]
+            press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
 
-        press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
+            vdotx = dvx * ddx + dvy * ddy + dvz * ddz
+            rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
+            pi = jnp.where(
+                vdotx < 0.0,
+                -params.alpha * params.c0 * params.h
+                * (vdotx / (r2 + h2eps)) / rho_bar,
+                0.0,
+            )
 
-        vdotx = dvx * ddx + dvy * ddy + dvz * ddz
-        mu = vdotx / (r2 + h2eps)
-        rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-        pi = jnp.where(
-            vdotx < 0.0,
-            -params.alpha * params.c0 * params.h * mu / rho_bar,
-            0.0,
-        )
-
-        scale = -params.mass * (press + pi) * dwr * pm  # [B, Kp, Kp]
-        return (
-            accx + jnp.sum(scale * ddx, axis=-1),
-            accy + jnp.sum(scale * ddy, axis=-1),
-            accz + jnp.sum(scale * ddz, axis=-1),
-        )
-
-    zero = jnp.zeros((block, k), jnp.float32)
-    accx, accy, accz = jax.lax.fori_loop(0, 27, body, (zero, zero, zero))
+            scale = -params.mass * (press + pi) * dwr * pm  # [B, Kp, Kp]
+            accx = accx + jnp.sum(scale * ddx, axis=-1)
+            accy = accy + jnp.sum(scale * ddy, axis=-1)
+            accz = accz + jnp.sum(scale * ddz, axis=-1)
 
     ax_ref[:] = accx * mc
     ay_ref[:] = accy * mc
@@ -370,31 +400,42 @@ def accel(
     f_soa = _pad_cells_to(fields, c, pad, cp, kp)
     m_soa = _pad_cells_to(mask[:c].astype(jnp.float32), c, pad, cp, kp)
 
-    kern = functools.partial(
-        _accel_kernel, grid=grid, params=params, kernel=kernel, block=block
-    )
-    ax, ay, az = pl.pallas_call(
-        kern,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32)
-            for _ in range(3)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((9, 8, wlen, kp), jnp.float32),
-            pltpu.VMEM((9, wlen, kp), jnp.float32),
-            pltpu.VMEM((27, 8, block, kp), jnp.float32),
-            pltpu.VMEM((27, block, kp), jnp.float32),
-            pltpu.SemaphoreType.DMA((18,)),
-        ],
-        interpret=interpret,
-    )(f_soa, m_soa)
+    # one unrolled kernel per dx plane (see _accel_kernel docstring)
+    ax = ay = az = None
+    for w_subset in ([0, 1, 2, 3, 4, 5, 6, 7, 8],):
+        nw = len(w_subset)
+        kern = functools.partial(
+            _accel_kernel, grid=grid, params=params, kernel=kernel,
+            block=block, w_subset=tuple(w_subset),
+        )
+        px, py, pz = pl.pallas_call(
+            kern,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32)
+                for _ in range(3)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nw + 1, 8, wlen, kp), jnp.float32),
+                pltpu.VMEM((nw + 1, wlen, kp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * nw + 2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # the unrolled 9-offset body needs ~17 MB of scoped
+                # stack; the default 16 MB cap is conservative
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(f_soa, m_soa)
+        ax = px if ax is None else ax + px
+        ay = py if ay is None else ay + py
+        az = pz if az is None else az + pz
     return jnp.stack([ax[:c, :k], ay[:c, :k], az[:c, :k]], axis=-1)
