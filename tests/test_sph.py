@@ -175,3 +175,18 @@ def test_step_under_scan():
     final, rho_means = jax.lax.scan(scan_body, db.state, None, length=10)
     assert rho_means.shape == (10,)
     assert bool(jnp.isfinite(rho_means).all())
+
+
+def test_use_pallas_auto_policy():
+    """"auto" resolves to pallas only on TPU with lane-aligned capacity."""
+    import jax
+
+    from tpgsd.sph import dam_break
+    from tpgsd.sph.step import make_step_fn
+
+    db = dam_break(n_side=4, capacity=32)
+    # on the CPU test backend, auto must resolve to the jnp path and
+    # the step must run
+    step = jax.jit(make_step_fn(db.grid, db.params, use_pallas="auto"))
+    state, aux = step(db.state)
+    assert numpy.isfinite(numpy.asarray(state.x)).all()

@@ -213,6 +213,8 @@ def make_step_fn(
             windowed-stencil kernels - 1.6x faster than the jnp path on
             TPU when ``grid.capacity`` is a multiple of 128, slower
             below that (lane padding); see ``tpgsd.sph.pallas_ops``.
+            ``"auto"`` selects them exactly in that regime (TPU backend
+            and lane-aligned capacity).
         pallas_interpret: force/disable Pallas interpreter mode (default:
             interpret everywhere except on real TPU hardware).
         n_fixed: the first ``n_fixed`` particles are static boundary
@@ -223,6 +225,11 @@ def make_step_fn(
     # here would trigger device transfers at build time; as embedded
     # constants they ship with the compiled executable instead
     import numpy as _np
+
+    if use_pallas == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu" and grid.capacity % 128 == 0
+        )
 
     nbr_static = neighbor_table(grid)
     lo = _np.asarray(grid.lo, _np.float32)
