@@ -32,9 +32,10 @@ mask 0 and never contribute.
 STATUS (measured on v5e with FORCED completion - block_until_ready is
 unreliable on tunneled runtimes; 6.4k-particle dam break, 50 steps):
 
-* capacity 128 (lane-native): **pallas 9.3 ms/step vs jnp 14.9 - 1.61x
-  faster.**  Choose pallas whenever the cell capacity is a multiple of
-  128.
+* capacity 128 (lane-native): **pallas 8.9 ms/step (block 16) vs jnp
+  14.9 - 1.68x faster.**  Choose pallas whenever the cell capacity is
+  a multiple of 128.  Block 32's unrolled body stalls the compiler;
+  16 is the tuned default.
 * capacity 64: pallas pads lanes 64->128 and pays ~4x the pair math
   (9.3 ms vs jnp 3.8-4.4); keep the jnp path.  Packing two 64-slot
   cells per 128-lane row would close this (NEXT.md).
@@ -356,6 +357,11 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
             pltpu.VMEM((9, wlen, kp), jnp.float32),
             pltpu.SemaphoreType.DMA((18,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # unrolled-body scoped stack exceeds the conservative 16 MB
+            # default at block >= 16; v5e has 128 MB VMEM per core
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_soa, m_soa)
     return rho[:c, :k]

@@ -193,7 +193,7 @@ def make_step_fn(
     block=32,
     use_pallas=False,
     pallas_interpret=None,
-    pallas_block=8,
+    pallas_block=16,
     n_fixed=0,
 ):
     """Build the jittable SPH step.
