@@ -667,3 +667,21 @@ def test_largefile(tmp_path):
             assert out[-1] == n - 1
             assert out.shape == (n,)
         del data
+
+
+def test_durable_mode(tmp_path):
+    """durable=True inserts fsync barriers at flush; file stays valid."""
+    fname = tmp_path / "durable.gsd"
+    with tpgsd.fl.open(
+        fname, "w", application="t", schema="none", schema_version=[1, 0]
+    ) as f:
+        assert f.durable is False
+        f.durable = True
+        for i in range(3):
+            f.write_chunk("d", numpy.full(100, i, numpy.int32))
+            f.end_frame()
+    with tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.nframes == 3
+        numpy.testing.assert_array_equal(
+            f.read_chunk(2, "d"), numpy.full(100, 2, numpy.int32)
+        )

@@ -265,6 +265,8 @@ class PGSDFile:
         # commit (data-before-index preserved).
         self._combine_writes = False
         self._pending_data_writes = []  # [(offset, buffer), ...]
+        # durability mode (see the `durable` property)
+        self._durable = False
 
     def close(self):
         """Flush pending writes and close the file.
@@ -645,6 +647,13 @@ class PGSDFile:
         self._flush_data_writes()
         self._flush_write_buffer()
 
+        if self._durable:
+            # fsync barrier between data and the index that points at
+            # it: the commit ORDER alone does not survive block-layer
+            # reordering across a power failure.  (The reference has
+            # the same gap - MPI-IO writes carry no barriers either.)
+            self._fh.fsync()
+
         # index entries to commit, excluding those of the current
         # unfinished frame (reference: pgsd/pgsd/pgsd.c:1999-2010)
         if self._comm.rank == 0:
@@ -678,6 +687,10 @@ class PGSDFile:
         self._header["index_allocated_entries"] = self._comm.bcast(
             int(self._header["index_allocated_entries"])
         )
+        if self._durable:
+            # second barrier: the committed index itself is durable, so
+            # every frame flushed so far survives power loss
+            self._fh.fsync()
         self._comm.barrier()
 
     def _commit_index_entries(self, n_write):
@@ -1112,6 +1125,23 @@ class PGSDFile:
         if not self._is_open:
             raise ValueError("File is not open")
         return len(self._names)
+
+    @property
+    def durable(self):
+        """bool: insert fsync barriers at flush (default False).
+
+        With ordering alone (the default, matching the reference), a
+        crash leaves a file whose index describes only complete frames
+        PROVIDED the storage did not reorder writes; with ``durable``
+        on, an fsync lands between the data and the index that points
+        at it, and after the index commit - every flushed frame then
+        survives power loss at the cost of one or two fsyncs per flush.
+        """
+        return self._durable
+
+    @durable.setter
+    def durable(self, value):
+        self._durable = bool(value)
 
     @property
     def maximum_write_buffer_size(self):
