@@ -128,3 +128,40 @@ def test_migration_across_slabs():
     # both particles moved right ~0.2 and kept their ids
     numpy.testing.assert_allclose(x_d[0, 0], 0.95 + 0.2, rtol=1e-5)
     numpy.testing.assert_allclose(x_d[1, 0], 4.05 + 0.2, rtol=1e-5)
+
+
+def test_scan_simulate_distributed(tmp_path):
+    """Full-stack composition: a lax.scan rollout over the slab-
+    decomposed shard_map step with in-jit frame dumps."""
+    from tpgsd.io_runtime import JitDumpChannel, scan_simulate
+    from tpgsd.parallel import ShardedFrameWriter
+
+    state, grid, params = _divisible_setup()
+    n = state.x.shape[0]
+    mesh = make_mesh()
+    dist, cap = distribute_state(state, grid, mesh)
+    step = make_distributed_step_fn(grid, params, mesh, capacity=cap)
+
+    import tpgsd.hoomd
+
+    path = tmp_path / "dist_scan.gsd"
+    channel = JitDumpChannel(
+        ShardedFrameWriter(path), ["particles/position", "particles/density"]
+    )
+    final = scan_simulate(
+        step,
+        dist,
+        n_steps=4,
+        channel=channel,
+        frame_of=lambda s, aux: [s.x, aux.rho],
+        every=2,
+    )
+    channel.close()
+
+    with tpgsd.hoomd.open(path, mode="r") as traj:
+        assert len(traj) == 2
+        pos = traj[1].particles.position
+        assert pos.shape[0] == final.x.shape[0]
+        assert numpy.isfinite(pos).all()
+    x_d, v_d = collect_state(final, n)
+    assert numpy.isfinite(x_d).all()

@@ -171,6 +171,8 @@ def make_distributed_step_fn(
     axis_name="shard",
     kernel=WendlandC2,
     block=32,
+    use_pallas=False,
+    pallas_block=16,
 ):
     """Build the slab-decomposed distributed step.
 
@@ -218,6 +220,11 @@ def make_distributed_step_fn(
     )
     nbr_ext = neighbor_table(ext_grid)
 
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu" and k % 128 == 0
+    if use_pallas:
+        from . import pallas_ops
+
     send_right = [(i, i + 1) for i in range(n_dev - 1)]
     send_left = [(i + 1, i) for i in range(n_dev - 1)]
 
@@ -243,7 +250,13 @@ def make_distributed_step_fn(
         ext_mask = ext_m[..., 0] > 0.5
 
         # density over the extended slab (ghost outputs discarded)
-        rho_d = _density_blocks(ext_x, ext_mask, nbr_ext, params, kernel, block)
+        if use_pallas:
+            rho_d = pallas_ops.density(
+                ext_x, ext_mask, ext_grid, params, kernel=kernel,
+                block=pallas_block,
+            )
+        else:
+            rho_d = _density_blocks(ext_x, ext_mask, nbr_ext, params, kernel, block)
         rho_d = jnp.concatenate(
             [rho_d, jnp.full((1, k), params.rho0, rho_d.dtype)]
         )
@@ -256,9 +269,15 @@ def make_distributed_step_fn(
         # facing the core; their far side is wrong but their values are
         # only read BY core cells whose kernels never extend past one
         # plane - the plane itself was computed with complete data).
-        acc_d = _accel_blocks(
-            ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel, block
-        )
+        if use_pallas:
+            acc_d = pallas_ops.accel(
+                ext_x, ext_v, rho_d, p_d, ext_mask, ext_grid, params,
+                kernel=kernel, block=pallas_block,
+            )
+        else:
+            acc_d = _accel_blocks(
+                ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel, block
+            )
         acc_d = jnp.concatenate([acc_d, jnp.zeros((1, k, 3), acc_d.dtype)])
 
         # slice the core planes back out of the extended arrays
@@ -343,12 +362,21 @@ def make_distributed_step_fn(
     sh = NamedSharding(mesh, P(axis_name))
     spec = P(axis_name)
 
-    mapped = shard_map(
-        local_step,
+    sm_kwargs = dict(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec, spec, spec, spec, spec, spec),
     )
+    if use_pallas:
+        # pallas_call outputs carry no varying-mesh-axes annotation;
+        # disable the replication checker for the kernel-backed variant
+        # (parameter name differs across jax versions)
+        try:
+            mapped = shard_map(local_step, check_vma=False, **sm_kwargs)
+        except TypeError:
+            mapped = shard_map(local_step, check_rep=False, **sm_kwargs)
+    else:
+        mapped = shard_map(local_step, **sm_kwargs)
 
     @partial(
         jax.jit,
