@@ -24,7 +24,8 @@ Environment knobs:
     TPGSD_BENCH_BYTES         bytes per chunk (default 8 MiB)
     TPGSD_BENCH_DIR           scratch-file directory (default $TMPDIR)
     TPGSD_BENCH_DEVICE_FRAMES frames for the device-path measurement
-                              (default 4; 0 disables it)
+                              (default 2; 0 disables it)
+    TPGSD_BENCH_REPS          headline repetitions, best wins (default 2)
 """
 
 import json
@@ -65,7 +66,7 @@ def run():
     n_keys = int(os.environ.get("TPGSD_BENCH_KEYS", 17))
     chunk_bytes = int(os.environ.get("TPGSD_BENCH_BYTES", 8 << 20))
     bench_dir = os.environ.get("TPGSD_BENCH_DIR", tempfile.gettempdir())
-    device_frames = int(os.environ.get("TPGSD_BENCH_DEVICE_FRAMES", 4))
+    device_frames = int(os.environ.get("TPGSD_BENCH_DEVICE_FRAMES", 2))
     n_elems = chunk_bytes // 4  # float32
 
     import numpy

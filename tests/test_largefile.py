@@ -43,3 +43,37 @@ def test_large_chunk_roundtrip(tmp_path, N):
             gc.collect()
 
     fname.unlink()
+
+
+def test_chunk_beyond_2gb_offset(tmp_path):
+    """64-bit offset arithmetic: a chunk located past 2^31 reads back
+    through every reader.  Uses a sparse file, so it runs instantly
+    (the data-volume variants above are validate-gated)."""
+    fname = tmp_path / "sparse_far.gsd"
+    data = numpy.arange(1000, dtype=numpy.uint32)
+    far = 3 * 2**30  # 3 GiB, past both 2^31 and uint32 range
+
+    with tpgsd.fl.open(
+        name=fname, mode="w", application="t", schema="none",
+        schema_version=[1, 0],
+    ) as f:
+        f.write_chunk(name="near", data=data)
+        f.end_frame()
+        # relocate the append point far past 2^31 (sparse hole)
+        f._fh.truncate(far)
+        f._file_size = far
+        f.write_chunk(name="far", data=data * 2)
+        f.end_frame()
+
+    import os
+
+    assert os.path.getsize(fname) > far  # logical size is far + data
+
+    for opener in (
+        lambda: tpgsd.fl.open(name=fname, mode="r"),
+        lambda: tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")),
+    ):
+        with opener() as f:
+            assert f.nframes == 2
+            numpy.testing.assert_array_equal(f.read_chunk(0, "near"), data)
+            numpy.testing.assert_array_equal(f.read_chunk(1, "far"), data * 2)
