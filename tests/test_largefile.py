@@ -15,10 +15,13 @@ import tpgsd.pypgsd
 
 
 @pytest.mark.validate
-@pytest.mark.parametrize("N", [2**27, 2**29 + 1])
+@pytest.mark.parametrize("N", [2**27])
 def test_large_chunk_roundtrip(tmp_path, N):
-    # arange, not linspace: no float64 intermediate - data generation
-    # cost is dominated by first-touch page faults on some VMs
+    # Data-volume coverage at 512 MB; >2^31 offset arithmetic is covered
+    # always-on by test_chunk_beyond_2gb_offset below (multi-GB array
+    # generation takes 20+ minutes on hosts with slow first-touch page
+    # faults, which is what gates the larger reference sizes 2^28/2^29+1,
+    # reference: pgsd/pgsd/test/test_largefile.py:12-13).
     data = numpy.arange(N, dtype=numpy.uint32)
     fname = tmp_path / ("large_%d.gsd" % N)
 

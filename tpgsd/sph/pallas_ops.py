@@ -47,7 +47,6 @@ v5e carries 128 MB of VMEM per core.
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -345,8 +344,8 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
         kern,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -418,8 +417,8 @@ def accel(
             kern,
             grid=(nblocks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=tuple(
                 pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM)
