@@ -130,6 +130,80 @@ def test_migration_across_slabs():
     numpy.testing.assert_allclose(x_d[1, 0], 4.05 + 0.2, rtol=1e-5)
 
 
+def test_distributed_boundary_particles():
+    """A floor of fixed boundary particles (pid < n_fixed) must act as
+    density/pressure sources on every slab but never move or migrate;
+    results must match the single-device n_fixed path."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    dx = 0.1
+    h = 1.3 * dx
+    support = 2.0 * h
+    nx_cells = n_dev * 2  # divisible by the mesh
+    lx = nx_cells * support
+    ly = 0.2  # thin in y: keeps cell occupancy < 64 (fast compile)
+    box = (lx, ly, 0.5)
+
+    # floor: one plane of fixed particles spanning the whole box
+    gx, gy = numpy.meshgrid(
+        numpy.arange(dx / 2, lx, dx), numpy.arange(dx / 2, ly, dx),
+        indexing="ij",
+    )
+    wall = numpy.stack(
+        [gx.ravel(), gy.ravel(), numpy.full(gx.size, dx / 2)], axis=1
+    ).astype(numpy.float32)
+    # fluid: a small block above the floor, mid-domain
+    fx, fy, fz = numpy.meshgrid(
+        numpy.arange(lx * 0.3, lx * 0.7, dx),
+        numpy.arange(dx / 2, ly, dx),
+        numpy.arange(1.5 * dx, 1.5 * dx + 4 * dx, dx),
+        indexing="ij",
+    )
+    fluid = numpy.stack([fx.ravel(), fy.ravel(), fz.ravel()], axis=1).astype(
+        numpy.float32
+    )
+    x0 = numpy.concatenate([wall, fluid])
+    n_fixed = wall.shape[0]
+    n = x0.shape[0]
+
+    from tpgsd.sph.cells import CellGrid
+
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=support,
+                    dims=(nx_cells, 1, max(1, int(0.5 / support))),
+                    capacity=64)
+    params = SPHParams(
+        mass=1000.0 * dx**3, h=h, dt=2e-4, c0=30.0, alpha=0.3
+    )
+    state = SPHState(x=jnp.asarray(x0), v=jnp.zeros_like(jnp.asarray(x0)))
+
+    step_ref = jax.jit(make_step_fn(grid, params, n_fixed=n_fixed))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, n_fixed=n_fixed
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d = collect_state(dist, n)
+    # fixed particles exactly where they started, zero velocity
+    numpy.testing.assert_array_equal(x_d[:n_fixed], x0[:n_fixed])
+    numpy.testing.assert_array_equal(v_d[:n_fixed], 0.0)
+    # whole state matches the single-device n_fixed rollout
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )
+
+
 def test_scan_simulate_distributed(tmp_path):
     """Full-stack composition: a lax.scan rollout over the slab-
     decomposed shard_map step with in-jit frame dumps."""

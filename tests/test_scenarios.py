@@ -151,10 +151,51 @@ def test_hydrostatic_pressure_profile():
     )
 
 
-def test_fixed_particles_in_distributed_docstring():
-    """n_fixed is a single-device feature for now; distributed slab
-    migration would move boundary particles - assert the builder keeps
-    them immobile under the plain step only."""
+def test_scenario_shape_invariants():
     sc = hydrostatic_tank(n_side=6, wall_layers=1)
     assert sc.n_fixed > 0
     assert numpy.asarray(sc.state.x).shape[0] == sc.n
+
+
+def test_still_box_2d_density_normalization():
+    """2-D kernel normalization: interior density of a planar lattice
+    must measure ~rho0 (catches a wrong 2-D sigma immediately)."""
+    from tpgsd.sph import still_box_2d
+
+    sc = still_box_2d(n_side=16)
+    rho, p = density_and_pressure(jnp.asarray(sc.state.x), sc.grid, sc.params)
+    rho = numpy.asarray(rho)
+
+    x = numpy.asarray(sc.state.x)
+    margin = 2.0 * sc.params.h
+    interior = (
+        (x[:, 0] > margin) & (x[:, 0] < sc.box[0] - margin)
+        & (x[:, 1] > margin) & (x[:, 1] < sc.box[1] - margin)
+    )
+    assert interior.sum() > 50
+    rho_i = rho[interior]
+    assert abs(rho_i.mean() / sc.params.rho0 - 1.0) < 0.05, rho_i.mean()
+    assert rho_i.std() / sc.params.rho0 < 0.02
+
+
+def test_dam_break_2d_stays_planar():
+    """The 2-D dam break must evolve in-plane: z exactly invariant,
+    everything finite, and the column collapsing (spreading in +x,
+    falling in -y)."""
+    from tpgsd.sph import dam_break_2d
+
+    sc = dam_break_2d(n_side=10)
+    step = jax.jit(make_step_fn(sc.grid, sc.params))
+    state = SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v))
+    x0 = numpy.asarray(sc.state.x)
+    for _ in range(30):
+        state, (rho, p, ovf) = step(state)
+    assert int(ovf) == 0
+    x = numpy.asarray(state.x)
+    assert numpy.isfinite(x).all()
+    numpy.testing.assert_array_equal(x[:, 2], x0[:, 2])  # planar
+    # the column falls on average (individual surface particles may
+    # jitter up by a fraction of h) and the front advances in +x
+    assert x[:, 1].mean() < x0[:, 1].mean()
+    assert x[:, 1].max() <= x0[:, 1].max() + 0.5 * sc.params.h
+    assert x[:, 0].max() > x0[:, 0].max()

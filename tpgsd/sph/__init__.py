@@ -23,7 +23,13 @@ from .kernels import CubicSpline, WendlandC2  # noqa: F401
 from .cells import CellGrid, build_cells  # noqa: F401
 from .step import SPHParams, SPHState, make_step_fn, density_and_pressure  # noqa: F401
 from .dam_break import dam_break  # noqa: F401
-from .scenarios import Scenario, hydrostatic_tank, still_box  # noqa: F401
+from .scenarios import (  # noqa: F401
+    Scenario,
+    dam_break_2d,
+    hydrostatic_tank,
+    still_box,
+    still_box_2d,
+)
 from .checkpoint import resume  # noqa: F401
 from .distributed import (  # noqa: F401
     DistAux,

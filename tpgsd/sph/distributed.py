@@ -173,6 +173,7 @@ def make_distributed_step_fn(
     block=32,
     use_pallas=False,
     pallas_block=16,
+    n_fixed=0,
 ):
     """Build the slab-decomposed distributed step.
 
@@ -188,6 +189,11 @@ def make_distributed_step_fn(
             :func:`distribute_state`).
         migrate_cap: max migrations per face per step (default
             ``capacity // 4``).
+        n_fixed: particles with ``pid < n_fixed`` are static boundary
+            particles (the first ``n_fixed`` rows of the global state
+            passed to :func:`distribute_state`): full density/pressure
+            sources, but never integrated and never migrated - the
+            distributed form of ``make_step_fn(..., n_fixed=...)``.
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -249,7 +255,10 @@ def make_distributed_step_fn(
         )
         ext_mask = ext_m[..., 0] > 0.5
 
-        # density over the extended slab (ghost outputs discarded)
+        # density over the extended slab; only CORE outputs are correct
+        # (a ghost cell's own neighborhood extends one plane further out
+        # than the halo carries - its locally-computed density misses
+        # those contributions)
         if use_pallas:
             rho_d = pallas_ops.density(
                 ext_x, ext_mask, ext_grid, params, kernel=kernel,
@@ -257,18 +266,34 @@ def make_distributed_step_fn(
             )
         else:
             rho_d = _density_blocks(ext_x, ext_mask, nbr_ext, params, kernel, block)
-        rho_d = jnp.concatenate(
-            [rho_d, jnp.full((1, k), params.rho0, rho_d.dtype)]
-        )
-        rho_d = jnp.where(ext_mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0)
-        p_d = jnp.where(ext_mask, tait_pressure(rho_d, params), 0.0)
 
-        # pressure of ghost cells is needed by core cells -> second halo
-        # exchange is avoided by computing rho/p over the extended slab
-        # directly (ghost cells have full neighbor data for their side
-        # facing the core; their far side is wrong but their values are
-        # only read BY core cells whose kernels never extend past one
-        # plane - the plane itself was computed with complete data).
+        core = slice(nynz, nynz + c_local)
+        mask_core = ext_mask[core]
+        rho_core = jnp.where(
+            mask_core, jnp.maximum(rho_d[core], 0.1 * params.rho0), params.rho0
+        )
+        p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
+
+        # second halo exchange: the OWNER-computed rho/p of each boundary
+        # plane replaces the locally-miscomputed ghost values before the
+        # force pass (core forces read ghost rho/p one plane deep)
+        gl_rho = jax.lax.ppermute(rho_core[c_local - nynz :], axis_name, send_right)
+        gr_rho = jax.lax.ppermute(rho_core[:nynz], axis_name, send_left)
+        gl_p = jax.lax.ppermute(p_core[c_local - nynz :], axis_name, send_right)
+        gr_p = jax.lax.ppermute(p_core[:nynz], axis_name, send_left)
+        # edge devices receive zeros; refill dead/absent slots with rho0
+        # so p/rho^2 terms stay finite (masked out of every sum anyway)
+        gl_mask = ext_mask[:nynz]
+        gr_mask = ext_mask[nynz + c_local : nynz + c_local + nynz]
+        gl_rho = jnp.where(gl_mask, gl_rho, params.rho0)
+        gr_rho = jnp.where(gr_mask, gr_rho, params.rho0)
+        gl_p = jnp.where(gl_mask, gl_p, 0.0)
+        gr_p = jnp.where(gr_mask, gr_p, 0.0)
+
+        sent_rho = jnp.full((1, k), params.rho0, rho_core.dtype)
+        rho_d = jnp.concatenate([gl_rho, rho_core, gr_rho, sent_rho])
+        p_d = jnp.concatenate([gl_p, p_core, gr_p, jnp.zeros((1, k), p_core.dtype)])
+
         if use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d, p_d, ext_mask, ext_grid, params,
@@ -278,17 +303,19 @@ def make_distributed_step_fn(
             acc_d = _accel_blocks(
                 ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel, block
             )
-        acc_d = jnp.concatenate([acc_d, jnp.zeros((1, k, 3), acc_d.dtype)])
-
-        # slice the core planes back out of the extended arrays
-        core = slice(nynz, nynz + c_local)
-        acc_core = jnp.concatenate([acc_d[core], acc_d[-1:]], axis=0)
-        rho_core = jnp.concatenate([rho_d[core], rho_d[-1:]], axis=0)
-        p_core = jnp.concatenate([p_d[core], p_d[-1:]], axis=0)
+        # slice the core planes back out; append the sentinel rows the
+        # particle-order gather expects
+        acc_core = jnp.concatenate(
+            [acc_d[core], jnp.zeros((1, k, 3), acc_d.dtype)], axis=0
+        )
+        rho_core_s = jnp.concatenate([rho_core, sent_rho], axis=0)
+        p_core_s = jnp.concatenate(
+            [p_core, jnp.zeros((1, k), p_core.dtype)], axis=0
+        )
 
         acc = _gather(acc_core, cid_s, slot, order, c_local, k) + gravity
-        rho = _gather(rho_core, cid_s, slot, order, c_local, k)
-        p = _gather(p_core, cid_s, slot, order, c_local, k)
+        rho = _gather(rho_core_s, cid_s, slot, order, c_local, k)
+        p = _gather(p_core_s, cid_s, slot, order, c_local, k)
 
         # integrate (dead slots don't move)
         v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
@@ -303,6 +330,14 @@ def make_distributed_step_fn(
             (under | over) & alive[:, None], -params.wall_damping * v_new, v_new
         )
         x_new = jnp.clip(x_new, lo_g, hi_g)
+
+        if n_fixed > 0:
+            # boundary particles: full SPH sources, zero motion (their
+            # x_new == x stays strictly inside the owning slab, so the
+            # migration logic below never selects them)
+            fixed = alive & (pid < n_fixed)
+            x_new = jnp.where(fixed[:, None], x, x_new)
+            v_new = jnp.where(fixed[:, None], 0.0, v_new)
 
         # ---- migration: particles that left this slab ----
         slab_lo = lo_g[0] + d * nxl * cell

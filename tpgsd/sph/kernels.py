@@ -48,22 +48,30 @@ class CubicSpline:
 
 
 class WendlandC2:
-    """Wendland C2 kernel (3-D), support radius 2h - smoother spectra,
-    resists pairing instability; the usual choice at scale."""
+    """Wendland C2 kernel (2-D / 3-D), support radius 2h - smoother
+    spectra, resists pairing instability; the usual choice at scale."""
 
     support_scale = 2.0
+
+    @staticmethod
+    def _sigma(h, dim):
+        if dim == 3:
+            return 21.0 / (16.0 * math.pi * h**3)
+        if dim == 2:
+            return 7.0 / (4.0 * math.pi * h**2)
+        raise ValueError("WendlandC2 supports dim 2 or 3, got %r" % (dim,))
 
     @classmethod
     def w(cls, r, h, dim=3):
         q = r / h
-        sigma = 21.0 / (16.0 * math.pi * h**3)
+        sigma = cls._sigma(h, dim)
         t = jnp.maximum(1.0 - 0.5 * q, 0.0)
         return sigma * t**4 * (2.0 * q + 1.0)
 
     @classmethod
     def dw_over_r(cls, r, h, dim=3):
         q = r / h
-        sigma = 21.0 / (16.0 * math.pi * h**3)
+        sigma = cls._sigma(h, dim)
         t = jnp.maximum(1.0 - 0.5 * q, 0.0)
         # dW/dq = sigma * (-5 q) * t^3 ; divide by q*h^2 -> no singularity
         return sigma * (-5.0) * t**3 / (h * h)

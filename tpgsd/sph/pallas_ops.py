@@ -189,7 +189,9 @@ def _density_kernel(
             ddy = xc[1][:, :, None] - yb[1][:, None, :]
             ddz = xc[2][:, :, None] - yb[2][:, None, :]
             r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-            acc = acc + jnp.sum(kernel.w(r, params.h) * pm, axis=-1)
+            acc = acc + jnp.sum(
+                kernel.w(r, params.h, dim=params.dim) * pm, axis=-1
+            )
     rho_ref[:] = params.mass * acc * mc
 
 
@@ -284,7 +286,7 @@ def _accel_kernel(
 
             r2 = ddx * ddx + ddy * ddy + ddz * ddz
             r = jnp.sqrt(r2)
-            dwr = kernel.dw_over_r(r, params.h)  # [B, Kp, Kp]
+            dwr = kernel.dw_over_r(r, params.h, dim=params.dim)  # [B, Kp, Kp]
 
             press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
 
@@ -305,6 +307,152 @@ def _accel_kernel(
     ax_ref[:] = accx * mc
     ay_ref[:] = accy * mc
     az_ref[:] = accz * mc
+
+
+# ---------------------------------------------------------------------------
+# Packed sub-128 variant: f = 128 // K z-adjacent cells share one 128-lane row
+#
+# At capacity K < 128 the plain kernels pad the lane axis K -> 128 and waste
+# (128/K)^2 - 1 of the pair math.  Here the dense [C, K] layout is repacked to
+# [C/f, 128] rows of f consecutive-z cells (nz zero-padded to a multiple of f
+# so a row never crosses a z-column boundary: every cell in a row shares
+# (ix, iy), iz differs by the lane's half index h = lane // K).
+#
+# The pair-validity mask then factorizes cheaply.  For window (dx, dy) the
+# packed row offset is off'/f + (j - 1), j in {0,1,2}, and the candidate
+# z-offset between center lane half hc and neighbor lane half hn is
+# dz = f*(j-1) + hn - hc.  Two observations make the mask ~2 multiplies:
+#
+# * dz depends only on (j, hn - hc)  =>  "dz in {-1,0,1}" is a STATIC
+#   [128, 128] band matrix D_j (three distinct matrices, c0 = f*(j-1)).
+# * the neighbor z coordinate iz_base + hc + dz = iz_base + c0 + hn is
+#   independent of hc  =>  z-bounds validity is a [B, 128] mask on the
+#   neighbor side only; the x/y carry checks are per-row [B, 1] scalars
+#   (shared by the whole row since (ix, iy) are row-uniform).
+#
+# Per (dx,dy) the unpacked kernel runs 3 slices at 1/f^2 lane utilization;
+# the packed kernel runs 3 slices covering f cells each at (3f + f^2 - ...)
+# >= 1/2 utilization for f=2 - a ~f x reduction in pair math per cell.
+# ---------------------------------------------------------------------------
+
+
+def _packed_geometry(grid, block):
+    """Static geometry of the packed layout (see module comment above)."""
+    if block % 8 != 0:
+        raise ValueError("pallas block must be a multiple of 8")
+    k = grid.capacity
+    if k >= 128 or 128 % k != 0:
+        raise ValueError("packed path needs capacity dividing 128, got %d" % k)
+    f = 128 // k
+    nx, ny, nz = grid.dims
+    nzp = _round_up(nz, f)
+    rows = nx * ny * nzp // f
+    nblocks = -(-rows // block)
+    # packed-row window starts: off' = dx*ny*nzp + dy*nzp is always a
+    # multiple of f, so each (dx, dy) needs rows off'/f - 1 .. off'/f + 1
+    rls = [
+        (dx * ny * nzp + dy * nzp) // f - 1
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    pad_r = (ny * nzp + nzp) // f + 2
+    extras = [(pad_r + rl) % 8 for rl in rls]
+    astarts = [pad_r + rl - e for rl, e in zip(rls, extras)]
+    wlen = _round_up(block + 2 + 7, 8)
+    cp_r = pad_r + nblocks * block + pad_r + wlen
+    return f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen
+
+
+def _pack_dense(arr, grid, f, nzp, pad_r, cp_r):
+    """``[..., C(+1), K]`` -> packed padded ``[..., cp_r, 128]``."""
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    c = grid.n_cells
+    lead = arr.shape[:-2]
+    a = arr[..., :c, :].reshape(lead + (nx, ny, nz, k))
+    if nzp != nz:
+        widths = [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, nzp - nz), (0, 0)]
+        a = jnp.pad(a, widths)
+    rows = nx * ny * nzp // f
+    a = a.reshape(lead + (rows, f * k))
+    trail = cp_r - pad_r - rows
+    widths = [(0, 0)] * len(lead) + [(pad_r, trail), (0, 0)]
+    return jnp.pad(a, widths)
+
+
+def _unpack_rows(out, grid, f, nzp, rows):
+    """Packed ``[>=rows, 128]`` kernel output -> ``[n_cells, K]``."""
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    a = out[:rows].reshape(nx, ny, nzp, k)[:, :, :nz]
+    return a.reshape(grid.n_cells, k)
+
+
+def _band_matrix(c0, f, k):
+    """Static [128,128] float32: 1 where c0 + h(ln) - h(lc) in {-1,0,1}."""
+    import numpy as _np
+
+    h = _np.arange(128) // k
+    dz = c0 + h[None, :] - h[:, None]
+    return (_np.abs(dz) <= 1).astype(_np.float32)
+
+
+def _density_kernel_packed(
+    x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block, f, nzp
+):
+    import numpy as _np
+
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+
+    i = pl.program_id(0)
+    base = i * block
+
+    xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
+    mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+    for c_ in xcopies + mcopies:
+        c_.wait()
+
+    # row-uniform coords: every cell in packed row r shares (ix, iy);
+    # iz of lane l is izb + l // K
+    row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    cell0 = f * row
+    ix = cell0 // (ny * nzp)
+    rem = cell0 - ix * (ny * nzp)
+    iy = rem // nzp
+    izb = rem - iy * nzp  # [B, 1], multiple of f
+
+    a_n = (_np.arange(128) // k).astype(_np.int32)[None, :]  # [1, 128]
+    bands = {c0: _band_matrix(c0, f, k) for c0 in (-f, 0, f)}
+
+    # center row: window 4 (off'=0, r_lo=-1), j=1
+    e4 = extras[4]
+    xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, 128]
+    mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, 128]
+
+    acc = jnp.zeros((block, 128), jnp.float32)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    for w, (dx, dy) in enumerate(offs):
+        e = extras[w]
+        xy_ok = (
+            (ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
+        ).astype(jnp.float32)  # [B, 1]
+        for j in (0, 1, 2):
+            c0 = f * (j - 1)
+            D = bands[c0]  # static [128,128]
+            yb = xw[w, :, e + j : e + j + block]  # [3, B, 128]
+            ym = mw[w, e + j : e + j + block]  # [B, 128]
+            zn = izb + (c0 + a_n)  # [B, 128] neighbor iz (hc-independent)
+            z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+            pm = ym * z_ok * xy_ok  # [B, 128]
+            ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, 128, 128]
+            ddy = xc[1][:, :, None] - yb[1][:, None, :]
+            ddz = xc[2][:, :, None] - yb[2][:, None, :]
+            r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            wv = kernel.w(r, params.h, dim=params.dim)
+            acc = acc + jnp.sum(wv * D[None, :, :] * pm[:, None, :], axis=-1)
+    rho_ref[:] = params.mass * acc * mc
 
 
 def _interpret_default():

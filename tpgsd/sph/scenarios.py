@@ -125,5 +125,91 @@ def still_box(n_side=8, box=(1.0, 1.0, 1.0), rho0=1000.0, capacity=64):
     )
 
 
+def dam_break_2d(
+    n_side=20,
+    box=(2.0, 1.0),
+    fill=(0.5, 0.8),
+    capacity=64,
+    rho0=1000.0,
+):
+    """Planar (2-D) dam break in the x-y plane, gravity along -y.
+
+    State arrays stay ``[N, 3]`` (the framework's layout) with the z
+    axis collapsed: every particle sits on the single z cell plane at
+    ``z = cell/2`` and feels no z force (identical z coordinates =>
+    zero z pair terms; gravity has no z component), so z is invariant.
+    ``params.dim == 2`` switches the kernel normalizations to their
+    2-D values; mass is per unit depth (``rho0 * dx^2``).
+    """
+    ly_fluid = box[1] * fill[1]
+    dx = ly_fluid / n_side
+    h = 1.3 * dx
+    support = 2.0 * h
+
+    counts = [max(1, int(round(box[d] * fill[d] / dx))) for d in range(2)]
+    axes = [(np.arange(c) + 0.5) * dx for c in counts]
+    gx, gy = np.meshgrid(*axes, indexing="ij")
+
+    grid = make_grid((0.0, 0.0, 0.0), (box[0], box[1], support), support, capacity)
+    z0 = grid.cell_size / 2.0
+    x0 = np.stack(
+        [gx.ravel(), gy.ravel(), np.full(gx.size, z0)], axis=1
+    ).astype(np.float32)
+    n = x0.shape[0]
+
+    mass = rho0 * dx**2
+    v_max = math.sqrt(2.0 * 9.81 * ly_fluid)
+    c0 = 10.0 * max(v_max, 1.0)
+    dt = 0.25 * h / c0
+
+    params = SPHParams(
+        mass=float(mass),
+        h=float(h),
+        dt=float(dt),
+        rho0=float(rho0),
+        c0=float(c0),
+        gravity=(0.0, -9.81, 0.0),
+        dim=2,
+    )
+    state = SPHState(x=x0, v=np.zeros_like(x0))
+    return Scenario(
+        state=state, grid=grid, params=params, box=box, n=n, n_fixed=0
+    )
+
+
+def still_box_2d(n_side=16, box=(1.0, 1.0), rho0=1000.0, capacity=64):
+    """2-D zero-gravity uniform lattice - the density-normalization
+    regression for ``dim=2`` (interior density must come out near rho0)."""
+    dx = box[1] / n_side
+    h = 1.3 * dx
+    support = 2.0 * h
+    counts = [max(1, int(round(b / dx))) for b in box]
+    axes = [(np.arange(c) + 0.5) * dx for c in counts]
+    gx, gy = np.meshgrid(*axes, indexing="ij")
+
+    grid = make_grid((0.0, 0.0, 0.0), (box[0], box[1], support), support, capacity)
+    z0 = grid.cell_size / 2.0
+    x0 = np.stack(
+        [gx.ravel(), gy.ravel(), np.full(gx.size, z0)], axis=1
+    ).astype(np.float32)
+
+    mass = rho0 * dx**2
+    params = SPHParams(
+        mass=float(mass), h=float(h), dt=1e-4, rho0=float(rho0),
+        gravity=(0.0, 0.0, 0.0), dim=2,
+    )
+    state = SPHState(x=x0, v=np.zeros_like(x0))
+    return Scenario(
+        state=state, grid=grid, params=params, box=box, n=x0.shape[0], n_fixed=0
+    )
+
+
 # keep the canonical scenario importable from one place
-__all__ = ["Scenario", "hydrostatic_tank", "still_box", "DamBreak"]
+__all__ = [
+    "Scenario",
+    "hydrostatic_tank",
+    "still_box",
+    "still_box_2d",
+    "dam_break_2d",
+    "DamBreak",
+]

@@ -55,6 +55,8 @@ class SPHParams(NamedTuple):
     eps: float = 0.01  # viscosity denominator regularizer (times h^2)
     velocity_damping: float = 1.0  # global per-step velocity factor
     # (< 1 = overdamped relaxation for settling initial conditions)
+    dim: int = 3  # spatial dimension (2 = planar flow: z collapsed to a
+    # single cell plane, kernel normalization switched to its 2-D value)
 
 
 class SPHState(NamedTuple):
@@ -96,7 +98,7 @@ def _density_blocks(dense_x, mask, nbr, params, kernel, block):
         ym = mask[nb].reshape(block, 27 * k)  # [B,27K]
         diff = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
         r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-        w = kernel.w(r, params.h) * ym[:, None, :]
+        w = kernel.w(r, params.h, dim=params.dim) * ym[:, None, :]
         return params.mass * jnp.sum(w, axis=-1) * mb  # [B,K]
 
     rho = jax.lax.map(
@@ -134,7 +136,7 @@ def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kerne
         dv = vb[:, :, None, :] - vy[:, None, :, :]
         r2 = jnp.sum(dx * dx, axis=-1)
         r = jnp.sqrt(r2)
-        dwr = kernel.dw_over_r(r, params.h)  # [B,K,27K]
+        dwr = kernel.dw_over_r(r, params.h, dim=params.dim)  # [B,K,27K]
 
         # pressure term
         press = pb[:, :, None] / (rhob[:, :, None] ** 2) + py[:, None, :] / (
