@@ -91,6 +91,59 @@ def test_step_with_pallas_matches(setup):
     )
 
 
+@pytest.mark.parametrize("capacity,nz_odd", [(64, False), (64, True), (16, True)])
+def test_packed_kernels_match_jnp(capacity, nz_odd):
+    """The packed sub-128 layout (f = 128/K cells per row) must be
+    numerically identical to the jnp path, including when nz is not a
+    multiple of f (z-padding) and at deep packing factors."""
+    from tpgsd.sph.cells import CellGrid, make_grid
+
+    rng = numpy.random.RandomState(7)
+    lz = 0.9 if nz_odd else 1.2
+    grid = make_grid((0, 0, 0), (1.2, 1.0, lz), 0.3, capacity=capacity)
+    if nz_odd:
+        assert grid.dims[2] % 2 == 1, grid.dims
+    n = 300
+    x = jnp.asarray(
+        rng.rand(n, 3).astype(numpy.float32)
+        * numpy.array([1.2, 1.0, lz], numpy.float32)
+    )
+    v = jnp.asarray(rng.randn(n, 3).astype(numpy.float32) * 0.1)
+    params = SPHParams(mass=0.01, h=0.15, dt=1e-4)
+
+    cells = build_cells(x, grid)
+    assert int(cells.overflow) == 0
+    dense_x = scatter_to_cells(x, cells, grid)
+    dense_v = scatter_to_cells(v, cells, grid)
+    nbr = neighbor_table(grid)
+
+    rho_ref = _density_blocks(dense_x, cells.mask, nbr, params, WendlandC2, 8)
+    rho_pl = pallas_ops.density(
+        dense_x, cells.mask, grid, params, kernel=WendlandC2, interpret=True
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho_pl), numpy.asarray(rho_ref), rtol=1e-5, atol=1e-4
+    )
+
+    rho = jnp.concatenate(
+        [rho_ref, jnp.full((1, capacity), params.rho0, rho_ref.dtype)]
+    )
+    rho = jnp.where(cells.mask, jnp.maximum(rho, 0.1 * params.rho0), params.rho0)
+    p = jnp.where(cells.mask, tait_pressure(rho, params), 0.0)
+    acc_ref = _accel_blocks(
+        dense_x, dense_v, rho, p, cells.mask, nbr, params, WendlandC2, 8
+    )
+    acc_pl = pallas_ops.accel(
+        dense_x, dense_v, rho, p, cells.mask, grid, params,
+        kernel=WendlandC2, interpret=True,
+    )
+    ref = numpy.asarray(acc_ref)
+    scale = numpy.abs(ref).max() or 1.0
+    numpy.testing.assert_allclose(
+        numpy.asarray(acc_pl) / scale, ref / scale, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_density_small_grid_edge_cells():
     """Grids with nx/ny/nz < 3 exercise every wrap-validity branch."""
     from tpgsd.sph.cells import make_grid

@@ -172,7 +172,7 @@ def make_distributed_step_fn(
     kernel=WendlandC2,
     block=32,
     use_pallas=False,
-    pallas_block=16,
+    pallas_block=None,
     n_fixed=0,
 ):
     """Build the slab-decomposed distributed step.
@@ -226,8 +226,12 @@ def make_distributed_step_fn(
     )
     nbr_ext = neighbor_table(ext_grid)
 
+    from . import pallas_ops as _po
+
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and k % 128 == 0
+        use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
+    if pallas_block is None:
+        pallas_block = _po.default_block(ext_grid)
     if use_pallas:
         from . import pallas_ops
 

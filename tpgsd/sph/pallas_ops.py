@@ -30,15 +30,18 @@ axis absorbs all negative/overflow window starts; padded cells carry
 mask 0 and never contribute.
 
 STATUS (measured on v5e with FORCED completion - block_until_ready is
-unreliable on tunneled runtimes; 6.4k-particle dam break, 50 steps):
+unreliable on tunneled runtimes):
 
 * capacity 128 (lane-native): **pallas 8.9 ms/step (block 16) vs jnp
-  14.9 - 1.68x faster.**  Choose pallas whenever the cell capacity is
-  a multiple of 128.  Block 32's unrolled body stalls the compiler;
-  16 is the tuned default.
-* capacity 64: pallas pads lanes 64->128 and pays ~4x the pair math
-  (9.3 ms vs jnp 3.8-4.4); keep the jnp path.  Packing two 64-slot
-  cells per 128-lane row would close this (NEXT.md).
+  14.9 - 1.68x faster** (6.4k-particle dam break, 50 steps).  Block
+  32's unrolled body stalls the compiler; 16 is the tuned default.
+* capacity 64 (packed, f=2, composite outer rows): **pallas 7.94
+  ms/step (block 8) vs jnp 9.04 - 1.15x faster** (12.5k-particle dam
+  break, 50 steps).  Without packing the lane padding cost 4x the
+  pair math (0.4x of jnp); packing recovered 1.8x and the composite
+  outer-row merge (27 -> 18 slices) the rest.
+* capacities 32/16/8 pack at f = 128/K with the same kernels (the
+  f=2 composite specialization applies only to 64).
 
 Both kernels are fully unrolled with static window slices - fori_loop /
 dynamic-slice variants measured 3-5x slower.  The accel body needs
@@ -388,20 +391,71 @@ def _unpack_rows(out, grid, f, nzp, rows):
     return a.reshape(grid.n_cells, k)
 
 
-def _band_matrix(c0, f, k):
-    """Static [128,128] float32: 1 where c0 + h(ln) - h(lc) in {-1,0,1}."""
-    import numpy as _np
+def _lane_half_vectors(k):
+    """In-kernel [1,128] / band-builder pieces (Pallas kernels may not
+    capture host array constants, so these are built from iotas)."""
+    a_n = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // k  # [1,128]
+    hc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // k
+    hn = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // k
+    return a_n, hn - hc
 
-    h = _np.arange(128) // k
-    dz = c0 + h[None, :] - h[:, None]
-    return (_np.abs(dz) <= 1).astype(_np.float32)
+
+def _band_matrix(c0, dh):
+    """[128,128] float32: 1 where c0 + h(ln) - h(lc) in {-1,0,1}."""
+    return (jnp.abs(c0 + dh) <= 1).astype(jnp.float32)
+
+
+def _packed_slices(xw, mw, w, e, block, f, k, izb, a_n, dh, nzp):
+    """Yield (fields, mask, D, zn) pair-slices for window ``w``.
+
+    ``D`` is the static lane-quadrant validity (None = all-valid);
+    ``zn`` the [B, 128] neighbor z coordinate to bounds-check.
+
+    For f == 2 the j=0 and j=2 row-slices each hold a single useful
+    K x K quadrant (dz = -1 pairs center half 0, dz = +1 pairs half 1),
+    so they are merged into one composite slice by lane-concatenating
+    the two needed halves - 2 slices of pair math per window instead
+    of 3 (27 -> 18 total), the difference between losing and beating
+    the XLA path at the default capacity 64.
+    """
+    if f == 2:
+        # middle row: every (hc, hn) quadrant valid (|dz| <= 1 always)
+        yield (
+            xw[w, :, e + 1 : e + 1 + block],
+            mw[w, e + 1 : e + 1 + block],
+            None,
+            izb + a_n,
+        )
+        # composite of the two outer rows: lanes 0:K = row j=2 half 0
+        # (dz=+1 for center half 1), lanes K: = row j=0 half 1 (dz=-1
+        # for center half 0)
+        hi = xw[w, :, e + 2 : e + 2 + block]
+        lo = xw[w, :, e : e + block]
+        comp = jnp.concatenate([hi[..., :k], lo[..., k:]], axis=-1)
+        m_comp = jnp.concatenate(
+            [
+                mw[w, e + 2 : e + 2 + block][..., :k],
+                mw[w, e : e + block][..., k:],
+            ],
+            axis=-1,
+        )
+        D = (dh != 0).astype(jnp.float32)  # anti-diagonal quadrants
+        zn = izb + jnp.where(a_n == 0, f, -1)
+        yield comp, m_comp, D, zn
+    else:
+        for j in (0, 1, 2):
+            c0 = f * (j - 1)
+            yield (
+                xw[w, :, e + j : e + j + block],
+                mw[w, e + j : e + j + block],
+                _band_matrix(c0, dh),
+                izb + (c0 + a_n),
+            )
 
 
 def _density_kernel_packed(
     x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block, f, nzp
 ):
-    import numpy as _np
-
     nx, ny, nz = grid.dims
     k = grid.capacity
     _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
@@ -423,8 +477,7 @@ def _density_kernel_packed(
     iy = rem // nzp
     izb = rem - iy * nzp  # [B, 1], multiple of f
 
-    a_n = (_np.arange(128) // k).astype(_np.int32)[None, :]  # [1, 128]
-    bands = {c0: _band_matrix(c0, f, k) for c0 in (-f, 0, f)}
+    a_n, dh = _lane_half_vectors(k)
 
     # center row: window 4 (off'=0, r_lo=-1), j=1
     e4 = extras[4]
@@ -438,12 +491,9 @@ def _density_kernel_packed(
         xy_ok = (
             (ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
         ).astype(jnp.float32)  # [B, 1]
-        for j in (0, 1, 2):
-            c0 = f * (j - 1)
-            D = bands[c0]  # static [128,128]
-            yb = xw[w, :, e + j : e + j + block]  # [3, B, 128]
-            ym = mw[w, e + j : e + j + block]  # [B, 128]
-            zn = izb + (c0 + a_n)  # [B, 128] neighbor iz (hc-independent)
+        for yb, ym, D, zn in _packed_slices(
+            xw, mw, w, e, block, f, k, izb, a_n, dh, nzp
+        ):
             z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
             pm = ym * z_ok * xy_ok  # [B, 128]
             ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, 128, 128]
@@ -451,8 +501,211 @@ def _density_kernel_packed(
             ddz = xc[2][:, :, None] - yb[2][:, None, :]
             r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
             wv = kernel.w(r, params.h, dim=params.dim)
-            acc = acc + jnp.sum(wv * D[None, :, :] * pm[:, None, :], axis=-1)
+            if D is not None:
+                wv = wv * D[None, :, :]
+            acc = acc + jnp.sum(wv * pm[:, None, :], axis=-1)
     rho_ref[:] = params.mass * acc * mc
+
+
+def _accel_kernel_packed(
+    f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
+    *, grid, params, kernel, block, f, nzp
+):
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+    h2eps = params.eps * params.h * params.h
+
+    i = pl.program_id(0)
+    base = i * block
+
+    fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
+    mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+    for c_ in fcopies + mcopies:
+        c_.wait()
+
+    row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    cell0 = f * row
+    ix = cell0 // (ny * nzp)
+    rem = cell0 - ix * (ny * nzp)
+    iy = rem // nzp
+    izb = rem - iy * nzp  # [B, 1]
+
+    a_n, dh = _lane_half_vectors(k)
+
+    e4 = extras[4]
+    cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
+    mc = mw[4, e4 + 1 : e4 + 1 + block]
+
+    rho_c = cen[6]
+    p_c = cen[7]
+    pterm_c = p_c / (rho_c * rho_c + 1e-30)
+
+    accx = jnp.zeros((block, 128), jnp.float32)
+    accy = jnp.zeros((block, 128), jnp.float32)
+    accz = jnp.zeros((block, 128), jnp.float32)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    for w, (dx, dy) in enumerate(offs):
+        e = extras[w]
+        xy_ok = (
+            (ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
+        ).astype(jnp.float32)  # [B, 1]
+        for nb, ym, D, zn in _packed_slices(
+            fw, mw, w, e, block, f, k, izb, a_n, dh, nzp
+        ):
+            z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+            pm = ym * z_ok * xy_ok  # [B, 128]
+            if D is not None:
+                pm3 = D[None, :, :] * pm[:, None, :]
+            else:
+                pm3 = pm[:, None, :]
+
+            ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B, 128, 128]
+            ddy = cen[1][:, :, None] - nb[1][:, None, :]
+            ddz = cen[2][:, :, None] - nb[2][:, None, :]
+            dvx = cen[3][:, :, None] - nb[3][:, None, :]
+            dvy = cen[4][:, :, None] - nb[4][:, None, :]
+            dvz = cen[5][:, :, None] - nb[5][:, None, :]
+            rho_n = nb[6][:, None, :]
+            p_n = nb[7][:, None, :]
+
+            r2 = ddx * ddx + ddy * ddy + ddz * ddz
+            r = jnp.sqrt(r2)
+            dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
+
+            press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
+
+            vdotx = dvx * ddx + dvy * ddy + dvz * ddz
+            rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
+            pi = jnp.where(
+                vdotx < 0.0,
+                -params.alpha * params.c0 * params.h
+                * (vdotx / (r2 + h2eps)) / rho_bar,
+                0.0,
+            )
+
+            scale = -params.mass * (press + pi) * dwr * pm3
+            accx = accx + jnp.sum(scale * ddx, axis=-1)
+            accy = accy + jnp.sum(scale * ddy, axis=-1)
+            accz = accz + jnp.sum(scale * ddz, axis=-1)
+
+    ax_ref[:] = accx * mc
+    ay_ref[:] = accy * mc
+    az_ref[:] = accz * mc
+
+
+def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
+        grid, block
+    )
+    x_soa = jnp.moveaxis(dense_x[: grid.n_cells].astype(jnp.float32), -1, 0)
+    x_pk = _pack_dense(x_soa, grid, f, nzp, pad_r, cp_r)  # [3, cp_r, 128]
+    m_pk = _pack_dense(
+        mask[: grid.n_cells].astype(jnp.float32), grid, f, nzp, pad_r, cp_r
+    )
+
+    kern = functools.partial(
+        _density_kernel_packed, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp,
+    )
+    rho = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((9, 3, wlen, 128), jnp.float32),
+            pltpu.VMEM((9, wlen, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((18,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_pk, m_pk)
+    return _unpack_rows(rho, grid, f, nzp, rows)
+
+
+def _accel_packed(
+    dense_x, dense_v, dense_rho, dense_p, mask, grid, params, kernel, block,
+    interpret,
+):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
+        grid, block
+    )
+    c = grid.n_cells
+    fields = jnp.concatenate(
+        [
+            jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0),
+            jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0),
+            dense_rho[:c].astype(jnp.float32)[None],
+            dense_p[:c].astype(jnp.float32)[None],
+        ],
+        axis=0,
+    )  # [8, C, K]
+    f_pk = _pack_dense(fields, grid, f, nzp, pad_r, cp_r)
+    m_pk = _pack_dense(mask[:c].astype(jnp.float32), grid, f, nzp, pad_r, cp_r)
+
+    kern = functools.partial(
+        _accel_kernel_packed, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp,
+    )
+    ax, ay, az = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32)
+            for _ in range(3)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((9, 8, wlen, 128), jnp.float32),
+            pltpu.VMEM((9, wlen, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((18,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f_pk, m_pk)
+    return jnp.stack(
+        [
+            _unpack_rows(ax, grid, f, nzp, rows),
+            _unpack_rows(ay, grid, f, nzp, rows),
+            _unpack_rows(az, grid, f, nzp, rows),
+        ],
+        axis=-1,
+    )
+
+
+def _use_packed(grid):
+    k = grid.capacity
+    return k < 128 and 128 % k == 0
+
+
+def supported(grid):
+    """True when a Pallas path exists for this grid's capacity
+    (lane-native multiples of 128, or packed divisors of 128)."""
+    k = grid.capacity
+    return k % 128 == 0 or _use_packed(grid)
+
+
+def default_block(grid):
+    """Measured-best block per path (v5e): 8 packed, 16 lane-native."""
+    return 8 if _use_packed(grid) else 16
 
 
 def _interpret_default():
@@ -477,6 +730,10 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
     """
     if interpret is None:
         interpret = _interpret_default()
+    if _use_packed(grid):
+        return _density_packed(
+            dense_x, mask, grid, params, kernel, block, interpret
+        )
     nx, ny, nz, c, pad, nblocks, cp, astarts, extras, wlen, kp = _geometry(
         grid, block
     )
@@ -536,6 +793,11 @@ def accel(
     """
     if interpret is None:
         interpret = _interpret_default()
+    if _use_packed(grid):
+        return _accel_packed(
+            dense_x, dense_v, dense_rho, dense_p, mask, grid, params,
+            kernel, block, interpret,
+        )
     nx, ny, nz, c, pad, nblocks, cp, astarts, extras, wlen, kp = _geometry(
         grid, block
     )

@@ -195,7 +195,7 @@ def make_step_fn(
     block=32,
     use_pallas=False,
     pallas_interpret=None,
-    pallas_block=16,
+    pallas_block=None,
     n_fixed=0,
 ):
     """Build the jittable SPH step.
@@ -212,13 +212,16 @@ def make_step_fn(
         kernel: smoothing kernel class.
         block: cells per ``lax.map`` block (memory/parallelism knob).
         use_pallas: route density/force inner loops through the Pallas
-            windowed-stencil kernels - 1.6x faster than the jnp path on
-            TPU when ``grid.capacity`` is a multiple of 128, slower
-            below that (lane padding); see ``tpgsd.sph.pallas_ops``.
-            ``"auto"`` selects them exactly in that regime (TPU backend
-            and lane-aligned capacity).
+            windowed-stencil kernels - measured on v5e: 1.7x faster
+            than the jnp path when ``grid.capacity`` is a multiple of
+            128 (lane-native), 1.15x at capacities dividing 128 (the
+            packed two-cells-per-row layout); see
+            ``tpgsd.sph.pallas_ops``.  ``"auto"`` selects them exactly
+            in those regimes (TPU backend and a supported capacity).
         pallas_interpret: force/disable Pallas interpreter mode (default:
             interpret everywhere except on real TPU hardware).
+        pallas_block: cells per kernel program (default: the
+            measured-best block for the selected kernel path).
         n_fixed: the first ``n_fixed`` particles are static boundary
             particles: they contribute to density and pressure forces
             (the standard dummy-particle wall treatment) but never move.
@@ -228,10 +231,12 @@ def make_step_fn(
     # constants they ship with the compiled executable instead
     import numpy as _np
 
+    from . import pallas_ops as _po
+
     if use_pallas == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu" and grid.capacity % 128 == 0
-        )
+        use_pallas = jax.default_backend() == "tpu" and _po.supported(grid)
+    if pallas_block is None:
+        pallas_block = _po.default_block(grid)
 
     nbr_static = neighbor_table(grid)
     lo = _np.asarray(grid.lo, _np.float32)
