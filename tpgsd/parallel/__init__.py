@@ -23,4 +23,5 @@ from .shard_io import (  # noqa: F401
     write_sharded_chunk,
 )
 from .comm import JaxProcessComm, SingleComm, default_comm  # noqa: F401
+from .compose_io import ComposedFrameWriter, compose  # noqa: F401
 from .mesh import make_mesh, pad_rows, row_sharding, shard_rows  # noqa: F401
