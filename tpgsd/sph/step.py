@@ -169,6 +169,100 @@ def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kerne
     return acc.reshape(-1, k, 3)[:c]
 
 
+def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
+    """Per-slot internal-energy rate du/dt -> ``[n_cells, K]``.
+
+    WCSPH energy equation: du_i/dt = 1/2 sum_j m (p_i/rho_i^2 +
+    p_j/rho_j^2 + Pi_ij) (v_i - v_j) . grad_W_ij - the pressure-work +
+    viscous-heating conjugate of the momentum equation's pair terms, so
+    total (kinetic + internal) energy is conserved up to integration
+    error.
+    """
+    c, k = nbr.shape[0], dense_x.shape[1]
+    x_p = _pad_cells(dense_x[:c], block)
+    v_p = _pad_cells(dense_v[:c], block)
+    rho_p = _pad_cells(dense_rho[:c], block)
+    p_p = _pad_cells(dense_p[:c], block)
+    mask_p = _pad_cells(mask[:c], block)
+    nbr_p = _pad_cells(nbr, block)
+    nblocks = x_p.shape[0] // block
+    h2eps = params.eps * params.h * params.h
+
+    def one_block(args):
+        xb, vb, rhob, pb, mb, nb = args
+        y = dense_x[nb].reshape(block, 27 * k, 3)
+        vy = dense_v[nb].reshape(block, 27 * k, 3)
+        rhoy = dense_rho[nb].reshape(block, 27 * k)
+        py = dense_p[nb].reshape(block, 27 * k)
+        ym = mask[nb].reshape(block, 27 * k)
+
+        dx = xb[:, :, None, :] - y[:, None, :, :]
+        dv = vb[:, :, None, :] - vy[:, None, :, :]
+        r2 = jnp.sum(dx * dx, axis=-1)
+        r = jnp.sqrt(r2)
+        dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
+
+        press = pb[:, :, None] / (rhob[:, :, None] ** 2) + py[:, None, :] / (
+            rhoy[:, None, :] ** 2
+        )
+        vdotx = jnp.sum(dv * dx, axis=-1)
+        mu = vdotx / (r2 + h2eps)
+        rho_bar = 0.5 * (rhob[:, :, None] + rhoy[:, None, :])
+        pi = jnp.where(
+            vdotx < 0.0, -params.alpha * params.c0 * params.h * mu / rho_bar, 0.0
+        )
+        # (v_i - v_j) . grad_W = vdotx * dwr
+        du = 0.5 * params.mass * (press + pi) * dwr * vdotx * ym[:, None, :]
+        return jnp.sum(du, axis=-1) * mb
+
+    du = jax.lax.map(
+        one_block,
+        (
+            x_p.reshape(nblocks, block, k, 3),
+            v_p.reshape(nblocks, block, k, 3),
+            rho_p.reshape(nblocks, block, k),
+            p_p.reshape(nblocks, block, k),
+            mask_p.reshape(nblocks, block, k),
+            nbr_p.reshape(nblocks, block, 27),
+        ),
+    )
+    return du.reshape(-1, k)[:c]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def energy_rate(state, grid, params, kernel=WendlandC2, block=32):
+    """Per-particle internal-energy rate du/dt of a configuration.
+
+    Produces the physics behind the schema's ``particles/energy`` chunk
+    (reference: pgsd/doc/pgsd.tex:525-565 lists energy among the SPH
+    extension fields; the reference only stores it - here it is
+    computed).  Integrate it alongside the step (``u += dt * du``), or
+    dump the rate directly as a log quantity.
+
+    Returns:
+        ``[N]`` float32 du/dt.
+    """
+    cells = build_cells(state.x, grid)
+    nbr = neighbor_table(grid)
+    dense_x = scatter_to_cells(state.x, cells, grid)
+    dense_v = scatter_to_cells(state.v, cells, grid)
+    rho_dense = _density_blocks(dense_x, cells.mask, nbr, params, kernel, block)
+    rho_dense = jnp.concatenate(
+        [rho_dense, jnp.full((1, grid.capacity), params.rho0, rho_dense.dtype)]
+    )
+    rho_dense = jnp.where(
+        cells.mask, jnp.maximum(rho_dense, 0.1 * params.rho0), params.rho0
+    )
+    p_dense = jnp.where(cells.mask, tait_pressure(rho_dense, params), 0.0)
+    du_dense = _energy_blocks(
+        dense_x, dense_v, rho_dense, p_dense, cells.mask, nbr, params, kernel, block
+    )
+    du_dense = jnp.concatenate(
+        [du_dense, jnp.zeros((1, grid.capacity), du_dense.dtype)]
+    )
+    return gather_from_cells(du_dense, cells, grid)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32):
     """Standalone density + Tait pressure of a configuration.
