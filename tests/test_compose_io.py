@@ -93,33 +93,82 @@ def test_composed_sharded_arrays(tmp_path):
 
 
 def test_compose_truncates_torn_tail(tmp_path):
-    """A spill with a torn trailing record composes up to the last
-    complete frame (crash consistency)."""
+    """A crashed spill (no clean-close marker) composes only frames
+    strictly before the last started one - the possibly-torn final
+    frame never reaches the output."""
     path = str(tmp_path / "torn.gsd")
     w = ComposedFrameWriter(path, application="t", keep_spills=True)
-    frames = _frames(n_frames=2, n=8)
+    frames = _frames(n_frames=3, n=8)
     for i, fr in enumerate(frames):
         w.write_frame(fr, step=i)
     w.flush()
     spill = w._spill_paths[0]
     w._fh.close()
-    w._closed = True  # bypass close() composing with intact spills
+    w._closed = True  # simulate a crash: no end marker, torn garbage
 
-    # append a torn record: valid magic, truncated payload
     with open(spill, "ab") as fh:
         from tpgsd.parallel.compose_io import _MAGIC, _REC
 
-        fh.write(_REC.pack(_MAGIC, 4, 2, 0, 1000, 3, 6, 0, 0))
+        fh.write(_REC.pack(_MAGIC, 4, 3, 0, 1000, 3, 6, 0, 0))
         fh.write(b"nametruncated")
 
     n = compose(path, [spill], application="t")
-    assert n == 2
+    assert n == 2  # frame 2 was the last started -> distrusted
     with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
         assert f.nframes == 2
         numpy.testing.assert_array_equal(
             f.read_chunk(1, "particles/position"),
             frames[1]["particles/position"],
         )
+
+
+def test_compose_drops_midframe_crash(tmp_path):
+    """A frame whose records were only partially spilled (crash between
+    chunks of one frame) is dropped entirely - no partial frames."""
+    path = str(tmp_path / "midframe.gsd")
+    w = ComposedFrameWriter(path, application="t", keep_spills=True)
+    frames = _frames(n_frames=1, n=8)
+    w.write_frame(frames[0], step=0)
+    # frame 1: crash after only the first chunk's record
+    w._append_record(
+        "particles/position", 1, 0,
+        frames[0]["particles/position"],
+    )
+    w.flush()
+    spill = w._spill_paths[0]
+    w._fh.close()
+    w._closed = True  # no end marker
+
+    n = compose(path, [spill], application="t")
+    assert n == 1
+    with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
+        assert f.nframes == 1
+
+
+def test_clean_close_keeps_last_frame(tmp_path):
+    """With the clean-close marker, every written frame composes (the
+    conservative last-frame drop applies only to crashes)."""
+    path = str(tmp_path / "clean.gsd")
+    frames = _frames(n_frames=2, n=8)
+    with ComposedFrameWriter(path, application="t") as w:
+        for i, fr in enumerate(frames):
+            w.write_frame(fr, step=i)
+    with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
+        assert f.nframes == 2
+
+
+def test_composed_rejects_3d_arrays(tmp_path):
+    """>2-D chunks raise loudly (matching the direct writer) instead of
+    desyncing the spill stream."""
+    path = str(tmp_path / "bad3d.gsd")
+    w = ComposedFrameWriter(
+        path, application="t",
+        static={"bad/threed": numpy.ones((2, 3, 4), numpy.float32)},
+    )
+    with pytest.raises(ValueError, match="1 or 2 dimensional"):
+        w.write_frame({"particles/position": numpy.zeros((4, 3), numpy.float32)})
+    w._fh.close()
+    w._closed = True
 
 
 MP_WORKER = textwrap.dedent(

@@ -20,11 +20,17 @@ This module is that fallback mode, two phases:
    appends + one index/namelist commit); downstream GSD tooling reads
    the result unchanged.
 
-The spill format is self-describing (per-record header + name +
-payload), so a crashed run composes up to the last complete frame on
-every spill - the same torn-frame discipline as the direct path
-(reference: pgsd/pgsd/pgsd.c:663-689 stops the index scan at the first
-invalid entry).
+Crash consistency: spill records are self-describing and strictly
+frame-ordered, and a clean ``close()`` appends an end marker.  Compose
+trusts a spill through its last frame only when the marker is present;
+without it (a crashed writer) the last started frame is assumed torn
+and dropped - the same no-partial-frames discipline as the direct
+path (reference: pgsd/pgsd/pgsd.c:663-689 stops the index scan at the
+first invalid entry).
+
+Memory: compose streams - two passes over each spill (a header-only
+seek scan to find the completion horizon, then a frame-synchronous
+data pass), holding one frame's records at a time.
 """
 
 import os
@@ -33,13 +39,14 @@ import struct
 import numpy
 
 from ..format.structs import DTYPE_TO_TYPE, TYPE_TO_DTYPE
-from .shard_io import array_shards
+from .shard_io import array_shards, gsd_storable, infer_particles_n
 
 # spill record header: magic, name_len, frame, row_start, n_rows, M,
-# type_code, flags (bit 0 = controller-only chunk), reserved
+# type_code, flags, reserved
 _REC = struct.Struct("<IIQQQIBBH")
 _MAGIC = 0x7D512A0C
 _FLAG_ROOT_ONLY = 1
+_FLAG_END = 2  # clean-close marker: `frame` = total frames written
 
 
 class ComposedFrameWriter:
@@ -59,7 +66,7 @@ class ComposedFrameWriter:
         spill_dir: directory for the per-process spill files (default:
             alongside ``name``).  On an object-store mount, point this
             at the mount; each process only ever appends to its own
-            object.
+            object.  Must be readable by the controller at close.
         keep_spills: leave the spill files in place after composing
             (default False: they are deleted).
     """
@@ -99,14 +106,13 @@ class ComposedFrameWriter:
     # ---- spill phase -----------------------------------------------
 
     def _append_record(self, name, frame, row_start, arr, flags=0):
-        arr = numpy.ascontiguousarray(arr)
+        arr = gsd_storable(numpy.ascontiguousarray(arr))
+        if arr.ndim > 2:
+            raise ValueError(
+                "GSD can only write 1 or 2 dimensional arrays: " + name
+            )
         m = arr.shape[1] if arr.ndim == 2 else 1
         n_rows = arr.shape[0] if arr.ndim else 1
-        dtype = arr.dtype
-        if dtype not in DTYPE_TO_TYPE:
-            target = numpy.float32 if dtype.kind in "fV" else numpy.int32
-            arr = numpy.asarray(arr, dtype=target)
-            dtype = arr.dtype
         name_b = name.encode("utf-8")
         self._fh.write(
             _REC.pack(
@@ -116,7 +122,7 @@ class ComposedFrameWriter:
                 row_start,
                 n_rows,
                 m,
-                DTYPE_TO_TYPE[dtype],
+                DTYPE_TO_TYPE[arr.dtype],
                 flags,
                 0,
             )
@@ -138,14 +144,7 @@ class ComposedFrameWriter:
                 flags=_FLAG_ROOT_ONLY,
             )
         if not self._static_written:
-            n_chunk = next(
-                (v for k, v in chunks.items() if k.startswith("particles/")),
-                None,
-            )
-            if n_chunk is not None and "particles/N" not in self._static:
-                self._static["particles/N"] = numpy.array(
-                    [n_chunk.shape[0]], dtype=numpy.uint32
-                )
+            infer_particles_n(chunks, self._static)
             if self.comm.rank == 0:
                 for name, value in self._static.items():
                     self._append_record(
@@ -158,6 +157,10 @@ class ComposedFrameWriter:
             self._static_written = True
         for name, array in chunks.items():
             shards, shape = array_shards(array)
+            if len(shape) > 2:
+                raise ValueError(
+                    "GSD can only write 1 or 2 dimensional arrays: " + name
+                )
             m = shape[1] if len(shape) == 2 else 1
             for row_start, arr in shards:
                 self._append_record(
@@ -174,31 +177,42 @@ class ComposedFrameWriter:
     def close(self):
         """Finalize the spills and compose the final file (controller).
 
-        Collective: every process barriers before and after the
-        controller's compose so the final file is visible everywhere on
-        return.
+        Collective: every process barriers before the controller's
+        compose and learns its outcome afterwards - a controller
+        failure raises on EVERY process instead of hanging the others
+        in a barrier.
         """
         if self._closed:
             return
+        # clean-close marker: compose may trust this spill's last frame
+        self._fh.write(
+            _REC.pack(_MAGIC, 0, self._frame, 0, 0, 0, 0, _FLAG_END, 0)
+        )
         self.flush()
         self._fh.close()
         self._closed = True
         self.comm.barrier()  # all spills durable before compose
+        status = None
         if self.comm.rank == 0:
-            compose(
-                self.name,
-                self._spill_paths,
-                application=self._app,
-                schema=self._schema,
-                schema_version=self._schema_version,
-            )
-            if not self._keep_spills:
-                for p in self._spill_paths:
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
-        self.comm.barrier()  # final file visible before anyone returns
+            try:
+                compose(
+                    self.name,
+                    self._spill_paths,
+                    application=self._app,
+                    schema=self._schema,
+                    schema_version=self._schema_version,
+                )
+                if not self._keep_spills:
+                    for p in self._spill_paths:
+                        try:
+                            os.unlink(p)
+                        except OSError:
+                            pass
+            except Exception as e:  # propagate to every process below
+                status = "%s: %s" % (type(e).__name__, e)
+        status = self.comm.bcast(status, root=0)
+        if status is not None:
+            raise RuntimeError("compose failed on the controller: " + status)
 
     def __enter__(self):
         return self
@@ -207,9 +221,12 @@ class ComposedFrameWriter:
         self.close()
 
 
-def _scan_spill(path):
-    """Yield ``(frame, name, row_start, flags, array)`` records; stops
-    cleanly at a torn tail (crashed writer)."""
+def _scan_spill(path, with_data=True):
+    """Yield ``(frame, name, row_start, flags, array_or_None)`` records;
+    stops cleanly at a torn tail (crashed writer).
+
+    ``with_data=False`` seeks past payloads (header-only pass).
+    """
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
         pos = 0
@@ -221,14 +238,36 @@ def _scan_spill(path):
              flags, _r) = _REC.unpack(hdr)
             if magic != _MAGIC:
                 return  # torn/corrupt tail
+            if flags & _FLAG_END:
+                yield frame, "", 0, flags, None
+                return  # nothing follows a clean-close marker
             dtype = TYPE_TO_DTYPE.get(type_code)
             payload = n_rows * m * (dtype.itemsize if dtype else 0)
             if dtype is None or pos + _REC.size + name_len + payload > size:
                 return
             name = fh.read(name_len).decode("utf-8")
-            data = numpy.frombuffer(fh.read(payload), dtype=dtype)
-            yield frame, name, row_start, flags, data.reshape(n_rows, m)
+            if with_data:
+                data = numpy.frombuffer(fh.read(payload), dtype=dtype)
+                yield frame, name, row_start, flags, data.reshape(n_rows, m)
+            else:
+                fh.seek(payload, 1)
+                yield frame, name, row_start, flags, None
             pos += _REC.size + name_len + payload
+
+
+def _complete_through(path):
+    """Last frame of ``path`` that is known COMPLETE.
+
+    With a clean-close end marker, every written frame is complete.
+    Without one (crash), the last started frame may be torn - trust
+    only the frames before it.
+    """
+    last_started = -1
+    for frame, _name, _rs, flags, _a in _scan_spill(path, with_data=False):
+        if flags & _FLAG_END:
+            return frame - 1  # marker carries the total frame count
+        last_started = max(last_started, frame)
+    return last_started - 1
 
 
 def compose(
@@ -240,24 +279,22 @@ def compose(
 ):
     """Stream spill files into one bit-compatible GSD v2 file.
 
-    Frames present on every spill are composed; a torn or shorter spill
-    truncates the composed trajectory to the last globally-complete
-    frame (no partial frames in the output).
+    Two passes, O(one frame) memory: a header-only scan finds the
+    completion horizon of each spill (no partial frames ever reach the
+    output), then a frame-synchronous pass merges the strictly
+    frame-ordered spill streams.
     """
     from .. import fl
     from .comm import SingleComm
 
-    # gather records: frame -> [(name, row_start, flags, arr)], keeping
-    # first-appearance name order (rank order) for stable name ids
-    frames = {}
-    complete = []
-    for pi, path in enumerate(spill_paths):
-        last = -1
-        for frame, cname, row_start, flags, arr in _scan_spill(path):
-            frames.setdefault(frame, []).append((cname, row_start, flags, arr))
-            last = max(last, frame)
-        complete.append(last)
-    n_frames = min(complete) + 1 if complete else 0
+    n_frames = min(_complete_through(p) for p in spill_paths) + 1
+
+    streams = []
+    heads = []
+    for path in spill_paths:
+        it = _scan_spill(path, with_data=True)
+        streams.append(it)
+        heads.append(next(it, None))
 
     with fl.open(
         name,
@@ -268,13 +305,19 @@ def compose(
         comm=SingleComm(),
     ) as out:
         for frame in range(n_frames):
+            # pull this frame's records from every stream (spills are
+            # strictly frame-ordered; rank order fixes name-id order)
             by_name = {}
             order = []
-            for cname, row_start, flags, arr in frames.get(frame, []):
-                if cname not in by_name:
-                    by_name[cname] = []
-                    order.append(cname)
-                by_name[cname].append((row_start, flags, arr))
+            for i, it in enumerate(streams):
+                while heads[i] is not None and heads[i][0] == frame:
+                    _f, cname, row_start, flags, arr = heads[i]
+                    if not flags & _FLAG_END:
+                        if cname not in by_name:
+                            by_name[cname] = []
+                            order.append(cname)
+                        by_name[cname].append((row_start, flags, arr))
+                    heads[i] = next(it, None)
             for cname in order:
                 recs = sorted(by_name[cname], key=lambda r: r[0])
                 if recs[0][1] & _FLAG_ROOT_ONLY:

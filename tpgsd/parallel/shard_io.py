@@ -20,6 +20,29 @@ from ..format.structs import DTYPE_TO_TYPE, TYPE_TO_DTYPE
 logger = logging.getLogger("tpgsd.parallel")
 
 
+def gsd_storable(arr):
+    """Coerce ``arr`` to a GSD-storable dtype (single policy for every
+    writer): bfloat16/void floats -> float32, oddball ints -> int32."""
+    if numpy.dtype(arr.dtype) in DTYPE_TO_TYPE:
+        return arr
+    target = numpy.float32 if numpy.dtype(arr.dtype).kind in "fV" else numpy.int32
+    return numpy.asarray(arr, dtype=target)
+
+
+def infer_particles_n(chunks, static):
+    """Fill ``static['particles/N']`` from the first particles/* chunk
+    when absent - the shared first-frame convention of every frame
+    writer."""
+    n_chunk = next(
+        (v for k, v in chunks.items() if k.startswith("particles/")), None
+    )
+    if n_chunk is not None and "particles/N" not in static:
+        static["particles/N"] = numpy.array(
+            [n_chunk.shape[0]], dtype=numpy.uint32
+        )
+    return static
+
+
 def _is_jax_array(x):
     try:
         import jax
@@ -105,9 +128,10 @@ def write_sharded_chunk(file, name, array, n_rows=None):
         dtype = numpy.dtype(numpy.asarray(array).dtype)
     # jax default float is float32; bfloat16 has no GSD code - upcast
     if dtype not in DTYPE_TO_TYPE:
-        target = numpy.float32 if dtype.kind in "fV" else numpy.int32
-        shards = [(o, numpy.asarray(a, dtype=target)) for o, a in shards]
-        dtype = numpy.dtype(target)
+        shards = [(o, gsd_storable(a)) for o, a in shards]
+        dtype = numpy.dtype(shards[0][1].dtype) if shards else numpy.dtype(
+            gsd_storable(numpy.asarray(array)).dtype
+        )
     type_code = DTYPE_TO_TYPE[dtype]
 
     norm = []
@@ -328,13 +352,7 @@ class ShardedFrameWriter:
                 write_all=False,
             )
         if not self._static_written:
-            n_chunk = next(
-                (v for k, v in chunks.items() if k.startswith("particles/")), None
-            )
-            if n_chunk is not None and "particles/N" not in self._static:
-                self._static["particles/N"] = numpy.array(
-                    [n_chunk.shape[0]], dtype=numpy.uint32
-                )
+            infer_particles_n(chunks, self._static)
             for name, value in self._static.items():
                 self.file.write_chunk(name, numpy.asarray(value), write_all=False)
             self._static_written = True

@@ -280,11 +280,17 @@ def make_distributed_step_fn(
 
         # second halo exchange: the OWNER-computed rho/p of each boundary
         # plane replaces the locally-miscomputed ghost values before the
-        # force pass (core forces read ghost rho/p one plane deep)
-        gl_rho = jax.lax.ppermute(rho_core[c_local - nynz :], axis_name, send_right)
-        gr_rho = jax.lax.ppermute(rho_core[:nynz], axis_name, send_left)
-        gl_p = jax.lax.ppermute(p_core[c_local - nynz :], axis_name, send_right)
-        gr_p = jax.lax.ppermute(p_core[:nynz], axis_name, send_left)
+        # force pass (core forces read ghost rho/p one plane deep);
+        # rho and p ride one stacked payload per direction - these
+        # exchanges are latency-bound, so one collective, not two
+        plane_r = jnp.stack(
+            [rho_core[c_local - nynz :], p_core[c_local - nynz :]], axis=-1
+        )
+        plane_l = jnp.stack([rho_core[:nynz], p_core[:nynz]], axis=-1)
+        gl = jax.lax.ppermute(plane_r, axis_name, send_right)
+        gr = jax.lax.ppermute(plane_l, axis_name, send_left)
+        gl_rho, gl_p = gl[..., 0], gl[..., 1]
+        gr_rho, gr_p = gr[..., 0], gr[..., 1]
         # edge devices receive zeros; refill dead/absent slots with rho0
         # so p/rho^2 terms stay finite (masked out of every sum anyway)
         gl_mask = ext_mask[:nynz]

@@ -112,17 +112,69 @@ def _density_blocks(dense_x, mask, nbr, params, kernel, block):
     return rho.reshape(-1, k)[:c]
 
 
-def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
-    """Per-slot acceleration (pressure + viscosity) -> ``[n_cells, K, 3]``."""
+def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel):
+    """Shared pair machinery of the momentum AND energy equations:
+    returns ``(dx, dwr, press_plus_pi, vdotx)``.
+
+    One implementation on purpose - the energy equation conserves
+    total (kinetic + internal) energy only because its pressure +
+    viscosity pair terms are EXACTLY the momentum equation's; sharing
+    the code makes that conjugacy hold by construction
+    (``test_energy_rate_conserves_pair_energy``).
+    """
+    h2eps = params.eps * params.h * params.h
+    dx = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
+    dv = vb[:, :, None, :] - vy[:, None, :, :]
+    r2 = jnp.sum(dx * dx, axis=-1)
+    r = jnp.sqrt(r2)
+    dwr = kernel.dw_over_r(r, params.h, dim=params.dim)  # [B,K,27K]
+
+    # pressure term
+    press = pb[:, :, None] / (rhob[:, :, None] ** 2) + py[:, None, :] / (
+        rhoy[:, None, :] ** 2
+    )
+
+    # Monaghan artificial viscosity
+    vdotx = jnp.sum(dv * dx, axis=-1)
+    mu = vdotx / (r2 + h2eps)
+    rho_bar = 0.5 * (rhob[:, :, None] + rhoy[:, None, :])
+    pi = jnp.where(
+        vdotx < 0.0, -params.alpha * params.c0 * params.h * mu / rho_bar, 0.0
+    )
+    return dx, dwr, press + pi, vdotx
+
+
+def _pair_blocks(one_block, arrays, mask, nbr, block, out_trailing):
+    """Run a per-block pair computation over padded cell blocks.
+
+    ``arrays`` = (dense_x, dense_v, dense_rho, dense_p); ``one_block``
+    receives ``(xb, vb, rhob, pb, mb, nb)`` and returns a ``[B, K,
+    *out_trailing]`` block.
+    """
+    dense_x = arrays[0]
     c, k = nbr.shape[0], dense_x.shape[1]
-    x_p = _pad_cells(dense_x[:c], block)
-    v_p = _pad_cells(dense_v[:c], block)
-    rho_p = _pad_cells(dense_rho[:c], block)
-    p_p = _pad_cells(dense_p[:c], block)
+    padded = [_pad_cells(a[:c], block) for a in arrays]
     mask_p = _pad_cells(mask[:c], block)
     nbr_p = _pad_cells(nbr, block)
-    nblocks = x_p.shape[0] // block
-    h2eps = params.eps * params.h * params.h
+    nblocks = padded[0].shape[0] // block
+
+    out = jax.lax.map(
+        one_block,
+        (
+            padded[0].reshape(nblocks, block, k, 3),
+            padded[1].reshape(nblocks, block, k, 3),
+            padded[2].reshape(nblocks, block, k),
+            padded[3].reshape(nblocks, block, k),
+            mask_p.reshape(nblocks, block, k),
+            nbr_p.reshape(nblocks, block, 27),
+        ),
+    )
+    return out.reshape((-1, k) + out_trailing)[:c]
+
+
+def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
+    """Per-slot acceleration (pressure + viscosity) -> ``[n_cells, K, 3]``."""
+    k = dense_x.shape[1]
 
     def one_block(args):
         xb, vb, rhob, pb, mb, nb = args
@@ -132,41 +184,16 @@ def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kerne
         py = dense_p[nb].reshape(block, 27 * k)
         ym = mask[nb].reshape(block, 27 * k)
 
-        dx = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
-        dv = vb[:, :, None, :] - vy[:, None, :, :]
-        r2 = jnp.sum(dx * dx, axis=-1)
-        r = jnp.sqrt(r2)
-        dwr = kernel.dw_over_r(r, params.h, dim=params.dim)  # [B,K,27K]
-
-        # pressure term
-        press = pb[:, :, None] / (rhob[:, :, None] ** 2) + py[:, None, :] / (
-            rhoy[:, None, :] ** 2
+        dx, dwr, press_pi, _ = _pair_terms(
+            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel
         )
-
-        # Monaghan artificial viscosity
-        vdotx = jnp.sum(dv * dx, axis=-1)
-        mu = vdotx / (r2 + h2eps)
-        rho_bar = 0.5 * (rhob[:, :, None] + rhoy[:, None, :])
-        pi = jnp.where(
-            vdotx < 0.0, -params.alpha * params.c0 * params.h * mu / rho_bar, 0.0
-        )
-
-        scale = -params.mass * (press + pi) * dwr * ym[:, None, :]  # [B,K,27K]
+        scale = -params.mass * press_pi * dwr * ym[:, None, :]  # [B,K,27K]
         acc = jnp.sum(scale[..., None] * dx, axis=2)  # [B,K,3]
         return acc * mb[:, :, None]
 
-    acc = jax.lax.map(
-        one_block,
-        (
-            x_p.reshape(nblocks, block, k, 3),
-            v_p.reshape(nblocks, block, k, 3),
-            rho_p.reshape(nblocks, block, k),
-            p_p.reshape(nblocks, block, k),
-            mask_p.reshape(nblocks, block, k),
-            nbr_p.reshape(nblocks, block, 27),
-        ),
+    return _pair_blocks(
+        one_block, (dense_x, dense_v, dense_rho, dense_p), mask, nbr, block, (3,)
     )
-    return acc.reshape(-1, k, 3)[:c]
 
 
 def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
@@ -174,19 +201,10 @@ def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kern
 
     WCSPH energy equation: du_i/dt = 1/2 sum_j m (p_i/rho_i^2 +
     p_j/rho_j^2 + Pi_ij) (v_i - v_j) . grad_W_ij - the pressure-work +
-    viscous-heating conjugate of the momentum equation's pair terms, so
-    total (kinetic + internal) energy is conserved up to integration
-    error.
+    viscous-heating conjugate of the momentum equation, built from the
+    SAME :func:`_pair_terms` so the conjugacy holds by construction.
     """
-    c, k = nbr.shape[0], dense_x.shape[1]
-    x_p = _pad_cells(dense_x[:c], block)
-    v_p = _pad_cells(dense_v[:c], block)
-    rho_p = _pad_cells(dense_rho[:c], block)
-    p_p = _pad_cells(dense_p[:c], block)
-    mask_p = _pad_cells(mask[:c], block)
-    nbr_p = _pad_cells(nbr, block)
-    nblocks = x_p.shape[0] // block
-    h2eps = params.eps * params.h * params.h
+    k = dense_x.shape[1]
 
     def one_block(args):
         xb, vb, rhob, pb, mb, nb = args
@@ -196,37 +214,16 @@ def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kern
         py = dense_p[nb].reshape(block, 27 * k)
         ym = mask[nb].reshape(block, 27 * k)
 
-        dx = xb[:, :, None, :] - y[:, None, :, :]
-        dv = vb[:, :, None, :] - vy[:, None, :, :]
-        r2 = jnp.sum(dx * dx, axis=-1)
-        r = jnp.sqrt(r2)
-        dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
-
-        press = pb[:, :, None] / (rhob[:, :, None] ** 2) + py[:, None, :] / (
-            rhoy[:, None, :] ** 2
-        )
-        vdotx = jnp.sum(dv * dx, axis=-1)
-        mu = vdotx / (r2 + h2eps)
-        rho_bar = 0.5 * (rhob[:, :, None] + rhoy[:, None, :])
-        pi = jnp.where(
-            vdotx < 0.0, -params.alpha * params.c0 * params.h * mu / rho_bar, 0.0
+        _, dwr, press_pi, vdotx = _pair_terms(
+            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel
         )
         # (v_i - v_j) . grad_W = vdotx * dwr
-        du = 0.5 * params.mass * (press + pi) * dwr * vdotx * ym[:, None, :]
+        du = 0.5 * params.mass * press_pi * dwr * vdotx * ym[:, None, :]
         return jnp.sum(du, axis=-1) * mb
 
-    du = jax.lax.map(
-        one_block,
-        (
-            x_p.reshape(nblocks, block, k, 3),
-            v_p.reshape(nblocks, block, k, 3),
-            rho_p.reshape(nblocks, block, k),
-            p_p.reshape(nblocks, block, k),
-            mask_p.reshape(nblocks, block, k),
-            nbr_p.reshape(nblocks, block, 27),
-        ),
+    return _pair_blocks(
+        one_block, (dense_x, dense_v, dense_rho, dense_p), mask, nbr, block, ()
     )
-    return du.reshape(-1, k)[:c]
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
