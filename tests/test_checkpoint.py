@@ -105,6 +105,77 @@ def test_sharded_reader_round_trip(tmp_path):
         numpy.testing.assert_array_equal(numpy.asarray(out), pos)
 
 
+def test_resume_distributed_continues(tmp_path):
+    """Distributed resume re-derives slab ownership from positions and
+    continues the slab-decomposed loop exactly."""
+    import jax.numpy as jnp
+
+    from tpgsd.parallel import make_mesh
+    from tpgsd.sph import resume_distributed
+    from tpgsd.sph.cells import make_grid
+    from tpgsd.sph.distributed import (
+        collect_state,
+        distribute_state,
+        make_distributed_step_fn,
+    )
+    from tpgsd.sph import SPHParams
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), 0.5, capacity=16)
+    assert grid.dims[0] % n_dev == 0
+    params = SPHParams(mass=1.0, h=0.25, dt=0.05, gravity=(0.0, 0.0, 0.0))
+
+    # particles separated by > 2h: zero pair forces, exactly linear
+    # drift - resume correctness shows up bitwise, not through chaos
+    rng = numpy.random.RandomState(2)
+    i = numpy.arange(24)
+    pts = numpy.stack(
+        [
+            0.3 + (i % 12) * 0.62,
+            0.2 + (i // 12) * 0.6,
+            numpy.full(24, 0.5),
+        ],
+        axis=1,
+    ).astype(numpy.float32)
+    vel = rng.randn(24, 3).astype(numpy.float32) * 0.05
+    state = SPHState(x=jnp.asarray(pts), v=jnp.asarray(vel))
+
+    dist, cap = distribute_state(state, grid, mesh)
+    dstep = make_distributed_step_fn(grid, params, mesh, capacity=cap)
+
+    path = tmp_path / "dist_resume.gsd"
+    writer = ShardedFrameWriter(path)
+    for i in range(2):
+        dist, aux = dstep(dist)
+        x_h, v_h = collect_state(dist, 24)
+        writer.write_frame(
+            {"particles/position": x_h, "particles/velocity": v_h}, step=i
+        )
+    writer.close()
+
+    dist2, cap2, last_step, writer2 = resume_distributed(
+        path, grid, mesh, capacity=cap
+    )
+    assert last_step == 1
+    x2, v2 = collect_state(dist2, 24)
+    x1, v1 = collect_state(dist, 24)
+    numpy.testing.assert_allclose(x2, x1, rtol=1e-6)
+    numpy.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-7)
+
+    # continue one step on each and compare
+    dist, _ = dstep(dist)
+    dist2, _ = dstep(dist2)
+    xa, _ = collect_state(dist, 24)
+    xb, _ = collect_state(dist2, 24)
+    numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
+
+    writer2.write_frame({"particles/position": xb}, step=2)
+    writer2.close()
+    with tpgsd.hoomd.open(path, mode="r") as traj:
+        assert len(traj) == 3
+
+
 def test_resume_empty_trajectory_raises(tmp_path):
     path = tmp_path / "empty.gsd"
     ShardedFrameWriter(path).close()

@@ -36,7 +36,7 @@ from .scenarios import (  # noqa: F401
     still_box,
     still_box_2d,
 )
-from .checkpoint import resume  # noqa: F401
+from .checkpoint import resume, resume_distributed  # noqa: F401
 from .distributed import (  # noqa: F401
     DistAux,
     DistState,

@@ -59,3 +59,46 @@ def resume(
     writer = ShardedFrameWriter(name, mode="a", application=application)
     extras = {k: chunks[k] for k in extra_chunks}
     return state, step, writer, extras
+
+
+def resume_distributed(
+    name,
+    grid,
+    mesh,
+    capacity=None,
+    application="tpgsd.sph",
+):
+    """Resume the slab-decomposed distributed loop from a trajectory.
+
+    Reads the last complete frame, re-partitions the particles into
+    x-slab ownership for ``mesh`` (the device count / slab layout may
+    DIFFER from the run that wrote the file - ownership is re-derived
+    from positions, the distributed analogue of the reference's
+    "reopen with P ranks" append constraint, which this lifts), and
+    returns everything the loop needs to continue.
+
+    Returns:
+        ``(dist_state, capacity, step, writer)``: a
+        :class:`~tpgsd.sph.distributed.DistState` sharded over
+        ``mesh``, the chosen per-device slot capacity, the last
+        ``configuration/step`` value, and an append-positioned
+        :class:`ShardedFrameWriter`.
+    """
+    from .. import fl
+    from .distributed import distribute_state
+
+    with fl.open(name, "r") as f:
+        if f.nframes == 0:
+            raise ValueError("cannot resume from an empty trajectory: " + str(name))
+        last = f.nframes - 1
+        x = numpy.asarray(f.read_chunk(last, "particles/position"))
+        v = numpy.asarray(f.read_chunk(last, "particles/velocity"))
+        if f.chunk_exists(last, "configuration/step"):
+            step = int(f.read_chunk(last, "configuration/step")[0])
+        else:
+            step = last
+    dist, cap = distribute_state(
+        SPHState(x=x, v=v), grid, mesh, capacity=capacity
+    )
+    writer = ShardedFrameWriter(name, mode="a", application=application)
+    return dist, cap, step, writer
