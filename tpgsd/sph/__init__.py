@@ -35,6 +35,7 @@ from .scenarios import (  # noqa: F401
     hydrostatic_tank,
     still_box,
     still_box_2d,
+    taylor_green,
 )
 from .checkpoint import resume, resume_distributed  # noqa: F401
 from .distributed import (  # noqa: F401

@@ -77,10 +77,15 @@ def auto_capacity(x, lo, hi, support, headroom=1.5):
     return max(8, int(-(-headroom * m0 // 8) * 8))
 
 
-def neighbor_table(grid):
+def neighbor_table(grid, periodic=False):
     """Static ``[n_cells, 27]`` int32 table of neighbor cell ids.
 
-    Out-of-range neighbors point at the sentinel row ``n_cells``.
+    Out-of-range neighbors point at the sentinel row ``n_cells``; with
+    ``periodic=True`` they wrap around instead - on every axis with at
+    least 3 cells (fewer would make a cell its own neighbor through
+    the seam and double-count pairs; such axes stay non-periodic,
+    which is exactly right for the collapsed-z 2-D layout).
+
     Returned as a host (numpy) array: it is a trace-time constant, and
     eager device placement would cost a host->device transfer at trace
     time (pathologically slow on tunneled runtimes) for no benefit -
@@ -95,7 +100,11 @@ def neighbor_table(grid):
         [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
     )  # [27,3]
     nbr = coords[:, None, :] + offsets[None, :, :]  # [C,27,3]
-    valid = ((nbr >= 0) & (nbr < np.array(grid.dims))).all(axis=2)
+    dims = np.array(grid.dims)
+    if periodic:
+        wrap = dims >= 3
+        nbr = np.where(wrap, nbr % dims, nbr)
+    valid = ((nbr >= 0) & (nbr < dims)).all(axis=2)
     lin = nbr[..., 0] * (ny * nz) + nbr[..., 1] * nz + nbr[..., 2]
     lin = np.where(valid, lin, grid.n_cells)  # sentinel
     return lin.astype(np.int32)

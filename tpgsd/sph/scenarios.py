@@ -222,6 +222,61 @@ def still_box_2d(n_side=16, box=(1.0, 1.0), rho0=1000.0, capacity=64):
     )
 
 
+def taylor_green(n_side=24, rho0=1000.0, U0=1.0, capacity=64):
+    """2-D Taylor-Green vortex in a fully periodic unit box.
+
+    The classic smooth-decay validation flow: u = U0 sin(2 pi x)
+    cos(2 pi y), v = -U0 cos(2 pi x) sin(2 pi y) on a periodic square.
+    Run with ``make_step_fn(..., periodic=True)``; kinetic energy must
+    decay monotonically (artificial viscosity) while the velocity
+    field stays on the vortex mode, and density must hold ~rho0
+    EVERYWHERE (no free surface, so any deficit is a periodic-pair
+    bug, not physics).
+    """
+    dx = 1.0 / n_side
+    h = 1.3 * dx
+    support = 2.0 * h
+
+    ax = (np.arange(n_side) + 0.5) * dx
+    gx, gy = np.meshgrid(ax, ax, indexing="ij")
+
+    cap0 = 8 if capacity == "auto" else capacity
+    grid = make_grid((0.0, 0.0, 0.0), (1.0, 1.0, support), support, cap0)
+    if grid.dims[0] < 3 or grid.dims[1] < 3:
+        raise ValueError("n_side too small for a periodic grid")
+    z0 = grid.cell_size / 2.0
+    x0 = np.stack(
+        [gx.ravel(), gy.ravel(), np.full(gx.size, z0)], axis=1
+    ).astype(np.float32)
+    if capacity == "auto":
+        grid = grid._replace(
+            capacity=auto_capacity(
+                x0, (0.0, 0.0, 0.0), (1.0, 1.0, support), support
+            )
+        )
+
+    two_pi = 2.0 * math.pi
+    u = U0 * np.sin(two_pi * x0[:, 0]) * np.cos(two_pi * x0[:, 1])
+    v = -U0 * np.cos(two_pi * x0[:, 0]) * np.sin(two_pi * x0[:, 1])
+    v0 = np.stack([u, v, np.zeros_like(u)], axis=1).astype(np.float32)
+
+    c0 = 10.0 * U0
+    params = SPHParams(
+        mass=float(rho0 * dx**2),
+        h=float(h),
+        dt=float(0.25 * h / c0),
+        rho0=float(rho0),
+        c0=float(c0),
+        gravity=(0.0, 0.0, 0.0),
+        dim=2,
+    )
+    state = SPHState(x=x0, v=v0)
+    return Scenario(
+        state=state, grid=grid, params=params, box=(1.0, 1.0),
+        n=x0.shape[0], n_fixed=0,
+    )
+
+
 # keep the canonical scenario importable from one place
 __all__ = [
     "Scenario",
@@ -229,5 +284,6 @@ __all__ = [
     "still_box",
     "still_box_2d",
     "dam_break_2d",
+    "taylor_green",
     "DamBreak",
 ]

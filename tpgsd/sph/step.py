@@ -82,7 +82,20 @@ def _pad_cells(arr, block):
     return jnp.pad(arr, pad)
 
 
-def _density_blocks(dense_x, mask, nbr, params, kernel, block):
+def _min_image(diff, mimage):
+    """Wrap pair separations to the nearest periodic image.
+
+    ``mimage`` is a (3,) extent vector with a huge finite sentinel on
+    non-periodic axes (round(x/huge) == 0 leaves those components
+    untouched; an actual inf would produce inf * 0 = NaN).
+    """
+    if mimage is None:
+        return diff
+    m = jnp.asarray(mimage, diff.dtype)
+    return diff - m * jnp.round(diff / m)
+
+
+def _density_blocks(dense_x, mask, nbr, params, kernel, block, mimage=None):
     """Per-slot density over cell blocks -> ``[n_cells, K]``."""
     c, k = nbr.shape[0], dense_x.shape[1]
     nbr_p = _pad_cells(nbr, block)  # padded rows point at sentinel 0-cells? no:
@@ -96,7 +109,7 @@ def _density_blocks(dense_x, mask, nbr, params, kernel, block):
         xb, mb, nb = args  # [B,K,3], [B,K], [B,27]
         y = dense_x[nb].reshape(block, 27 * k, 3)  # [B,27K,3]
         ym = mask[nb].reshape(block, 27 * k)  # [B,27K]
-        diff = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
+        diff = _min_image(xb[:, :, None, :] - y[:, None, :, :], mimage)
         r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
         w = kernel.w(r, params.h, dim=params.dim) * ym[:, None, :]
         return params.mass * jnp.sum(w, axis=-1) * mb  # [B,K]
@@ -112,7 +125,7 @@ def _density_blocks(dense_x, mask, nbr, params, kernel, block):
     return rho.reshape(-1, k)[:c]
 
 
-def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel):
+def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage=None):
     """Shared pair machinery of the momentum AND energy equations:
     returns ``(dx, dwr, press_plus_pi, vdotx)``.
 
@@ -123,7 +136,7 @@ def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel):
     (``test_energy_rate_conserves_pair_energy``).
     """
     h2eps = params.eps * params.h * params.h
-    dx = xb[:, :, None, :] - y[:, None, :, :]  # [B,K,27K,3]
+    dx = _min_image(xb[:, :, None, :] - y[:, None, :, :], mimage)  # [B,K,27K,3]
     dv = vb[:, :, None, :] - vy[:, None, :, :]
     r2 = jnp.sum(dx * dx, axis=-1)
     r = jnp.sqrt(r2)
@@ -172,7 +185,10 @@ def _pair_blocks(one_block, arrays, mask, nbr, block, out_trailing):
     return out.reshape((-1, k) + out_trailing)[:c]
 
 
-def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
+def _accel_blocks(
+    dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block,
+    mimage=None,
+):
     """Per-slot acceleration (pressure + viscosity) -> ``[n_cells, K, 3]``."""
     k = dense_x.shape[1]
 
@@ -185,7 +201,7 @@ def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kerne
         ym = mask[nb].reshape(block, 27 * k)
 
         dx, dwr, press_pi, _ = _pair_terms(
-            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel
+            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage
         )
         scale = -params.mass * press_pi * dwr * ym[:, None, :]  # [B,K,27K]
         acc = jnp.sum(scale[..., None] * dx, axis=2)  # [B,K,3]
@@ -196,7 +212,10 @@ def _accel_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kerne
     )
 
 
-def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block):
+def _energy_blocks(
+    dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block,
+    mimage=None,
+):
     """Per-slot internal-energy rate du/dt -> ``[n_cells, K]``.
 
     WCSPH energy equation: du_i/dt = 1/2 sum_j m (p_i/rho_i^2 +
@@ -215,7 +234,7 @@ def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kern
         ym = mask[nb].reshape(block, 27 * k)
 
         _, dwr, press_pi, vdotx = _pair_terms(
-            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel
+            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage
         )
         # (v_i - v_j) . grad_W = vdotx * dwr
         du = 0.5 * params.mass * press_pi * dwr * vdotx * ym[:, None, :]
@@ -226,8 +245,19 @@ def _energy_blocks(dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kern
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def energy_rate(state, grid, params, kernel=WendlandC2, block=32):
+def _mimage_of(grid, periodic):
+    import numpy as _np
+
+    if not periodic:
+        return None
+    lo = _np.asarray(grid.lo, _np.float32)
+    ext = grid.cell_size * _np.asarray(grid.dims, _np.float32)
+    wrap = _np.asarray(grid.dims) >= 3
+    return _np.where(wrap, ext, _np.float32(1e30)).astype(_np.float32)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def energy_rate(state, grid, params, kernel=WendlandC2, block=32, periodic=False):
     """Per-particle internal-energy rate du/dt of a configuration.
 
     Produces the physics behind the schema's ``particles/energy`` chunk
@@ -240,10 +270,13 @@ def energy_rate(state, grid, params, kernel=WendlandC2, block=32):
         ``[N]`` float32 du/dt.
     """
     cells = build_cells(state.x, grid)
-    nbr = neighbor_table(grid)
+    nbr = neighbor_table(grid, periodic=periodic)
+    mimage = _mimage_of(grid, periodic)
     dense_x = scatter_to_cells(state.x, cells, grid)
     dense_v = scatter_to_cells(state.v, cells, grid)
-    rho_dense = _density_blocks(dense_x, cells.mask, nbr, params, kernel, block)
+    rho_dense = _density_blocks(
+        dense_x, cells.mask, nbr, params, kernel, block, mimage=mimage
+    )
     rho_dense = jnp.concatenate(
         [rho_dense, jnp.full((1, grid.capacity), params.rho0, rho_dense.dtype)]
     )
@@ -252,7 +285,8 @@ def energy_rate(state, grid, params, kernel=WendlandC2, block=32):
     )
     p_dense = jnp.where(cells.mask, tait_pressure(rho_dense, params), 0.0)
     du_dense = _energy_blocks(
-        dense_x, dense_v, rho_dense, p_dense, cells.mask, nbr, params, kernel, block
+        dense_x, dense_v, rho_dense, p_dense, cells.mask, nbr, params, kernel,
+        block, mimage=mimage,
     )
     du_dense = jnp.concatenate(
         [du_dense, jnp.zeros((1, grid.capacity), du_dense.dtype)]
@@ -260,17 +294,20 @@ def energy_rate(state, grid, params, kernel=WendlandC2, block=32):
     return gather_from_cells(du_dense, cells, grid)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32, periodic=False):
     """Standalone density + Tait pressure of a configuration.
 
     Returns per-particle ``(rho, p)`` - the SPH quantities the schema's
     ``particles/density`` / ``particles/pressure`` chunks carry.
     """
     cells = build_cells(x, grid)
-    nbr = neighbor_table(grid)
+    nbr = neighbor_table(grid, periodic=periodic)
     dense_x = scatter_to_cells(x, cells, grid)
-    rho_dense = _density_blocks(dense_x, cells.mask, nbr, params, kernel, block)
+    rho_dense = _density_blocks(
+        dense_x, cells.mask, nbr, params, kernel, block,
+        mimage=_mimage_of(grid, periodic),
+    )
     rho_dense = jnp.concatenate(
         [rho_dense, jnp.full((1, grid.capacity), params.rho0, rho_dense.dtype)]
     )
@@ -288,6 +325,7 @@ def make_step_fn(
     pallas_interpret=None,
     pallas_block=None,
     n_fixed=0,
+    periodic=False,
 ):
     """Build the jittable SPH step.
 
@@ -316,6 +354,14 @@ def make_step_fn(
         n_fixed: the first ``n_fixed`` particles are static boundary
             particles: they contribute to density and pressure forces
             (the standard dummy-particle wall treatment) but never move.
+        periodic: wrap every axis with >= 3 cells (minimum-image pair
+            separations + modular position wrap instead of reflective
+            walls on those axes; narrower axes stay reflective - the
+            collapsed-z 2-D layout composes naturally).  HOOMD-schema
+            boxes are periodic by convention, so trajectories written
+            from a periodic run match downstream tooling's reading of
+            the box chunk.  jnp path only (the Pallas kernels do not
+            minimum-image).
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -325,14 +371,29 @@ def make_step_fn(
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and _po.supported(grid)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and _po.supported(grid)
+            and not periodic
+        )
+    if use_pallas and periodic:
+        raise ValueError(
+            "use_pallas with periodic=True is unsupported (the Pallas "
+            "kernels do not minimum-image); use the jnp path"
+        )
     if pallas_block is None:
         pallas_block = _po.default_block(grid)
 
-    nbr_static = neighbor_table(grid)
+    nbr_static = neighbor_table(grid, periodic=periodic)
     lo = _np.asarray(grid.lo, _np.float32)
     hi = lo + grid.cell_size * _np.asarray(grid.dims, _np.float32)
     gravity = _np.asarray(params.gravity, _np.float32)
+    wrap_axes = periodic & (_np.asarray(grid.dims) >= 3)
+    mimage = (
+        _np.where(wrap_axes, hi - lo, _np.float32(1e30)).astype(_np.float32)
+        if periodic
+        else None
+    )
 
     if use_pallas:
         from . import pallas_ops
@@ -350,7 +411,8 @@ def make_step_fn(
             )
         else:
             rho_dense = _density_blocks(
-                dense_x, cells.mask, nbr_static, params, kernel, block
+                dense_x, cells.mask, nbr_static, params, kernel, block,
+                mimage=mimage,
             )
         # sentinel row: rest density (never 0 - avoids NaN in p/rho^2)
         rho_dense = jnp.concatenate(
@@ -371,7 +433,7 @@ def make_step_fn(
         else:
             acc_dense = _accel_blocks(
                 dense_x, dense_v, rho_dense, p_dense, cells.mask,
-                nbr_static, params, kernel, block,
+                nbr_static, params, kernel, block, mimage=mimage,
             )
         acc_dense = jnp.concatenate(
             [acc_dense, jnp.zeros((1, grid.capacity, 3), acc_dense.dtype)]
@@ -383,14 +445,21 @@ def make_step_fn(
         v_new = (v + params.dt * acc) * params.velocity_damping
         x_new = x + params.dt * v_new
 
-        # reflective walls with damping
+        # boundaries: reflective walls with damping, except modular
+        # wrap on periodic axes (static per-axis selection)
         under = x_new < lo
         over = x_new > hi
-        x_new = jnp.where(under, 2.0 * lo - x_new, x_new)
-        x_new = jnp.where(over, 2.0 * hi - x_new, x_new)
-        bounce = under | over
+        reflected = jnp.where(under, 2.0 * lo - x_new, x_new)
+        reflected = jnp.where(over, 2.0 * hi - reflected, reflected)
+        reflected = jnp.clip(reflected, lo, hi)
+        if periodic:
+            wrapped = lo + jnp.mod(x_new - lo, hi - lo)
+            x_new = jnp.where(wrap_axes, wrapped, reflected)
+            bounce = (under | over) & ~wrap_axes
+        else:
+            x_new = reflected
+            bounce = under | over
         v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
-        x_new = jnp.clip(x_new, lo, hi)
 
         if n_fixed > 0:
             # boundary particles: full SPH sources, zero motion
