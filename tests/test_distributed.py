@@ -204,6 +204,73 @@ def test_distributed_boundary_particles():
     )
 
 
+def test_periodic_ring_migration():
+    """A particle crossing the global x seam wraps around the ring:
+    identity intact, position wrapped, delivered to the far slab."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    support = 0.5
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), support, capacity=16)
+    assert grid.dims[0] % n_dev == 0
+    params = SPHParams(mass=1.0, h=0.25, dt=0.1, gravity=(0.0, 0.0, 0.0))
+
+    # one particle moving left past x=0, one moving right past x=8;
+    # offset in y/z so they are NOT in each other's (seam-wrapped)
+    # support radius - this test checks kinematics, not forces
+    x = jnp.asarray([[0.05, 0.2, 0.2], [7.95, 0.8, 0.8]], jnp.float32)
+    v = jnp.asarray([[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    dist, cap = distribute_state(SPHState(x=x, v=v), grid, mesh, capacity=8)
+    step = make_distributed_step_fn(
+        grid, params, mesh, capacity=8, periodic=True
+    )
+    dist, aux = step(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d = collect_state(dist, 2)
+    numpy.testing.assert_allclose(x_d[0, 0], 8.0 - 0.05, rtol=1e-5)
+    numpy.testing.assert_allclose(x_d[1, 0], 0.05, rtol=1e-4, atol=1e-5)
+    # identities preserved through the ring
+    pid = numpy.asarray(dist.pid)
+    assert set(pid[pid >= 0].tolist()) == {0, 1}
+
+
+def test_periodic_distributed_matches_single_device():
+    """Periodic Taylor-Green on the slab ring == single-device periodic
+    step (the seam pairs flow through the ring halo + min-image)."""
+    from tpgsd.sph import taylor_green
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    sc = taylor_green(n_side=21)  # dims_x = 8 = mesh size
+    assert sc.grid.dims[0] % n_dev == 0, sc.grid.dims
+
+    step_ref = jax.jit(make_step_fn(sc.grid, sc.params, periodic=True))
+    s_ref = SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v))
+    for _ in range(3):
+        s_ref, (rho_ref, _, _) = step_ref(s_ref)
+
+    dist, cap = distribute_state(
+        SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v)),
+        sc.grid,
+        mesh,
+    )
+    step_d = make_distributed_step_fn(
+        sc.grid, sc.params, mesh, capacity=cap, periodic=True
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d = collect_state(dist, sc.n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )
+
+
 def test_scan_simulate_distributed(tmp_path):
     """Full-stack composition: a lax.scan rollout over the slab-
     decomposed shard_map step with in-jit frame dumps."""

@@ -84,7 +84,9 @@ def neighbor_table(grid, periodic=False):
     ``periodic=True`` they wrap around instead - on every axis with at
     least 3 cells (fewer would make a cell its own neighbor through
     the seam and double-count pairs; such axes stay non-periodic,
-    which is exactly right for the collapsed-z 2-D layout).
+    which is exactly right for the collapsed-z 2-D layout).  A 3-tuple
+    of bools selects axes explicitly (the slab-decomposed step wraps
+    y/z locally but handles x through its ring halo).
 
     Returned as a host (numpy) array: it is a trace-time constant, and
     eager device placement would cost a host->device transfer at trace
@@ -101,8 +103,11 @@ def neighbor_table(grid, periodic=False):
     )  # [27,3]
     nbr = coords[:, None, :] + offsets[None, :, :]  # [C,27,3]
     dims = np.array(grid.dims)
-    if periodic:
-        wrap = dims >= 3
+    if periodic is not False:
+        if periodic is True:
+            wrap = dims >= 3
+        else:
+            wrap = np.asarray(periodic, bool) & (dims >= 3)
         nbr = np.where(wrap, nbr % dims, nbr)
     valid = ((nbr >= 0) & (nbr < dims)).all(axis=2)
     lin = nbr[..., 0] * (ny * nz) + nbr[..., 1] * nz + nbr[..., 2]

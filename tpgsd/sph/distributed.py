@@ -108,17 +108,16 @@ def _gather(dense, cid_s, slot, order, c, capacity):
     return sorted_vals[inv]
 
 
-def _halo_exchange(arrays, nynz, axis, n_dev):
+def _halo_exchange(arrays, nynz, axis, send_right, send_left):
     """Append each x-neighbor's boundary cell-plane as ghost planes.
 
     ``arrays``: list of ``[c+1, K, ...]`` dense arrays (sentinel row
     last).  Returns extended ``[nynz + c + nynz (+1 sentinel), ...]``
-    arrays.  Edge devices receive zeros (lax.ppermute semantics for
-    unnamed targets), which is exactly the empty-ghost boundary
-    condition since the mask rides along.
+    arrays.  With edge-terminated permutations, edge devices receive
+    zeros (lax.ppermute semantics for unnamed targets) - exactly the
+    empty-ghost boundary condition since the mask rides along; ring
+    permutations make the ghosts real (periodic x).
     """
-    send_right = [(i, i + 1) for i in range(n_dev - 1)]
-    send_left = [(i + 1, i) for i in range(n_dev - 1)]
     c = arrays[0].shape[0] - 1
 
     out = []
@@ -174,6 +173,7 @@ def make_distributed_step_fn(
     use_pallas=False,
     pallas_block=None,
     n_fixed=0,
+    periodic=False,
 ):
     """Build the slab-decomposed distributed step.
 
@@ -194,6 +194,11 @@ def make_distributed_step_fn(
             passed to :func:`distribute_state`): full density/pressure
             sources, but never integrated and never migrated - the
             distributed form of ``make_step_fn(..., n_fixed=...)``.
+        periodic: periodic global box.  The x axis wraps through the
+            RING halo (device n-1 exchanges planes and migrants with
+            device 0 - ppermute with a ring permutation); y/z wrap
+            locally in the cell table when they have >= 3 cells.  jnp
+            pair path only.
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -220,23 +225,50 @@ def make_distributed_step_fn(
     hi_g = lo_g + cell * jnp.asarray(grid.dims, jnp.float32)
     gravity = jnp.asarray(params.gravity, jnp.float32)
 
-    # extended (ghost-padded) local grid for the pair loops
+    # extended (ghost-padded) local grid for the pair loops; with a
+    # periodic box, y/z wrap locally in the table while x periodicity
+    # flows through the ring halo below
     ext_grid = CellGrid(
         lo=(0.0, 0.0, 0.0), cell_size=cell, dims=(nxl + 2, ny, nz), capacity=k
     )
-    nbr_ext = neighbor_table(ext_grid)
+    nbr_ext = neighbor_table(
+        ext_grid, periodic=(False, periodic, periodic) if periodic else False
+    )
+    if periodic:
+        if nx < 3:
+            raise ValueError("periodic needs >= 3 cells along x")
+        ext = cell * np.asarray(grid.dims, np.float32)
+        wrap = np.array([True, ny >= 3, nz >= 3])
+        mimage = np.where(wrap, ext, np.float32(1e30)).astype(np.float32)
+    else:
+        wrap = np.array([False, False, False])
+        mimage = None
 
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and _po.supported(ext_grid)
+            and not periodic
+        )
+    if use_pallas and periodic:
+        raise ValueError(
+            "use_pallas with periodic=True is unsupported (the Pallas "
+            "kernels do not minimum-image); use the jnp path"
+        )
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
     if use_pallas:
         from . import pallas_ops
 
-    send_right = [(i, i + 1) for i in range(n_dev - 1)]
-    send_left = [(i + 1, i) for i in range(n_dev - 1)]
+    if periodic:
+        # ring: device n-1 is device 0's left neighbor
+        send_right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        send_left = [((i + 1) % n_dev, i) for i in range(n_dev)]
+    else:
+        send_right = [(i, i + 1) for i in range(n_dev - 1)]
+        send_left = [(i + 1, i) for i in range(n_dev - 1)]
 
     def local_step(x, v, pid):
         # x/v/pid are this device's [cap] slot arrays
@@ -255,7 +287,8 @@ def make_distributed_step_fn(
             [dense_x, dense_v, mask.astype(jnp.float32)[..., None]],
             nynz,
             axis_name,
-            n_dev,
+            send_right,
+            send_left,
         )
         ext_mask = ext_m[..., 0] > 0.5
 
@@ -269,7 +302,9 @@ def make_distributed_step_fn(
                 block=pallas_block,
             )
         else:
-            rho_d = _density_blocks(ext_x, ext_mask, nbr_ext, params, kernel, block)
+            rho_d = _density_blocks(
+                ext_x, ext_mask, nbr_ext, params, kernel, block, mimage=mimage
+            )
 
         core = slice(nynz, nynz + c_local)
         mask_core = ext_mask[core]
@@ -311,7 +346,8 @@ def make_distributed_step_fn(
             )
         else:
             acc_d = _accel_blocks(
-                ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel, block
+                ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel,
+                block, mimage=mimage,
             )
         # slice the core planes back out; append the sentinel rows the
         # particle-order gather expects
@@ -331,15 +367,24 @@ def make_distributed_step_fn(
         v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
         x_new = jnp.where(alive[:, None], x + params.dt * v_new, x)
 
-        # global reflective walls
+        # global walls: reflective, except wrapped axes of a periodic
+        # box (the x wrap is deferred past migration detection - a
+        # crossing is detected on UNWRAPPED coordinates, then the ring
+        # permutation delivers the wrapped position to the far slab)
         under = x_new < lo_g
         over = x_new > hi_g
-        x_new = jnp.where(under, 2.0 * lo_g - x_new, x_new)
-        x_new = jnp.where(over, 2.0 * hi_g - x_new, x_new)
+        reflected = jnp.where(under, 2.0 * lo_g - x_new, x_new)
+        reflected = jnp.where(over, 2.0 * hi_g - reflected, reflected)
+        reflected = jnp.clip(reflected, lo_g, hi_g)
+        if periodic:
+            x_new = jnp.where(wrap, x_new, reflected)
+            bounce = (under | over) & ~wrap
+        else:
+            x_new = reflected
+            bounce = under | over
         v_new = jnp.where(
-            (under | over) & alive[:, None], -params.wall_damping * v_new, v_new
+            bounce & alive[:, None], -params.wall_damping * v_new, v_new
         )
-        x_new = jnp.clip(x_new, lo_g, hi_g)
 
         if n_fixed > 0:
             # boundary particles: full SPH sources, zero motion (their
@@ -352,8 +397,16 @@ def make_distributed_step_fn(
         # ---- migration: particles that left this slab ----
         slab_lo = lo_g[0] + d * nxl * cell
         slab_hi = slab_lo + nxl * cell
-        go_left = alive & (x_new[:, 0] < slab_lo) & (d > 0)
-        go_right = alive & (x_new[:, 0] >= slab_hi) & (d < n_dev - 1)
+        if periodic:
+            go_left = alive & (x_new[:, 0] < slab_lo)
+            go_right = alive & (x_new[:, 0] >= slab_hi)
+            # wrap AFTER detecting the crossing direction
+            x_new = jnp.where(
+                wrap, lo_g + jnp.mod(x_new - lo_g, hi_g - lo_g), x_new
+            )
+        else:
+            go_left = alive & (x_new[:, 0] < slab_lo) & (d > 0)
+            go_right = alive & (x_new[:, 0] >= slab_hi) & (d < n_dev - 1)
 
         payload = jnp.concatenate(
             [x_new, v_new, pid.astype(jnp.float32)[:, None]], axis=1
