@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""End-to-end demo: dam-break WCSPH simulation with overlapped dumps.
+"""End-to-end demo: WCSPH simulation with overlapped trajectory dumps.
 
-Runs the jitted SPH step (sharded over all available devices), streams
-every Nth frame to a hoomd-schema GSD file through the async dump
-runtime, prints throughput stats, and (optionally) converts the result
-to VTK point clouds.
+Runs the jitted SPH step on any scenario from the zoo (3-D dam break,
+planar 2-D dam break, periodic Taylor-Green vortex, hydrostatic tank
+with fixed floor particles), optionally sharded over all available
+devices, streams every Nth frame to a hoomd-schema GSD file through
+the async dump runtime, prints throughput stats, and (optionally)
+converts the result to VTK point clouds.
 
     python examples/dam_break_demo.py --steps 200 --every 5 --vtu
+    python examples/dam_break_demo.py --scenario taylor_green --steps 300
 
 The output file is readable by upstream GSD tooling (OVITO, gsd-vmd)
 and by `python -m tpgsd read/info`.
@@ -24,7 +27,15 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--every", type=int, default=5, help="dump cadence")
     p.add_argument("--n-side", type=int, default=14)
-    p.add_argument("--out", default="dam_break.gsd")
+    p.add_argument(
+        "--scenario",
+        default="dam_break",
+        choices=["dam_break", "dam_break_2d", "taylor_green", "hydrostatic"],
+        help="which flow to run (taylor_green runs with periodic "
+             "boundaries; hydrostatic uses fixed floor particles)",
+    )
+    p.add_argument("--out", default=None,
+                   help="output file (default <scenario>.gsd)")
     p.add_argument("--sharded", action="store_true",
                    help="shard the particle axis over all devices")
     p.add_argument("--vtu", action="store_true", help="convert to .vtu after")
@@ -43,11 +54,37 @@ def main(argv=None):
 
     from tpgsd.io_runtime import AsyncDumpRunner
     from tpgsd.parallel import ShardedFrameWriter, make_mesh
-    from tpgsd.sph import SPHState, dam_break, make_step_fn
+    from tpgsd.sph import (
+        SPHState,
+        dam_break,
+        dam_break_2d,
+        hydrostatic_tank,
+        make_step_fn,
+        taylor_green,
+    )
 
-    db = dam_break(n_side=args.n_side, capacity="auto")
-    print("particles: %d  grid: %s cells  dt: %.2e"
-          % (db.n, db.grid.dims, db.params.dt))
+    periodic = args.scenario == "taylor_green"
+    n_fixed = 0
+    if args.scenario == "dam_break":
+        db = dam_break(n_side=args.n_side, capacity="auto")
+    elif args.scenario == "dam_break_2d":
+        db = dam_break_2d(n_side=args.n_side, capacity="auto")
+    elif args.scenario == "taylor_green":
+        db = taylor_green(n_side=max(args.n_side, 12))
+    else:
+        db = hydrostatic_tank(n_side=args.n_side)
+        n_fixed = db.n_fixed
+    if args.out is None:
+        args.out = args.scenario + ".gsd"
+    box3 = tuple(db.box) + (0.0,) * (3 - len(db.box))
+    print("scenario: %s  particles: %d  grid: %s cells  dt: %.2e"
+          % (args.scenario, db.n, db.grid.dims, db.params.dt))
+
+    if args.sharded and periodic:
+        print("--sharded uses corner-parked padding, which a periodic "
+              "box would couple to the flow; running unsharded "
+              "(see tpgsd.sph.distributed for the periodic ring)")
+        args.sharded = False
 
     state = db.state
     if args.sharded and len(jax.devices()) > 1:
@@ -58,10 +95,10 @@ def main(argv=None):
         n_dev = mesh.devices.size
         pad = (-db.n) % n_dev
         x = jnp.pad(state.x, ((0, pad), (0, 0)))
-        x = x.at[db.n:].set(jnp.asarray(db.box, jnp.float32) * 0.999)
+        x = x.at[db.n:].set(jnp.asarray(box3, jnp.float32) * 0.999)
         v = jnp.pad(state.v, ((0, pad), (0, 0)))
         step = jax.jit(
-            make_step_fn(db.grid, db.params),
+            make_step_fn(db.grid, db.params, n_fixed=n_fixed),
             in_shardings=(SPHState(x=sharding, v=sharding),),
             out_shardings=(
                 SPHState(x=sharding, v=sharding),
@@ -73,13 +110,17 @@ def main(argv=None):
         )
         print("sharded over %d devices" % n_dev)
     else:
-        step = jax.jit(make_step_fn(db.grid, db.params))
+        step = jax.jit(
+            make_step_fn(
+                db.grid, db.params, n_fixed=n_fixed, periodic=periodic
+            )
+        )
 
     writer = ShardedFrameWriter(
         args.out,
         static={
             "configuration/box": numpy.array(
-                list(db.box) + [0, 0, 0], numpy.float32
+                list(box3) + [0, 0, 0], numpy.float32
             ),
             "particles/N": numpy.array([db.n], numpy.uint32),
         },
