@@ -109,3 +109,60 @@ def test_fuzz_roundtrip(tmp_path, seed):
                     )
                 # chunks never written in this frame don't appear
                 assert not f.chunk_exists(idx, "never/written")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_spill_scanner_never_crashes(tmp_path, seed):
+    """The compose spill scanner must survive arbitrary garbage: random
+    bytes, truncated real records, corrupted headers - stopping cleanly
+    at the first invalid point, never raising, never over-reading."""
+    from tpgsd.parallel.compose_io import (
+        _MAGIC,
+        _REC,
+        ComposedFrameWriter,
+        _complete_through,
+        _scan_spill,
+        compose,
+    )
+
+    rng = numpy.random.RandomState(seed)
+    path = str(tmp_path / "t.gsd")
+    w = ComposedFrameWriter(path, application="t", keep_spills=True)
+    w.write_frame(
+        {"particles/position": rng.rand(8, 3).astype(numpy.float32)}, step=0
+    )
+    w.flush()
+    spill = w._spill_paths[0]
+    w._fh.close()
+    w._closed = True
+
+    good = open(spill, "rb").read()
+    mode = seed % 3
+    if mode == 0:
+        # random garbage appended
+        tail = rng.bytes(rng.randint(1, 200))
+    elif mode == 1:
+        # plausible header with absurd sizes, truncated payload
+        tail = _REC.pack(
+            _MAGIC, rng.randint(0, 1 << 16), 1, 0,
+            rng.randint(0, 1 << 40), rng.randint(0, 1 << 20),
+            rng.randint(0, 255), 0, 0,
+        ) + rng.bytes(16)
+    else:
+        # truncate a valid record mid-payload
+        tail = b""
+        good = good[: max(_REC.size + 1, len(good) - rng.randint(1, 60))]
+    with open(spill, "wb") as fh:
+        fh.write(good + tail)
+
+    # scanning and horizon derivation never raise
+    list(_scan_spill(spill))
+    assert isinstance(_complete_through(spill), int)
+    # compose of the damaged spill yields a valid (possibly empty) file
+    n = compose(path, [spill], application="t")
+    assert 0 <= n <= 1
+    if n:
+        import tpgsd.pypgsd
+
+        with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
+            assert f.nframes == n

@@ -39,6 +39,7 @@ import struct
 import numpy
 
 from ..format.structs import DTYPE_TO_TYPE, TYPE_TO_DTYPE
+from ..utils.trace import get_tracer
 from .shard_io import array_shards, gsd_storable, infer_particles_n
 
 # spill record header: magic, name_len, frame, row_start, n_rows, M,
@@ -287,7 +288,12 @@ def compose(
     from .. import fl
     from .comm import SingleComm
 
+    tracer = get_tracer()
     n_frames = min(_complete_through(p) for p in spill_paths) + 1
+    tracer.record(
+        "compose.start", target=str(name), spills=len(spill_paths),
+        frames=n_frames,
+    )
 
     streams = []
     heads = []
@@ -338,4 +344,5 @@ def compose(
                     N_global=n_global,
                 )
             out.end_frame()
+    tracer.record("compose.done", target=str(name), frames=n_frames)
     return n_frames
