@@ -25,7 +25,7 @@ Environment knobs:
     TPGSD_BENCH_DIR           scratch-file directory (default $TMPDIR)
     TPGSD_BENCH_DEVICE_FRAMES frames for the device-path measurement
                               (default 2; 0 disables it)
-    TPGSD_BENCH_REPS          headline repetitions, best wins (default 2)
+    TPGSD_BENCH_REPS          headline repetitions, best wins (default 3)
 """
 
 import json
@@ -76,9 +76,9 @@ def run():
     bytes_per_frame = n_keys * chunk_bytes
 
     # ---- headline: host-resident write loop (the reference's workload) --
-    # best-of-N: virtualized block devices vary 2-5x run to run, and the
-    # best run is the one that reflects the I/O path rather than the host
-    reps = int(os.environ.get("TPGSD_BENCH_REPS", 2))
+    # best-of-N: the virtualized block device varies 2-5x run to run on
+    # identical commands; the best run reflects the I/O path, not host noise
+    reps = int(os.environ.get("TPGSD_BENCH_REPS", 3))
     rng = numpy.random.RandomState(0)
     block = rng.rand(n_keys, n_elems).astype(numpy.float32)
     elapsed = None

@@ -80,10 +80,15 @@ def main(argv=None):
     print("scenario: %s  particles: %d  grid: %s cells  dt: %.2e"
           % (args.scenario, db.n, db.grid.dims, db.params.dt))
 
-    if args.sharded and periodic:
-        print("--sharded uses corner-parked padding, which a periodic "
-              "box would couple to the flow; running unsharded "
-              "(see tpgsd.sph.distributed for the periodic ring)")
+    if args.sharded and args.scenario != "dam_break":
+        # padding rows are parked in the 3-D box's far corner, which is
+        # only safely out of interaction range for the 3-D dam break; a
+        # periodic box would couple them to the flow, the 2-D plane has
+        # no far corner, and the hydrostatic corner sits above the
+        # settled surface
+        print("--sharded supports the dam_break scenario only; running "
+              "unsharded (see tpgsd.sph.distributed for the general "
+              "slab-decomposed path)")
         args.sharded = False
 
     state = db.state

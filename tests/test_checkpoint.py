@@ -154,12 +154,27 @@ def test_resume_distributed_continues(tmp_path):
         )
     writer.close()
 
+    # the headline capability first: resume onto a DIFFERENT device
+    # count than the writing run (ownership re-derived from positions)
+    mesh4 = make_mesh(n_devices=4)
+    assert grid.dims[0] % 4 == 0
+    dist4, cap4, step4, writer4 = resume_distributed(path, grid, mesh4)
+    writer4.close()
+    assert step4 == 1
+    x4, v4 = collect_state(dist4, 24)
+    x1, v1 = collect_state(dist, 24)
+    numpy.testing.assert_allclose(x4, x1, rtol=1e-6)
+    numpy.testing.assert_allclose(v4, v1, rtol=1e-6, atol=1e-7)
+    # and it continues on the smaller mesh
+    step4_fn = make_distributed_step_fn(grid, params, mesh4, capacity=cap4)
+    dist4b, aux4 = step4_fn(dist4)
+    assert int(jnp.sum(aux4.migrate_overflow)) == 0
+
     dist2, cap2, last_step, writer2 = resume_distributed(
         path, grid, mesh, capacity=cap
     )
     assert last_step == 1
     x2, v2 = collect_state(dist2, 24)
-    x1, v1 = collect_state(dist, 24)
     numpy.testing.assert_allclose(x2, x1, rtol=1e-6)
     numpy.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-7)
 

@@ -9,6 +9,7 @@ the targeted unit tests cannot anticipate.
 """
 
 import importlib.util
+import os
 import pathlib
 
 import numpy
@@ -111,7 +112,7 @@ def test_fuzz_roundtrip(tmp_path, seed):
                 assert not f.chunk_exists(idx, "never/written")
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(8))
 def test_fuzz_spill_scanner_never_crashes(tmp_path, seed):
     """The compose spill scanner must survive arbitrary garbage: random
     bytes, truncated real records, corrupted headers - stopping cleanly
@@ -128,18 +129,22 @@ def test_fuzz_spill_scanner_never_crashes(tmp_path, seed):
     rng = numpy.random.RandomState(seed)
     path = str(tmp_path / "t.gsd")
     w = ComposedFrameWriter(path, application="t", keep_spills=True)
-    w.write_frame(
-        {"particles/position": rng.rand(8, 3).astype(numpy.float32)}, step=0
-    )
-    w.flush()
+    pos0 = rng.rand(8, 3).astype(numpy.float32)
+    w.write_frame({"particles/position": pos0}, step=0)
     spill = w._spill_paths[0]
-    w._fh.close()
-    w._closed = True
+    mode = seed % 4
+    if mode == 0:
+        # garbage appended AFTER a clean close: the END marker protects
+        # every written frame, so recovery must yield the full frame
+        w.close()
+        os.unlink(path)
+    else:
+        w.flush()
+        w._fh.close()
+        w._closed = True  # crashed writer: no END marker
 
     good = open(spill, "rb").read()
-    mode = seed % 3
     if mode == 0:
-        # random garbage appended
         tail = rng.bytes(rng.randint(1, 200))
     elif mode == 1:
         # plausible header with absurd sizes, truncated payload
@@ -148,10 +153,13 @@ def test_fuzz_spill_scanner_never_crashes(tmp_path, seed):
             rng.randint(0, 1 << 40), rng.randint(0, 1 << 20),
             rng.randint(0, 255), 0, 0,
         ) + rng.bytes(16)
-    else:
+    elif mode == 2:
         # truncate a valid record mid-payload
         tail = b""
         good = good[: max(_REC.size + 1, len(good) - rng.randint(1, 60))]
+    else:
+        # valid header, in-bounds payload, but non-UTF-8 name bytes
+        tail = _REC.pack(_MAGIC, 2, 1, 0, 1, 1, 9, 0, 0) + b"\xff\xfe" + b"\0" * 4
     with open(spill, "wb") as fh:
         fh.write(good + tail)
 
@@ -160,9 +168,15 @@ def test_fuzz_spill_scanner_never_crashes(tmp_path, seed):
     assert isinstance(_complete_through(spill), int)
     # compose of the damaged spill yields a valid (possibly empty) file
     n = compose(path, [spill], application="t")
-    assert 0 <= n <= 1
+    if mode == 0:
+        assert n == 1  # clean close: frame survives the trailing garbage
+    else:
+        assert n == 0  # crashed writer: last started frame distrusted
     if n:
         import tpgsd.pypgsd
 
         with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
             assert f.nframes == n
+            numpy.testing.assert_array_equal(
+                f.read_chunk(0, "particles/position"), pos0
+            )

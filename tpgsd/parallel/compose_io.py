@@ -246,7 +246,10 @@ def _scan_spill(path, with_data=True):
             payload = n_rows * m * (dtype.itemsize if dtype else 0)
             if dtype is None or pos + _REC.size + name_len + payload > size:
                 return
-            name = fh.read(name_len).decode("utf-8")
+            try:
+                name = fh.read(name_len).decode("utf-8")
+            except UnicodeDecodeError:
+                return  # corrupt name bytes = torn tail
             if with_data:
                 data = numpy.frombuffer(fh.read(payload), dtype=dtype)
                 yield frame, name, row_start, flags, data.reshape(n_rows, m)

@@ -41,7 +41,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .cells import CellGrid, neighbor_table
 from .kernels import WendlandC2
-from .step import _accel_blocks, _density_blocks, tait_pressure
+from .step import _accel_blocks, _density_blocks, _mimage_of, tait_pressure
 
 
 class DistState(NamedTuple):
@@ -234,15 +234,10 @@ def make_distributed_step_fn(
     nbr_ext = neighbor_table(
         ext_grid, periodic=(False, periodic, periodic) if periodic else False
     )
-    if periodic:
-        if nx < 3:
-            raise ValueError("periodic needs >= 3 cells along x")
-        ext = cell * np.asarray(grid.dims, np.float32)
-        wrap = np.array([True, ny >= 3, nz >= 3])
-        mimage = np.where(wrap, ext, np.float32(1e30)).astype(np.float32)
-    else:
-        wrap = np.array([False, False, False])
-        mimage = None
+    if periodic and nx < 3:
+        raise ValueError("periodic needs >= 3 cells along x")
+    wrap = periodic & (np.asarray(grid.dims) >= 3)
+    mimage = _mimage_of(grid, periodic)  # shared wrap-rule + sentinel
 
     from . import pallas_ops as _po
 

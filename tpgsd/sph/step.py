@@ -246,11 +246,13 @@ def _energy_blocks(
 
 
 def _mimage_of(grid, periodic):
+    """(3,) minimum-image extents for ``grid`` (None when not periodic);
+    the single source of the wrap-axis rule and the huge-finite
+    sentinel shared by every pair path."""
     import numpy as _np
 
     if not periodic:
         return None
-    lo = _np.asarray(grid.lo, _np.float32)
     ext = grid.cell_size * _np.asarray(grid.dims, _np.float32)
     wrap = _np.asarray(grid.dims) >= 3
     return _np.where(wrap, ext, _np.float32(1e30)).astype(_np.float32)
@@ -389,11 +391,7 @@ def make_step_fn(
     hi = lo + grid.cell_size * _np.asarray(grid.dims, _np.float32)
     gravity = _np.asarray(params.gravity, _np.float32)
     wrap_axes = periodic & (_np.asarray(grid.dims) >= 3)
-    mimage = (
-        _np.where(wrap_axes, hi - lo, _np.float32(1e30)).astype(_np.float32)
-        if periodic
-        else None
-    )
+    mimage = _mimage_of(grid, periodic)
 
     if use_pallas:
         from . import pallas_ops
