@@ -5,6 +5,7 @@ deliberately broken file.
 661-689 monotone frames, 1504-1529 header validation)
 """
 
+import os
 import struct
 
 import numpy
@@ -139,3 +140,88 @@ def test_zeroed_index_tail_is_clean_eof(tmp_path):
     path = _make_file(tmp_path)
     with tpgsd.fl.open(path, "r") as f:
         assert f.nframes == 2  # sanity: sentinel respected
+
+
+class TestVerifyWalk:
+    """fsck-style verify(): full-file integrity walk."""
+
+    def _write(self, path, frames=3):
+        import tpgsd.fl
+
+        with tpgsd.fl.open(
+            path, "w", application="t", schema="none", schema_version=(1, 0)
+        ) as f:
+            for i in range(frames):
+                f.write_chunk(
+                    "data/a", numpy.arange(64, dtype=numpy.float32) + i
+                )
+                f.write_chunk("data/b", numpy.arange(8, dtype=numpy.uint32))
+                f.end_frame()
+
+    def test_clean_file_verifies(self, tmp_path):
+        from tpgsd.pypgsd import verify
+
+        path = str(tmp_path / "clean.gsd")
+        self._write(path)
+        with open(path, "rb") as fh:
+            r = verify(fh)
+        assert r["ok"], r["errors"]
+        assert r["frames"] == 3
+        assert r["chunks"] == 6
+        assert r["data_bytes"] == 3 * (64 * 4 + 8 * 4)
+
+    def test_truncated_data_detected(self, tmp_path):
+        from tpgsd.pypgsd import verify
+
+        path = str(tmp_path / "trunc.gsd")
+        self._write(path)
+        # chop bytes off the end: some chunk data now extends past EOF
+        size = os.path.getsize(path)
+        with open(path, "r+b") as fh:
+            fh.truncate(size - 40)
+        with open(path, "rb") as fh:
+            r = verify(fh)
+        assert not r["ok"]
+        # caught either by the bounds validator or the deep read
+        assert any(
+            "EOF" in e or "short" in e or "invalid" in e for e in r["errors"]
+        ), r["errors"]
+
+    def test_corrupt_index_entry_detected(self, tmp_path):
+        from tpgsd.format import HEADER_SIZE, INDEX_ENTRY_DTYPE, unpack_header
+        from tpgsd.pypgsd import verify
+
+        path = str(tmp_path / "badidx.gsd")
+        self._write(path)
+        with open(path, "r+b") as fh:
+            hdr = unpack_header(fh.read(HEADER_SIZE))
+            loc = int(hdr["index_location"])
+            fh.seek(loc)
+            entry = numpy.frombuffer(
+                fh.read(INDEX_ENTRY_DTYPE.itemsize), dtype=INDEX_ENTRY_DTYPE
+            ).copy()
+            entry["type"] = 200  # invalid type code
+            fh.seek(loc)
+            fh.write(entry.tobytes())
+        with open(path, "rb") as fh:
+            r = verify(fh)
+        assert not r["ok"]
+        assert any("invalid" in e for e in r["errors"]), r["errors"]
+
+    def test_cli_verify(self, tmp_path, capsys):
+        import tpgsd.__main__ as cli
+
+        path = str(tmp_path / "cli.gsd")
+        self._write(path, frames=1)
+        import sys as _sys
+
+        old = _sys.argv
+        try:
+            _sys.argv = ["tpgsd", "verify", path]
+            with pytest.raises(SystemExit) as e:
+                cli.main()
+            assert e.value.code == 0
+        finally:
+            _sys.argv = old
+        out = capsys.readouterr().out
+        assert "OK" in out and "1 frames" in out

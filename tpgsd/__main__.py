@@ -135,6 +135,30 @@ def main_dump(args):
         print(data)
 
 
+def main_verify(args):
+    """fsck-style integrity walk; exit code 1 on any finding."""
+    from . import pypgsd
+
+    with open(args.file, "rb") as fh:
+        report = pypgsd.verify(fh, deep=not args.shallow)
+    print(
+        "%s: %d frames, %d chunks, %d names, %.1f MB data of %.1f MB file"
+        % (
+            args.file,
+            report["frames"],
+            report["chunks"],
+            report["names"],
+            report["data_bytes"] / 1e6,
+            report["file_size"] / 1e6,
+        )
+    )
+    for e in report["errors"]:
+        print("ERROR: " + e)
+    print("OK" if report["ok"] else "CORRUPT (%d errors)" % len(report["errors"]))
+    if not report["ok"]:
+        sys.exit(1)
+
+
 def main():
     """Entry point of the tpgsd command-line interface
     (reference: pgsd/pgsd/__main__.py:88-171)."""
@@ -178,6 +202,14 @@ def main():
                                 help="frame slice start:stop[:step]")
     parser_convert.add_argument("--ascii", action="store_true")
     parser_convert.set_defaults(func=main_convert)
+
+    parser_verify = subparsers.add_parser("verify")
+    parser_verify.add_argument("file", type=str, help="GSD file to check.")
+    parser_verify.add_argument(
+        "--shallow", action="store_true",
+        help="skip reading chunk payloads (index/bounds checks only)",
+    )
+    parser_verify.set_defaults(func=main_verify)
 
     parser_dump = subparsers.add_parser("dump")
     parser_dump.add_argument("file", type=str, help="GSD file to read.")

@@ -289,3 +289,106 @@ class PGSDFile:
         if not self.__is_open:
             raise ValueError("File is not open")
         return len(self.__namelist)
+
+
+def verify(file, deep=True):
+    """fsck-style integrity walk of a GSD/PGSD file.
+
+    Tolerant forensic pass (unlike :class:`PGSDFile`, which refuses
+    corrupt files outright): validates the header, namelist, and every
+    used index entry (bounds, frame monotonicity, name-id references),
+    and with ``deep=True`` reads every data chunk's bytes and confirms
+    their lengths.  The debug-verification mode the reference's
+    defensive consistency checks point toward (reference:
+    pgsd/pgsd/pgsd.c:174-202, 414-450).
+
+    Args:
+        file: binary file-like object open for reading.
+        deep: also read every chunk's payload (catches truncation the
+            index bounds check cannot see on sparse/overlayed files).
+
+    Returns:
+        report dict: ``{"ok", "errors": [str...], "frames", "chunks",
+        "names", "data_bytes", "file_size"}``.  Never raises on
+        corruption - structural problems land in ``errors``.
+    """
+    from .format import sizeof_type
+
+    report = {
+        "ok": False,
+        "errors": [],
+        "frames": 0,
+        "chunks": 0,
+        "names": 0,
+        "data_bytes": 0,
+        "file_size": 0,
+    }
+    err = report["errors"].append
+
+    file.seek(0, 2)
+    file_size = report["file_size"] = file.tell()
+    file.seek(0)
+    raw = file.read(HEADER_SIZE)
+    if len(raw) < HEADER_SIZE:
+        err("file shorter than the %d-byte header" % HEADER_SIZE)
+        return report
+    header = unpack_header(raw)
+    try:
+        validate_header(header, file_size=file_size, name="verify")
+    except Exception as e:
+        err("header: %s" % e)
+        return report
+
+    # namelist
+    try:
+        file.seek(int(header["namelist_location"]))
+        nl_raw = file.read(int(header["namelist_allocated_entries"]) * NAME_SIZE)
+        names, _used = parse_namelist(nl_raw, int(header["pgsd_version"]))
+        report["names"] = len(names)
+    except Exception as e:
+        err("namelist: %s" % e)
+        names = []
+
+    # index
+    try:
+        file.seek(int(header["index_location"]))
+        n_alloc = int(header["index_allocated_entries"])
+        idx_raw = file.read(n_alloc * INDEX_ENTRY_SIZE)
+        if len(idx_raw) != n_alloc * INDEX_ENTRY_SIZE:
+            err("index: short read (%d of %d bytes)"
+                % (len(idx_raw), n_alloc * INDEX_ENTRY_SIZE))
+        index = numpy.frombuffer(
+            idx_raw[: (len(idx_raw) // INDEX_ENTRY_SIZE) * INDEX_ENTRY_SIZE],
+            dtype=INDEX_ENTRY_DTYPE,
+        )
+        n_used = find_index_end(index)
+    except Exception as e:
+        err("index: %s" % e)
+        return report
+
+    last_frame = -1
+    for i in range(n_used):
+        e = index[i]
+        tag = "entry %d (frame %d, id %d)" % (i, e["frame"], e["id"])
+        if not entry_valid(e, n_names=len(names), file_size=file_size):
+            err(tag + ": invalid (bounds/type/flags/name-id)")
+            continue
+        if int(e["frame"]) < last_frame:
+            err(tag + ": frame order regressed")
+        last_frame = max(last_frame, int(e["frame"]))
+        size = int(e["N"]) * int(e["M"]) * sizeof_type(int(e["type"]))
+        loc = int(e["location"])
+        if loc + size > file_size:
+            err(tag + ": data [%d, %d) beyond EOF %d" % (loc, loc + size, file_size))
+            continue
+        if deep and size > 0:
+            file.seek(loc)
+            got = len(file.read(size))
+            if got != size:
+                err(tag + ": short data read (%d of %d bytes)" % (got, size))
+                continue
+        report["chunks"] += 1
+        report["data_bytes"] += size
+    report["frames"] = last_frame + 1 if n_used else 0
+    report["ok"] = not report["errors"]
+    return report
