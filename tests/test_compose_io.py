@@ -147,7 +147,8 @@ def test_compose_drops_midframe_crash(tmp_path):
 
 def test_clean_close_keeps_last_frame(tmp_path):
     """With the clean-close marker, every written frame composes (the
-    conservative last-frame drop applies only to crashes)."""
+    conservative last-frame drop applies only to crashes), and the
+    composed file passes the full fsck walk."""
     path = str(tmp_path / "clean.gsd")
     frames = _frames(n_frames=2, n=8)
     with ComposedFrameWriter(path, application="t") as w:
@@ -155,6 +156,10 @@ def test_clean_close_keeps_last_frame(tmp_path):
             w.write_frame(fr, step=i)
     with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
         assert f.nframes == 2
+    with open(path, "rb") as fh:
+        report = tpgsd.pypgsd.verify(fh)
+    assert report["ok"], report["errors"]
+    assert report["frames"] == 2
 
 
 def test_composed_rejects_3d_arrays(tmp_path):
