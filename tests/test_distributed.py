@@ -271,6 +271,48 @@ def test_periodic_distributed_matches_single_device():
     )
 
 
+def test_distributed_energy_matches_single_device():
+    """compute_energy=True: the slab step's aux.dudt equals the
+    single-device energy_rate of the same (pre-step) configuration."""
+    from tpgsd.sph import energy_rate
+
+    state, grid, params = _divisible_setup()
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    # give the fluid some motion so pressure work is nonzero
+    rng = numpy.random.RandomState(4)
+    v0 = jnp.asarray(rng.randn(n, 3).astype(numpy.float32) * 0.1)
+    state = SPHState(x=state.x, v=v0)
+
+    du_ref = numpy.asarray(energy_rate(state, grid, params))
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, compute_energy=True
+    )
+    dist_after, aux = step(dist)
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+
+    # map per-slot dudt back to original particle order via the
+    # PRE-step pids (dudt describes the configuration entering the step)
+    pid = numpy.asarray(dist.pid)
+    du = numpy.asarray(aux.dudt)
+    out = numpy.zeros(n, numpy.float32)
+    alive = pid >= 0
+    out[pid[alive]] = du[alive]
+
+    scale = numpy.abs(du_ref).max() or 1.0
+    numpy.testing.assert_allclose(
+        out / scale, du_ref / scale, rtol=1e-4, atol=1e-4
+    )
+
+    # default: no energy pass, dudt stays zero
+    step0 = make_distributed_step_fn(grid, params, mesh, capacity=cap)
+    _, aux0 = step0(dist)
+    assert float(jnp.abs(aux0.dudt).max()) == 0.0
+
+
 def test_scan_simulate_distributed(tmp_path):
     """Full-stack composition: a lax.scan rollout over the slab-
     decomposed shard_map step with in-jit frame dumps."""

@@ -41,7 +41,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .cells import CellGrid, neighbor_table
 from .kernels import WendlandC2
-from .step import _accel_blocks, _density_blocks, _mimage_of, tait_pressure
+from .step import (
+    _accel_blocks,
+    _density_blocks,
+    _energy_blocks,
+    _mimage_of,
+    tait_pressure,
+)
 
 
 class DistState(NamedTuple):
@@ -62,6 +68,8 @@ class DistAux(NamedTuple):
     p: jax.Array  # [S*cap]
     cell_overflow: jax.Array  # [S] per-device dropped-from-cells count
     migrate_overflow: jax.Array  # [S] per-device failed-migration count
+    dudt: jax.Array  # [S*cap] internal-energy rate (zeros unless the
+    # step was built with compute_energy=True)
 
 
 def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
@@ -174,6 +182,7 @@ def make_distributed_step_fn(
     pallas_block=None,
     n_fixed=0,
     periodic=False,
+    compute_energy=False,
 ):
     """Build the slab-decomposed distributed step.
 
@@ -199,6 +208,10 @@ def make_distributed_step_fn(
             device 0 - ppermute with a ring permutation); y/z wrap
             locally in the cell table when they have >= 3 cells.  jnp
             pair path only.
+        compute_energy: also run the WCSPH energy equation (a third
+            pair pass reusing the halo-exchanged rho/p) and return
+            per-particle du/dt in ``aux.dudt`` (zeros when off - the
+            default, since it costs ~an accel pass).
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -358,6 +371,21 @@ def make_distributed_step_fn(
         rho = _gather(rho_core_s, cid_s, slot, order, c_local, k)
         p = _gather(p_core_s, cid_s, slot, order, c_local, k)
 
+        if compute_energy:
+            # third pair pass over the same halo-exchanged fields: the
+            # energy equation shares _pair_terms with the momentum
+            # equation, so KE + internal energy stays conserved
+            du_d = _energy_blocks(
+                ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel,
+                block, mimage=mimage,
+            )
+            du_core = jnp.concatenate(
+                [du_d[core], jnp.zeros((1, k), du_d.dtype)], axis=0
+            )
+            dudt = _gather(du_core, cid_s, slot, order, c_local, k)
+        else:
+            dudt = jnp.zeros_like(rho)
+
         # integrate (dead slots don't move)
         v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
         x_new = jnp.where(alive[:, None], x + params.dt * v_new, x)
@@ -450,6 +478,7 @@ def make_distributed_step_fn(
             p,
             cell_ovf[None],
             mig_ovf[None],
+            dudt,
         )
 
     sh = NamedSharding(mesh, P(axis_name))
@@ -458,7 +487,7 @@ def make_distributed_step_fn(
     sm_kwargs = dict(
         mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs=(spec, spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec, spec, spec, spec),
     )
     if use_pallas:
         # pallas_call outputs carry no varying-mesh-axes annotation;
@@ -476,14 +505,21 @@ def make_distributed_step_fn(
         in_shardings=(DistState(x=sh, v=sh, pid=sh),),
         out_shardings=(
             DistState(x=sh, v=sh, pid=sh),
-            DistAux(rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh),
+            DistAux(
+                rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
+            ),
         ),
     )
     def step(state):
-        x, v, pid, rho, p, covf, movf = mapped(state.x, state.v, state.pid)
+        x, v, pid, rho, p, covf, movf, dudt = mapped(
+            state.x, state.v, state.pid
+        )
         return (
             DistState(x=x, v=v, pid=pid),
-            DistAux(rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf),
+            DistAux(
+                rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf,
+                dudt=dudt,
+            ),
         )
 
     return step
