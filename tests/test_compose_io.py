@@ -162,6 +162,29 @@ def test_clean_close_keeps_last_frame(tmp_path):
     assert report["frames"] == 2
 
 
+def test_composed_through_async_dump_runner(tmp_path):
+    """The full object-store pipeline: async double-buffered dumps into
+    the compose-on-commit writer, composed at close, fsck-clean."""
+    from tpgsd.io_runtime import AsyncDumpRunner
+
+    path = str(tmp_path / "async_composed.gsd")
+    frames = _frames(n_frames=4, n=16)
+    writer = ComposedFrameWriter(path, application="t")
+    with AsyncDumpRunner(writer, depth=2) as dump:
+        for i, fr in enumerate(frames):
+            dump.submit(fr, step=i)
+
+    with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
+        assert f.nframes == 4
+        numpy.testing.assert_array_equal(
+            f.read_chunk(3, "particles/position"),
+            frames[3]["particles/position"],
+        )
+    with open(path, "rb") as fh:
+        report = tpgsd.pypgsd.verify(fh)
+    assert report["ok"], report["errors"]
+
+
 def test_composed_rejects_3d_arrays(tmp_path):
     """>2-D chunks raise loudly (matching the direct writer) instead of
     desyncing the spill stream."""
