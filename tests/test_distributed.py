@@ -348,3 +348,67 @@ def test_scan_simulate_distributed(tmp_path):
         assert numpy.isfinite(pos).all()
     x_d, v_d = collect_state(final, n)
     assert numpy.isfinite(x_d).all()
+
+
+def test_insert_compacts_receive_buffer():
+    """_insert must rank arriving migrants by order among VALID rows,
+    not raw buffer position: a migrant landing in the right-hand
+    (from-right) block of the stacked receive buffer still takes the
+    first free slot (regression: it used to need dead-slot rank ==
+    buffer position, silently dropping it on busy slabs)."""
+    from tpgsd.sph.distributed import _insert
+
+    n, mig_cap = 8, 2
+    values = jnp.arange(n, dtype=jnp.float32)[:, None] * 0  # zeros [8,1]
+    alive = jnp.asarray([True] * 6 + [False] * 2)  # 2 free slots
+    # one valid migrant, arriving at position mig_cap (right block)
+    recv_vals = jnp.zeros((2 * mig_cap, 1), jnp.float32)
+    recv_vals = recv_vals.at[mig_cap, 0].set(42.0)
+    recv_valid = jnp.zeros(2 * mig_cap, bool).at[mig_cap].set(True)
+
+    merged, lost = _insert(values, alive, recv_vals, recv_valid)
+    assert int(lost) == 0
+    assert float(merged[6, 0]) == 42.0  # first dead slot, not dropped
+
+    # and when NO free slot exists the loss is counted, not silent
+    merged2, lost2 = _insert(values, jnp.ones(n, bool), recv_vals, recv_valid)
+    assert int(lost2) == 1
+    numpy.testing.assert_array_equal(numpy.asarray(merged2), numpy.zeros((n, 1)))
+
+
+def test_left_migration_into_busy_slab():
+    """A left-moving migrant (right receive block) must be inserted even
+    when the destination slab already holds particles (regression for
+    the positional dead-slot indexing bug)."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    support = 0.5
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), support, capacity=16)
+    assert grid.dims[0] % n_dev == 0
+    params = SPHParams(mass=1.0, h=0.05, dt=0.1, gravity=(0.0, 0.0, 0.0))
+
+    # slab 0 (x in [0,1)) pre-loaded with 6 stationary residents spread
+    # in y/z (far apart vs h so forces are nil), plus one particle in
+    # slab 1 moving LEFT across the face at x=1
+    residents = numpy.stack(
+        [
+            numpy.full(6, 0.5, numpy.float32),
+            numpy.linspace(0.1, 0.9, 6, dtype=numpy.float32),
+            numpy.asarray([0.2, 0.8] * 3, numpy.float32),
+        ],
+        axis=1,
+    )
+    x = numpy.concatenate([residents, [[1.02, 0.5, 0.5]]]).astype(numpy.float32)
+    v = numpy.zeros_like(x)
+    v[6, 0] = -1.0
+    dist, cap = distribute_state(
+        SPHState(x=jnp.asarray(x), v=jnp.asarray(v)), grid, mesh, capacity=8
+    )
+    step = make_distributed_step_fn(grid, params, mesh, capacity=8)
+
+    dist, aux = step(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+    pid = numpy.asarray(dist.pid)
+    # all 7 identities survive; the migrant now lives on device 0
+    assert set(pid[pid >= 0].tolist()) == set(range(7))
+    assert 6 in pid[:8].tolist()  # device 0's slots hold pid 6 now

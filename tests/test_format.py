@@ -145,3 +145,38 @@ def test_grow_reserved():
     # reference doubles again when needed == new (pgsd/pgsd/pgsd.c:500-504)
     assert _grow_reserved(1024, 2048) == 4096
     assert _grow_reserved(1024, 5000) == 8192
+
+
+def test_index_bounds_check_overflow_safe():
+    """A corrupt entry whose N*M*itemsize wraps uint64 must be rejected
+    by the vectorized block check exactly like the scalar entry_valid
+    (regression: uint64 wrap used to let it pass, with overflow
+    RuntimeWarnings)."""
+    import warnings
+
+    # fields: (frame, N, location, M, id, type, flags); type 10 = f8
+    huge = numpy.array(
+        [(0, 1 << 61, 256, 8, 0, 10, 0)],
+        dtype=structs.INDEX_ENTRY_DTYPE,
+    )
+    assert not validate.entry_valid(huge[0], file_size=10_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # overflow warnings are failures
+        with pytest.raises(validate.FileCorruptError):
+            validate.validate_index_block(huge, 1, file_size=10_000)
+
+    # sane entries of every size still pass with the division-based check
+    good = numpy.array(
+        [(0, 4, 256, 3, 0, 9, 0)],
+        dtype=structs.INDEX_ENTRY_DTYPE,
+    )
+    validate.validate_index_block(good, 1, file_size=256 + 4 * 3 * 4)
+    with pytest.raises(validate.FileCorruptError):
+        validate.validate_index_block(good, 1, file_size=256 + 4 * 3 * 4 - 1)
+
+    # negative location (i64) must be rejected in both paths
+    neg = good.copy()
+    neg["location"] = -8
+    assert not validate.entry_valid(neg[0], file_size=10_000)
+    with pytest.raises(validate.FileCorruptError):
+        validate.validate_index_block(neg, 1, file_size=10_000)

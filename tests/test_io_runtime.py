@@ -142,3 +142,70 @@ def test_run_dump_loop_with_sph(tmp_path):
         numpy.testing.assert_allclose(
             traj[3].particles.position, numpy.asarray(final_state.x), rtol=1e-6
         )
+
+
+def test_async_dump_error_does_not_deadlock_flush(tmp_path):
+    """After a writer error, queued frames must still be drained so
+    flush()'s queue.join() returns (regression: _drain used to exit on
+    the first exception, leaving task_done never called -> hang)."""
+
+    class FailingWriter:
+        def write_frame(self, chunks, step=None):
+            raise IOError("disk gone")
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
+    dump = AsyncDumpRunner(FailingWriter(), depth=4)
+    dump.submit({"x": numpy.zeros(4)})
+    dump.submit({"x": numpy.zeros(4)})  # queued behind the failure
+    done = []
+
+    def do_flush():
+        with pytest.raises(RuntimeError, match="async dump writer failed"):
+            dump.flush()
+        done.append(True)
+
+    t = threading.Thread(target=do_flush)
+    t.start()
+    t.join(timeout=10)
+    assert done, "flush() deadlocked after a writer error"
+    dump.close()  # must not hang either
+
+
+def test_async_dump_error_does_not_deadlock_close(tmp_path):
+    """close() must not hang putting the sentinel into a full queue when
+    the writer has failed (e.g. disk full mid-run)."""
+
+    class FailingWriter:
+        def write_frame(self, chunks, step=None):
+            raise IOError("disk full")
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
+    dump = AsyncDumpRunner(FailingWriter(), depth=1)
+    try:
+        for _ in range(4):  # more frames than the queue holds
+            dump.submit({"x": numpy.zeros(4)})
+    except RuntimeError:
+        pass
+    done = []
+
+    def do_close():
+        try:
+            dump.close()
+        except RuntimeError:
+            pass
+        done.append(True)
+
+    t = threading.Thread(target=do_close)
+    t.start()
+    t.join(timeout=10)
+    assert done, "close() deadlocked after a writer error"

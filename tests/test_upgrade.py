@@ -78,3 +78,55 @@ def test_upgrade_v2_noop(tmp_path):
         f.end_frame()
         f.upgrade()
         assert f.pgsd_version == (2, 0)
+
+
+def test_upgrade_crash_before_header_leaves_v1_intact(tmp_path):
+    """upgrade() is copy-on-write: new namelist/index blocks land at EOF
+    and the single final header write flips version + locations.  A
+    crash at any point before that header write must leave a fully
+    readable v1 file (regression: the namelist used to be rewritten in
+    place under the v1 header)."""
+    rng = numpy.random.RandomState(7)
+    frames = [
+        [("k%d" % j, rng.rand(4).astype(numpy.float32)) for j in range(3)]
+        for _ in range(2)
+    ]
+    fname = tmp_path / "crash.gsd"
+    _make_v1_file(fname, frames, nframes=2)
+
+    class Boom(RuntimeError):
+        pass
+
+    with tpgsd.fl.open(fname, "r+") as f:
+        real_pwrite = f._fh.pwrite
+
+        def crashing_pwrite(offset, data):
+            if offset == 0:  # the final header write
+                raise Boom()
+            return real_pwrite(offset, data)
+
+        f._fh.pwrite = crashing_pwrite
+        try:
+            f.upgrade()
+        except Boom:
+            pass
+        f._fh.pwrite = real_pwrite
+        f._is_open = False  # skip close-time flush over the patched state
+        f._fh.close()
+
+    # the interrupted upgrade must leave an intact v1 file
+    with tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.pgsd_version == (1, 0)
+        assert f.nframes == 2
+        for i in range(2):
+            for name, arr in frames[i]:
+                numpy.testing.assert_array_equal(f.read_chunk(i, name), arr)
+
+    # and a second, uninterrupted upgrade completes normally
+    with tpgsd.fl.open(fname, "r+") as f:
+        f.upgrade()
+    with tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.pgsd_version == (2, 0)
+        for i in range(2):
+            for name, arr in frames[i]:
+                numpy.testing.assert_array_equal(f.read_chunk(i, name), arr)

@@ -136,7 +136,11 @@ class PGSDFile:
         elif mode == "a":
             readonly, create = False, True
             exclusive = False
-            overwrite = not os.path.exists(self._name)
+            # the controller alone decides whether the file pre-exists:
+            # a per-process os.path.exists on a shared filesystem could
+            # observe the file rank 0 is just creating, disagree on
+            # overwrite, and desynchronize the collective sequence below
+            overwrite = bool(self._comm.bcast(not os.path.exists(self._name)))
         else:
             raise ValueError("Invalid mode: " + str(mode))
 
@@ -330,16 +334,17 @@ class PGSDFile:
         self._initialize_handle(readonly=False)
 
     def upgrade(self):
-        """Upgrade a v1 file to v2 in place.
+        """Upgrade a v1 file to v2 in place, crash-atomically.
 
-        Rewrites the namelist in the v2 packed encoding, re-sorts the
-        index globally by (frame, id), and bumps the header version -
-        restoring the capability upstream GSD has and the reference
-        disables (reference: pgsd/pgsd/pgsd.h:675, fl.pyx:947-963
-        commented out).  The header is written last so a crash before
-        that point leaves a file v1 readers still parse (the sorted
-        index remains frame-ordered and the namelist block is rewritten
-        through a temporary relocation).
+        Writes a v2-packed namelist and a globally (frame, id)-sorted
+        index as NEW blocks at end-of-file, then repoints both and bumps
+        the version in one final header write - restoring the capability
+        upstream GSD has and the reference disables (reference:
+        pgsd/pgsd/pgsd.h:675, fl.pyx:947-963 commented out).  Copy-on-
+        write means a crash anywhere before the header write leaves the
+        original v1 blocks untouched and the file fully v1-readable; the
+        old blocks become dead bytes after the switch (the same cost the
+        format already pays for namelist/index relocation-on-growth).
         """
         if not self._is_open:
             raise ValueError("File is not open")
@@ -351,24 +356,28 @@ class PGSDFile:
 
         # v2 namelist packing never exceeds the v1 fixed-slot block
         packed = validate.pack_namelist_v2(self._names, self._namelist_reserved)
-        self._fh.pwrite(int(self._header["namelist_location"]), packed)
+        namelist_loc = self._file_size
+        self._fh.pwrite(namelist_loc, packed)
+
+        index_loc = namelist_loc + len(packed)
+        n_alloc = int(self._header["index_allocated_entries"])
+        if len(self._file_index):
+            self._file_index = validate.sort_index(self._file_index)
+        block = structs.new_index_block(n_alloc)
+        block[: len(self._file_index)] = self._file_index
+        self._fh.pwrite(index_loc, block.tobytes())
+        self._fh.fsync()  # new blocks durable before the header points at them
+
+        self._header["pgsd_version"] = make_version(2, 0)
+        self._header["namelist_location"] = namelist_loc
+        self._header["index_location"] = index_loc
+        self._fh.pwrite(0, structs.pack_header(self._header))
+        self._fh.fsync()
+
         self._namelist_used = sum(
             len(n.encode("utf-8")) + 1 for n in self._names
         )
-
-        # globally (frame, id)-sorted index; still frame-ordered, so a
-        # v1 reader parses it too
-        if len(self._file_index):
-            self._file_index = validate.sort_index(self._file_index)
-            self._fh.pwrite(
-                int(self._header["index_location"]),
-                self._file_index.tobytes(),
-            )
-        self._fh.fsync()
-
-        self._header["pgsd_version"] = make_version(2, 0)
-        self._fh.pwrite(0, structs.pack_header(self._header))
-        self._fh.fsync()
+        self._file_size = index_loc + n_alloc * INDEX_ENTRY_SIZE
 
     # ------------------------------------------------------------------ #
     # names

@@ -66,7 +66,7 @@ def entry_valid(entry, n_names=None, file_size=None):
         return False
     if int(entry["flags"]) != 0:
         return False
-    if int(entry["location"]) == 0:
+    if int(entry["location"]) <= 0:
         return False
     if n_names is not None and int(entry["id"]) >= n_names:
         return False
@@ -115,8 +115,18 @@ def validate_index_block(index, n_used, n_names=None, file_size=None, name=""):
     if n_names is not None:
         ok &= used["id"] < n_names
     if file_size is not None:
-        end = used["location"].astype(np.uint64) + used["N"] * used["M"] * sizes
-        ok &= end <= np.uint64(file_size)
+        # overflow-safe bounds check: location + N*M*itemsize <= file_size
+        # computed as N <= (file_size - location) // (M * itemsize) so a
+        # corrupt entry with N*M*itemsize >= 2^64 cannot wrap uint64 and
+        # slip past (M is u32 and itemsize <= 8, so the divisor itself
+        # never wraps)
+        fs = np.uint64(file_size)
+        loc = used["location"].astype(np.uint64)  # negative -> huge -> bad
+        ok &= loc <= fs
+        avail = np.where(loc <= fs, fs - loc, np.uint64(0))
+        per_row = used["M"].astype(np.uint64) * sizes
+        max_rows = avail // np.maximum(per_row, np.uint64(1))
+        ok &= used["N"] <= max_rows
     if not ok.all():
         i = int(np.argmin(ok))
         raise FileCorruptError(

@@ -84,12 +84,19 @@ class AsyncDumpRunner:
     # ------------------------------------------------------------------ #
 
     def _drain(self):
+        # The thread stays alive until the sentinel even after a writer
+        # error: queued frames past the failure are consumed-and-discarded
+        # (each still task_done-ed) so flush()'s queue.join() and close()'s
+        # blocking put can never hang on a dead writer (e.g. disk full) —
+        # the error surfaces as an exception at the next submit/flush/close.
         while True:
             item = self._queue.get()
             if item is _SENTINEL:
                 return
             chunks, step = item
             try:
+                if self._error is not None:
+                    continue
                 t0 = time.perf_counter()
                 self._writer.write_frame(chunks, step=step)
                 dt = time.perf_counter() - t0
@@ -108,7 +115,6 @@ class AsyncDumpRunner:
             except BaseException as e:  # surface on next submit/close
                 logger.exception("async dump failed")
                 self._error = e
-                return
             finally:
                 self._queue.task_done()
 
@@ -150,7 +156,8 @@ class AsyncDumpRunner:
         if self._closed:
             return
         self._closed = True
-        self._queue.put(_SENTINEL)
+        if self._thread.is_alive():
+            self._queue.put(_SENTINEL)
         self._thread.join()
         if self.stats._t_first:
             self.stats.wall_seconds = time.perf_counter() - self.stats._t_first

@@ -20,10 +20,13 @@ fixed-capacity cell-dense layout as the single-device path.
 
 Capacity model (all static shapes): each device holds ``cap`` particle
 slots with an ``alive`` mask, and at most ``migrate_cap`` particles can
-cross a face per step; both overflows are counted and reported in
-``aux.overflow`` rather than silently dropped mid-flight (particles
-that cannot migrate stay alive locally one more step - physically a
-one-step delay at worst, never data loss).
+cross a face per step; every overflow is counted in ``aux`` rather
+than silently dropped.  Send-side overflow (more than ``migrate_cap``
+crossings in one step) keeps the particle alive locally one more step
+- a one-step delay, never loss.  Receive-side overflow (an arriving
+migrant finds no free slot) does lose the particle, but only occurs
+when a slab's occupancy exceeds ``cap - arrivals``; it is counted in
+``aux.migrate_overflow`` so the caller can re-slab with more capacity.
 """
 
 from functools import partial
@@ -155,7 +158,14 @@ def _pack_migrants(values, send_mask, cap):
 
 
 def _insert(values, alive, recv_vals, recv_valid):
-    """Insert received rows into dead slots (first-fit)."""
+    """Insert received rows into dead slots (first-fit).
+
+    Valid rows are first compacted (ranked by their order among the
+    valid rows, not by raw buffer position), so the j-th arriving
+    migrant takes the j-th free slot no matter where in the stacked
+    receive buffer it landed.  Returns ``(merged, n_lost)`` where
+    ``n_lost`` counts valid rows for which no free slot existed.
+    """
     n = alive.shape[0]
     dead_rank = jnp.cumsum((~alive).astype(jnp.int32)) - 1  # rank among dead
     # slot index of the k-th dead slot: scatter positions by dead rank
@@ -163,10 +173,11 @@ def _insert(values, alive, recv_vals, recv_valid):
     slot_of_rank = slot_of_rank.at[jnp.where(~alive, dead_rank, n)].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
-    k = recv_vals.shape[0]
-    targets = slot_of_rank[jnp.minimum(jnp.arange(k), n - 1)]
+    recv_rank = jnp.cumsum(recv_valid.astype(jnp.int32)) - 1
+    targets = slot_of_rank[jnp.clip(recv_rank, 0, n - 1)]
     targets = jnp.where(recv_valid, targets, n)  # invalid -> dropped
-    return values.at[targets].set(recv_vals, mode="drop"), targets
+    lost = (recv_valid & (targets >= n)).sum().astype(jnp.int32)
+    return values.at[targets].set(recv_vals, mode="drop"), lost
 
 
 def make_distributed_step_fn(
@@ -463,13 +474,13 @@ def make_distributed_step_fn(
         payload_new = payload_new.at[:, 6].set(
             jnp.where(alive_after, pid_after.astype(jnp.float32), -1.0)
         )
-        merged, _ = _insert(payload_new, alive_after, recv_vals, recv_valid)
+        merged, lost = _insert(payload_new, alive_after, recv_vals, recv_valid)
 
         x_out = merged[:, 0:3]
         v_out = merged[:, 3:6]
         pid_out = merged[:, 6].astype(jnp.int32)
 
-        mig_ovf = ovf_r + ovf_l
+        mig_ovf = ovf_r + ovf_l + lost
         return (
             x_out,
             v_out,
