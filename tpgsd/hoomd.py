@@ -300,40 +300,28 @@ def _decode_string_list(matrix):
     return [b.rstrip(b"\x00").decode("utf-8") for b in tmp]
 
 
-class _HOOMDTrajectoryIterable:
-    """Iterable over a HOOMDTrajectory (reference: pgsd/pgsd/hoomd.py:471-488)."""
+class _TrajectoryView:
+    """Lazy sequence of frames selected by an index range.
 
-    def __init__(self, trajectory, indices):
-        self._trajectory = trajectory
-        self._indices = indices
-        self._indices_iterator = iter(indices)
-
-    def __next__(self):
-        return self._trajectory[next(self._indices_iterator)]
-
-    def __iter__(self):
-        return type(self)(self._trajectory, self._indices)
-
-    def __len__(self):
-        return len(self._indices)
-
-
-class _HOOMDTrajectoryView:
-    """Sliced view of a HOOMDTrajectory (reference: pgsd/pgsd/hoomd.py:491-512)."""
+    A single sized sequence class covers slicing, nested slicing, and
+    iteration (the reference spreads this over a separate iterable and
+    view pair; behavior parity: pgsd/pgsd/hoomd.py:471-512).  Frames are
+    read on access, never cached here.
+    """
 
     def __init__(self, trajectory, indices):
         self._trajectory = trajectory
         self._indices = indices
 
-    def __iter__(self):
-        return _HOOMDTrajectoryIterable(self._trajectory, self._indices)
-
     def __len__(self):
         return len(self._indices)
+
+    def __iter__(self):
+        return map(self._trajectory.__getitem__, self._indices)
 
     def __getitem__(self, key):
         if isinstance(key, slice):
-            return type(self)(self._trajectory, self._indices[key])
+            return _TrajectoryView(self._trajectory, self._indices[key])
         return self._trajectory[self._indices[key]]
 
 
@@ -449,42 +437,51 @@ class HOOMDTrajectory:
             self.file.write_chunk("log/" + log, numpy.asarray(data))
 
     def _should_write(self, path, name, frame):
-        """True when the chunk differs from frame 0 and from the default.
+        """Decide whether chunk ``path/name`` must land in the file.
 
-        (the reference's intended logic: pgsd/pgsd/hoomd.py:654-694)
+        A chunk is stored only when the read side could not reconstruct
+        it: the value must differ from frame 0 (the reader's first
+        fallback) and, when frame 0 never stored the chunk, from the
+        schema default (the reader's second fallback).  Behavior parity
+        with the reference's intended skip logic
+        (pgsd/pgsd/hoomd.py:654-694).
         """
-        container = getattr(frame, path)
-        data = getattr(container, name)
-
-        if data is None:
+        value = getattr(getattr(frame, path), name)
+        if value is None:
             return False
+
+        # string-list fields compare as plain Python lists; array fields
+        # broadcast-compare so a scalar default matches any N
+        listlike = name in ("types", "type_shapes")
 
         if self._initial_frame is not None:
-            initial_container = getattr(self._initial_frame, path)
-            initial_data = getattr(initial_container, name)
-            if name == "types" or name == "type_shapes":
-                if initial_data == data:
-                    return False
-            elif numpy.array_equal(initial_data, data):
-                logger.debug(
-                    "skipping chunk %s/%s: matches frame 0", path, name
-                )
+            anchor = getattr(getattr(self._initial_frame, path), name)
+            same = (
+                anchor == value
+                if listlike
+                else numpy.array_equal(anchor, value)
+            )
+            if same:
+                logger.debug("skip %s/%s: equals frame 0", path, name)
                 return False
 
-        if name == "types":
-            matches_default = data == container._default_value[name]
-        else:
-            matches_default = numpy.array_equiv(
-                data, container._default_value[name]
-            )
-
-        if matches_default and not self.file.chunk_exists(
-            frame=0, name=path + "/" + name, write_all=False
-        ):
-            logger.debug("skipping chunk %s/%s: default value", path, name)
-            return False
-
-        return True
+        default = getattr(frame, path)._default_value[name]
+        is_default = (
+            value == default
+            if listlike
+            else numpy.array_equiv(value, default)
+        )
+        if not is_default:
+            return True
+        # default-valued data still needs writing when frame 0 pinned a
+        # different value on disk: the reader would otherwise inherit
+        # frame 0 instead of the default
+        written_at_0 = self.file.chunk_exists(
+            frame=0, name=f"{path}/{name}", write_all=False
+        )
+        if not written_at_0:
+            logger.debug("skip %s/%s: schema default", path, name)
+        return written_at_0
 
     def extend(self, iterable):
         """Append every :class:`Frame` from ``iterable``."""
@@ -649,7 +646,7 @@ class HOOMDTrajectory:
     def __getitem__(self, key):
         """Index frames with ints, negative ints, or slices (list semantics)."""
         if isinstance(key, slice):
-            return _HOOMDTrajectoryView(self, range(*key.indices(len(self))))
+            return _TrajectoryView(self, range(*key.indices(len(self))))
         elif isinstance(key, int):
             if key < 0:
                 key += len(self)
@@ -660,7 +657,7 @@ class HOOMDTrajectory:
             raise TypeError
 
     def __iter__(self):
-        return _HOOMDTrajectoryIterable(self, range(len(self)))
+        return iter(_TrajectoryView(self, range(len(self))))
 
     def __enter__(self):
         return self
@@ -716,41 +713,42 @@ def read_log(name, scalar_only=False):
         dict mapping chunk name to an array with the leading axis = frame.
     """
     with fl.open(name=str(name), mode="r", schema="hoomd") as f:
-        logged_data_names = f.find_matching_chunk_names("log/")
-        logged_data_names.insert(0, "configuration/step")
-        if len(logged_data_names) == 1:
+        wanted = ["configuration/step", *f.find_matching_chunk_names("log/")]
+        if len(wanted) == 1:
             warnings.warn("No logged data in file: " + str(name), RuntimeWarning)
+        if f.nframes == 0:
+            return {"configuration/step": numpy.zeros(0, dtype=numpy.uint64)}
 
-        logged_data_dict = dict()
-        for log in logged_data_names:
-            log_exists_frame_0 = f.chunk_exists(frame=0, name=log)
-            is_configuration_step = log == "configuration/step"
-
-            if log_exists_frame_0 or is_configuration_step:
-                if is_configuration_step and not log_exists_frame_0:
-                    tmp = numpy.array([0], dtype=numpy.uint64)
-                else:
-                    tmp = f.read_chunk(frame=0, name=log)
-
-                if scalar_only and not tmp.shape[0] == 1:
+        # a quantity qualifies when frame 0 stores it (configuration/step
+        # always qualifies, defaulting to 0); its frame-0 value also fills
+        # any later frame that omits the chunk - the same sticky-frame-0
+        # semantics as the frame reader
+        frame0 = f.read_all_chunks(0)
+        fill = {}
+        for nm in wanted:
+            v = frame0.get(nm)
+            if v is None:
+                if nm != "configuration/step":
                     continue
-                if tmp.shape[0] == 1:
-                    logged_data_dict[log] = numpy.full(
-                        fill_value=tmp[0], shape=(f.nframes,)
-                    )
-                else:
-                    logged_data_dict[log] = numpy.tile(
-                        tmp, (f.nframes,) + tuple(1 for _ in tmp.shape)
-                    )
+                v = numpy.zeros(1, dtype=numpy.uint64)
+            if scalar_only and v.shape[0] != 1:
+                continue
+            fill[nm] = v
 
+        # single batched positioned read per frame (one index slice +
+        # threaded pread_many in tpgsd.fl) instead of the reference's
+        # chunk_exists/read_chunk cascade per quantity per frame
+        columns = {nm: [v] for nm, v in fill.items()}
         for idx in range(1, f.nframes):
-            for log in logged_data_dict:
-                if not f.chunk_exists(frame=idx, name=log):
-                    continue
-                data = f.read_chunk(frame=idx, name=log)
-                if len(logged_data_dict[log][idx].shape) == 0:
-                    logged_data_dict[log][idx] = data[0]
-                else:
-                    logged_data_dict[log][idx] = data
+            present = f.read_all_chunks(idx)
+            for nm, col in columns.items():
+                col.append(present.get(nm, fill[nm]))
 
-    return logged_data_dict
+    out = {}
+    for nm, col in columns.items():
+        if fill[nm].shape[0] == 1:
+            # length-1 rows flatten to a scalar time series
+            out[nm] = numpy.array([row[0] for row in col])
+        else:
+            out[nm] = numpy.stack(col)
+    return out
