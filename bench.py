@@ -23,8 +23,10 @@ Environment knobs:
     TPGSD_BENCH_KEYS          chunk names per frame (default 17)
     TPGSD_BENCH_BYTES         bytes per chunk (default 8 MiB)
     TPGSD_BENCH_DIR           scratch-file directory (default $TMPDIR)
-    TPGSD_BENCH_DEVICE_FRAMES frames for the device-path measurement
-                              (default 2; 0 disables it)
+    TPGSD_BENCH_DEVICE_FRAMES max frames for the device-path measurement
+                              (default 64; 0 disables it; the run is also
+                              timeboxed by TPGSD_BENCH_DEVICE_BUDGET_S,
+                              default 120 s, so slow links stop early)
     TPGSD_BENCH_REPS          headline repetitions, best wins (default 3)
 """
 
@@ -39,7 +41,7 @@ BASELINE_MB_S = 167.0
 
 def _write_loop(path, payload_frames, names):
     """Write every frame dict through the async dump pipeline; returns
-    elapsed seconds (open -> close, everything on disk)."""
+    (elapsed seconds open -> close with everything on disk, DumpStats)."""
     from tpgsd.io_runtime import AsyncDumpRunner
     from tpgsd.parallel import ShardedFrameWriter
 
@@ -50,7 +52,7 @@ def _write_loop(path, payload_frames, names):
     with AsyncDumpRunner(writer, depth=2) as dump:
         for frame in payload_frames:
             dump.submit(frame)
-    return time.perf_counter() - start
+    return time.perf_counter() - start, dump.stats
 
 
 def _verify(path, frames, n_keys):
@@ -66,7 +68,7 @@ def run():
     n_keys = int(os.environ.get("TPGSD_BENCH_KEYS", 17))
     chunk_bytes = int(os.environ.get("TPGSD_BENCH_BYTES", 8 << 20))
     bench_dir = os.environ.get("TPGSD_BENCH_DIR", tempfile.gettempdir())
-    device_frames = int(os.environ.get("TPGSD_BENCH_DEVICE_FRAMES", 2))
+    device_frames = int(os.environ.get("TPGSD_BENCH_DEVICE_FRAMES", 64))
     n_elems = chunk_bytes // 4  # float32
 
     import numpy
@@ -86,7 +88,7 @@ def run():
         for _ in range(max(1, reps)):
             host_frames = ({name: block[i] for i, name in enumerate(names)}
                            for _ in range(frames))
-            t = _write_loop(path, host_frames, names)
+            t, _stats = _write_loop(path, host_frames, names)
             _verify(path, frames, n_keys)
             os.unlink(path)
             elapsed = t if elapsed is None else min(elapsed, t)
@@ -128,34 +130,81 @@ def run():
 
             jax.block_until_ready(produce(0))  # compile outside the timing
 
+            # warm the D2H transfer path OUTSIDE the timed region (the
+            # first full-size transfer pays one-time setup - on tunneled
+            # runtimes this can be orders of magnitude above steady state)
+            numpy.asarray(produce(0))
+
+            # steady-state D2H link rate - the ceiling for this path -
+            # measured with the SAME pipelined pattern as the dump loop
+            # (async copies in flight behind each join) minus the file
+            # write, so "percent of link" below is apples-to-apples
+            link_frames = max(2, min(3, device_frames))
+            # prime: one full join with the next copy already in flight,
+            # outside the timing (the first pipelined frame carries ramp)
+            nxt = produce(1)
+            nxt.copy_to_host_async()
+            blk, nxt = nxt, produce(2)
+            nxt.copy_to_host_async()
+            numpy.asarray(blk)
+            t0 = time.perf_counter()
+            for f in range(link_frames):
+                blk, nxt = nxt, None
+                if f + 1 < link_frames:
+                    nxt = produce(f + 3)
+                    nxt.copy_to_host_async()
+                numpy.asarray(blk)
+            link_s = time.perf_counter() - t0
+            link_mb_s = (
+                link_frames * bytes_per_frame / 1e6 / link_s if link_s else 0.0
+            )
+
             deadline = time.perf_counter() + float(
                 os.environ.get("TPGSD_BENCH_DEVICE_BUDGET_S", 120)
             )
             frames_done = [0]
 
             def device_frame_iter():
+                # software pipeline: frame k+1's device->host copy is
+                # launched (copy_to_host_async) before frame k's bytes
+                # are handed to the writer thread, so transfer overlaps
+                # both the file write AND the next device produce.  One
+                # whole-array transfer per frame (sliced-array transfers
+                # stall on tunneled runtimes); the per-chunk views into
+                # the host block are zero-copy.
+                nxt = produce(0)
+                nxt.copy_to_host_async()
                 for f in range(device_frames):
-                    blk = produce(f)
-                    # one whole-array device->host transfer per frame
-                    # (sliced-array transfers stall on tunneled runtimes);
-                    # chunk views into the host block are zero-copy
-                    host = numpy.asarray(blk)
+                    blk, nxt = nxt, None
+                    if f + 1 < device_frames:
+                        nxt = produce(f + 1)
+                        nxt.copy_to_host_async()
+                    host = numpy.asarray(blk)  # joins the async copy
                     yield {name: host[i] for i, name in enumerate(names)}
                     frames_done[0] = f + 1
                     if time.perf_counter() > deadline:
                         return  # timebox: slow host links must not stall the run
 
-            elapsed_d = _write_loop(path, device_frame_iter(), names)
+            elapsed_d, stats = _write_loop(path, device_frame_iter(), names)
             _verify(path, frames_done[0], n_keys)
             dev_bytes = bytes_per_frame * frames_done[0]
+            dev_mb_s = dev_bytes / 1e6 / elapsed_d
+            print(
+                "# d2h link steady-state (pipelined, no write): %.1f MB/s "
+                "(%d x %.0f MB frames in %.2f s)"
+                % (link_mb_s, link_frames, bytes_per_frame / 1e6, link_s),
+                file=sys.stderr,
+            )
             print(
                 "# device-resident (%s): %.2f GB in %.1f s = %.1f MB/s "
-                "(D2H + write overlapped)"
+                "(%.0f%% of link; writer busy %.0f%% of wall)"
                 % (
                     jax.default_backend(),
                     dev_bytes / 1e9,
                     elapsed_d,
-                    dev_bytes / 1e6 / elapsed_d,
+                    dev_mb_s,
+                    100.0 * dev_mb_s / link_mb_s if link_mb_s else 0.0,
+                    100.0 * stats.overlap_efficiency,
                 ),
                 file=sys.stderr,
             )
