@@ -91,11 +91,15 @@ def test_step_with_pallas_matches(setup):
     )
 
 
-@pytest.mark.parametrize("capacity,nz_odd", [(64, False), (64, True), (16, True)])
+@pytest.mark.parametrize(
+    "capacity,nz_odd",
+    [(64, False), (64, True), (16, True), (48, True), (40, False), (24, True)],
+)
 def test_packed_kernels_match_jnp(capacity, nz_odd):
-    """The packed sub-128 layout (f = 128/K cells per row) must be
+    """The packed sub-128 layout (f = 128//K cells per row) must be
     numerically identical to the jnp path, including when nz is not a
-    multiple of f (z-padding) and at deep packing factors."""
+    multiple of f (z-padding), at deep packing factors, and at RAGGED
+    capacities (f*K < 128, e.g. the occupancy-matched 48/40/24)."""
     from tpgsd.sph.cells import CellGrid, make_grid
 
     rng = numpy.random.RandomState(7)
@@ -141,6 +145,97 @@ def test_packed_kernels_match_jnp(capacity, nz_odd):
     scale = numpy.abs(ref).max() or 1.0
     numpy.testing.assert_allclose(
         numpy.asarray(acc_pl) / scale, ref / scale, rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("capacity", [48, 64, 128])
+def test_periodic_matches_jnp(capacity):
+    """Periodic boundaries via the pre-shifted ghost-cell halo must match
+    the jnp path's wrapped neighbor table + minimum image, across the
+    ragged-packed, f=2-packed, and lane-native kernel paths."""
+    from tpgsd.sph.cells import make_grid
+    from tpgsd.sph.step import _mimage_of
+
+    rng = numpy.random.RandomState(3)
+    grid = make_grid((0, 0, 0), (1.2, 1.0, 0.9), 0.3, capacity=capacity)
+    wrap = tuple(bool(d >= 3) for d in grid.dims)
+    assert any(wrap)
+    n = 250
+    x = jnp.asarray(
+        rng.rand(n, 3).astype(numpy.float32)
+        * numpy.array([1.2, 1.0, 0.9], numpy.float32)
+    )
+    v = jnp.asarray(rng.randn(n, 3).astype(numpy.float32) * 0.1)
+    params = SPHParams(mass=0.01, h=0.15, dt=1e-4)
+
+    cells = build_cells(x, grid)
+    dense_x = scatter_to_cells(x, cells, grid)
+    dense_v = scatter_to_cells(v, cells, grid)
+    nbr = neighbor_table(grid, periodic=True)
+    mim = _mimage_of(grid, True)
+
+    rho_ref = _density_blocks(
+        dense_x, cells.mask, nbr, params, WendlandC2, 8, mimage=mim
+    )
+    rho_pl = pallas_ops.density(
+        dense_x, cells.mask, grid, params, kernel=WendlandC2,
+        interpret=True, wrap_axes=wrap,
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho_pl), numpy.asarray(rho_ref), rtol=1e-5, atol=1e-4
+    )
+
+    rho = jnp.concatenate(
+        [rho_ref, jnp.full((1, capacity), params.rho0, rho_ref.dtype)]
+    )
+    rho = jnp.where(cells.mask, jnp.maximum(rho, 0.1 * params.rho0), params.rho0)
+    p = jnp.where(cells.mask, tait_pressure(rho, params), 0.0)
+    acc_ref = _accel_blocks(
+        dense_x, dense_v, rho, p, cells.mask, nbr, params, WendlandC2, 8,
+        mimage=mim,
+    )
+    acc_pl = pallas_ops.accel(
+        dense_x, dense_v, rho, p, cells.mask, grid, params,
+        kernel=WendlandC2, interpret=True, wrap_axes=wrap,
+    )
+    ref = numpy.asarray(acc_ref)
+    scale = numpy.abs(ref).max() or 1.0
+    numpy.testing.assert_allclose(
+        numpy.asarray(acc_pl) / scale, ref / scale, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_step_periodic_with_pallas_matches():
+    """A full periodic step through the Pallas path (ghost halo) matches
+    the jnp periodic step - the guard that used to reject this
+    combination is gone."""
+    from tpgsd.sph import SPHState, make_step_fn
+    from tpgsd.sph.cells import make_grid
+
+    rng = numpy.random.RandomState(11)
+    grid = make_grid((0, 0, 0), (1.2, 1.0, 0.9), 0.3, capacity=48)
+    n = 250
+    x = jnp.asarray(
+        rng.rand(n, 3).astype(numpy.float32)
+        * numpy.array([1.2, 1.0, 0.9], numpy.float32)
+    )
+    v = jnp.asarray(rng.randn(n, 3).astype(numpy.float32) * 0.1)
+    params = SPHParams(mass=0.01, h=0.15, dt=1e-4)
+    state = SPHState(x=x, v=v)
+
+    step_ref = jax.jit(make_step_fn(grid, params, periodic=True))
+    step_pl = jax.jit(
+        make_step_fn(
+            grid, params, periodic=True, use_pallas=True, pallas_interpret=True
+        )
+    )
+    s_ref, (rho_ref, _, _) = step_ref(state)
+    s_pl, (rho_pl, _, _) = step_pl(state)
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_pl.x), numpy.asarray(s_ref.x), rtol=1e-5, atol=1e-6
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho_pl), numpy.asarray(rho_ref), rtol=1e-5, atol=1e-3
     )
 
 

@@ -51,6 +51,8 @@ v5e carries 128 MB of VMEM per core.
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -155,7 +157,7 @@ def _start_window_dmas(src, dst, sem, sem_base, base, astarts, wlen):
 
 
 def _density_kernel(
-    x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block
+    flags_ref, x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block
 ):
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
@@ -163,54 +165,60 @@ def _density_kernel(
     i = pl.program_id(0)
     base = i * block  # multiple of 8; astarts carry the pad
 
-    xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
-    mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-    for c_ in xcopies + mcopies:
-        c_.wait()
+    # occupancy-driven sparsity (see _block_flags / the packed kernels)
+    @pl.when(flags_ref[i, 0] == 0)
+    def _empty():
+        rho_ref[:] = jnp.zeros((block, kp), jnp.float32)
 
-    ix, iy, iz = _cell_coords(i * block, block, ny, nz)
+    @pl.when(flags_ref[i, 0] != 0)
+    def _occupied():
+        xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
+        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+        for c_ in xcopies + mcopies:
+            c_.wait()
 
-    # center block = middle window (dx=0, dy=0), dz=0 slice
-    e4 = extras[4]
-    xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, Kp]
-    mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, Kp]
+        ix, iy, iz = _cell_coords(i * block, block, ny, nz)
 
-    # fully unrolled 27-offset pair loop with static window slices: the
-    # density body is small enough for the VMEM scoped stack, and the
-    # unrolled form measures ~3x faster than a fori_loop over scratch
-    # (matching the XLA-fused jnp path)
-    acc = jnp.zeros((block, kp), jnp.float32)
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    for w, (dx, dy) in enumerate(offs):
-        e = extras[w]
-        for dz in (-1, 0, 1):
-            yb = xw[w, :, e + 1 + dz : e + 1 + dz + block]  # [3, B, Kp]
-            ym = mw[w, e + 1 + dz : e + 1 + dz + block]  # [B, Kp]
-            valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
-            pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
-            ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, Kp, Kp]
-            ddy = xc[1][:, :, None] - yb[1][:, None, :]
-            ddz = xc[2][:, :, None] - yb[2][:, None, :]
-            r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-            acc = acc + jnp.sum(
-                kernel.w(r, params.h, dim=params.dim) * pm, axis=-1
-            )
-    rho_ref[:] = params.mass * acc * mc
+        # center block = middle window (dx=0, dy=0), dz=0 slice
+        e4 = extras[4]
+        xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, Kp]
+        mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, Kp]
+
+        # fully unrolled 27-offset pair loop with static window slices:
+        # the density body is small enough for the VMEM scoped stack, and
+        # the unrolled form measures ~3x faster than a fori_loop over
+        # scratch (matching the XLA-fused jnp path)
+        rho_ref[:] = jnp.zeros((block, kp), jnp.float32)
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
+
+            @pl.when(flags_ref[i, 1 + w] != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                acc = jnp.zeros((block, kp), jnp.float32)
+                for dz in (-1, 0, 1):
+                    yb = xw[w, :, e + 1 + dz : e + 1 + dz + block]  # [3,B,Kp]
+                    ym = mw[w, e + 1 + dz : e + 1 + dz + block]  # [B, Kp]
+                    valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
+                    pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
+                    ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, Kp, Kp]
+                    ddy = xc[1][:, :, None] - yb[1][:, None, :]
+                    ddz = xc[2][:, :, None] - yb[2][:, None, :]
+                    r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    acc = acc + jnp.sum(
+                        kernel.w(r, params.h, dim=params.dim) * pm, axis=-1
+                    )
+                rho_ref[:] += acc
+        rho_ref[:] = params.mass * rho_ref[:] * mc
 
 
 def _accel_kernel(
-    f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
-    *, grid, params, kernel, block, w_subset
+    flags_ref, f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
+    *, grid, params, kernel, block
 ):
-    """One dx-plane of the acceleration: fully unrolled pair loop over
-    the (dx, dy) windows in ``w_subset`` (a static subset of 0..8).
-
-    The full 27-offset unrolled body overflows the ~16 MB VMEM scoped
-    stack (Mosaic's stack charge scales with unrolled iteration count),
-    so the 27 offsets are split across three kernel invocations - one
-    per dx plane - whose partial sums add outside.  Static slicing is
-    what keeps the unrolled form fast; fori/dynamic-slice variants
-    measured 3-5x slower.
+    """Acceleration over all 27 offsets: fully unrolled pair loop with
+    static window slices (fori/dynamic-slice variants measured 3-5x
+    slower), occupancy-flag-gated like the density kernel.
 
     f_hbm: ``[8, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho, p).
     """
@@ -221,95 +229,84 @@ def _accel_kernel(
     i = pl.program_id(0)
     base = i * block
 
-    fcopies = _start_window_dmas(
-        f_hbm, fw, sems, 0, base,
-        [astarts[w] for w in w_subset], wlen,
-    )
-    mcopies = _start_window_dmas(
-        m_hbm, mw, sems, len(w_subset), base,
-        [astarts[w] for w in w_subset], wlen,
-    )
-    for c_ in fcopies + mcopies:
-        c_.wait()
+    @pl.when(flags_ref[i, 0] == 0)
+    def _empty():
+        zero = jnp.zeros((block, kp), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
 
-    ix, iy, iz = _cell_coords(i * block, block, ny, nz)
+    @pl.when(flags_ref[i, 0] != 0)
+    def _occupied():
+        fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
+        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+        for c_ in fcopies + mcopies:
+            c_.wait()
 
-    # center block: always DMA'd (window 4 may not be in this subset),
-    # cheapest as its own copy when absent
-    if 4 in w_subset:
-        slot4 = w_subset.index(4)
+        ix, iy, iz = _cell_coords(i * block, block, ny, nz)
+
         e4 = extras[4]
-        cen = fw[slot4, :, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
-        mc = mw[slot4, e4 + 1 : e4 + 1 + block]
-    else:
-        # window 4's aligned start, staged into the spare scratch slot
-        spare = len(w_subset)
-        cp4 = pltpu.make_async_copy(
-            f_hbm.at[:, pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
-            fw.at[spare],
-            sems.at[2 * len(w_subset)],
-        )
-        cp4m = pltpu.make_async_copy(
-            m_hbm.at[pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
-            mw.at[spare],
-            sems.at[2 * len(w_subset) + 1],
-        )
-        cp4.start()
-        cp4m.start()
-        cp4.wait()
-        cp4m.wait()
-        e4 = extras[4]
-        cen = fw[spare, :, e4 + 1 : e4 + 1 + block]
-        mc = mw[spare, e4 + 1 : e4 + 1 + block]
+        cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
+        mc = mw[4, e4 + 1 : e4 + 1 + block]
 
-    rho_c = cen[6]
-    p_c = cen[7]
-    pterm_c = p_c / (rho_c * rho_c + 1e-30)
+        rho_c = cen[6]
+        p_c = cen[7]
+        pterm_c = p_c / (rho_c * rho_c + 1e-30)
 
-    accx = jnp.zeros((block, kp), jnp.float32)
-    accy = jnp.zeros((block, kp), jnp.float32)
-    accz = jnp.zeros((block, kp), jnp.float32)
-    for slot, w in enumerate(w_subset):
-        dx, dy = w // 3 - 1, w % 3 - 1
-        e = extras[w]
-        for dz in (-1, 0, 1):
-            nb = fw[slot, :, e + 1 + dz : e + 1 + dz + block]  # [8, B, Kp]
-            ym = mw[slot, e + 1 + dz : e + 1 + dz + block]
-            valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
-            pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
+        zero = jnp.zeros((block, kp), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        for w in range(9):
+            dx, dy = w // 3 - 1, w % 3 - 1
+            e = extras[w]
 
-            ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B, Kp, Kp]
-            ddy = cen[1][:, :, None] - nb[1][:, None, :]
-            ddz = cen[2][:, :, None] - nb[2][:, None, :]
-            dvx = cen[3][:, :, None] - nb[3][:, None, :]
-            dvy = cen[4][:, :, None] - nb[4][:, None, :]
-            dvz = cen[5][:, :, None] - nb[5][:, None, :]
-            rho_n = nb[6][:, None, :]
-            p_n = nb[7][:, None, :]
+            @pl.when(flags_ref[i, 1 + w] != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                accx = jnp.zeros((block, kp), jnp.float32)
+                accy = jnp.zeros((block, kp), jnp.float32)
+                accz = jnp.zeros((block, kp), jnp.float32)
+                for dz in (-1, 0, 1):
+                    nb = fw[w, :, e + 1 + dz : e + 1 + dz + block]  # [8,B,Kp]
+                    ym = mw[w, e + 1 + dz : e + 1 + dz + block]
+                    valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
+                    pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
 
-            r2 = ddx * ddx + ddy * ddy + ddz * ddz
-            r = jnp.sqrt(r2)
-            dwr = kernel.dw_over_r(r, params.h, dim=params.dim)  # [B, Kp, Kp]
+                    ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B,Kp,Kp]
+                    ddy = cen[1][:, :, None] - nb[1][:, None, :]
+                    ddz = cen[2][:, :, None] - nb[2][:, None, :]
+                    dvx = cen[3][:, :, None] - nb[3][:, None, :]
+                    dvy = cen[4][:, :, None] - nb[4][:, None, :]
+                    dvz = cen[5][:, :, None] - nb[5][:, None, :]
+                    rho_n = nb[6][:, None, :]
+                    p_n = nb[7][:, None, :]
 
-            press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
 
-            vdotx = dvx * ddx + dvy * ddy + dvz * ddz
-            rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-            pi = jnp.where(
-                vdotx < 0.0,
-                -params.alpha * params.c0 * params.h
-                * (vdotx / (r2 + h2eps)) / rho_bar,
-                0.0,
-            )
+                    press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
 
-            scale = -params.mass * (press + pi) * dwr * pm  # [B, Kp, Kp]
-            accx = accx + jnp.sum(scale * ddx, axis=-1)
-            accy = accy + jnp.sum(scale * ddy, axis=-1)
-            accz = accz + jnp.sum(scale * ddz, axis=-1)
+                    vdotx = dvx * ddx + dvy * ddy + dvz * ddz
+                    rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
+                    pi = jnp.where(
+                        vdotx < 0.0,
+                        -params.alpha * params.c0 * params.h
+                        * (vdotx / (r2 + h2eps)) / rho_bar,
+                        0.0,
+                    )
 
-    ax_ref[:] = accx * mc
-    ay_ref[:] = accy * mc
-    az_ref[:] = accz * mc
+                    scale = -params.mass * (press + pi) * dwr * pm
+                    accx = accx + jnp.sum(scale * ddx, axis=-1)
+                    accy = accy + jnp.sum(scale * ddy, axis=-1)
+                    accz = accz + jnp.sum(scale * ddz, axis=-1)
+                ax_ref[:] += accx
+                ay_ref[:] += accy
+                az_ref[:] += accz
+
+        ax_ref[:] = ax_ref[:] * mc
+        ay_ref[:] = ay_ref[:] * mc
+        az_ref[:] = az_ref[:] * mc
 
 
 # ---------------------------------------------------------------------------
@@ -340,12 +337,18 @@ def _accel_kernel(
 
 
 def _packed_geometry(grid, block):
-    """Static geometry of the packed layout (see module comment above)."""
+    """Static geometry of the packed layout (see module comment above).
+
+    Works for ANY capacity K <= 64: f = 128 // K cells share a row; when
+    f*K < 128 (K not dividing 128, e.g. the occupancy-matched sizes 48 /
+    40 / 24) the remaining lanes are zero-mask padding - the row is
+    "ragged" but every mask/validity term already kills dead lanes.
+    """
     if block % 8 != 0:
         raise ValueError("pallas block must be a multiple of 8")
     k = grid.capacity
-    if k >= 128 or 128 % k != 0:
-        raise ValueError("packed path needs capacity dividing 128, got %d" % k)
+    if k > 64:
+        raise ValueError("packed path needs capacity <= 64, got %d" % k)
     f = 128 // k
     nx, ny, nz = grid.dims
     nzp = _round_up(nz, f)
@@ -367,7 +370,10 @@ def _packed_geometry(grid, block):
 
 
 def _pack_dense(arr, grid, f, nzp, pad_r, cp_r):
-    """``[..., C(+1), K]`` -> packed padded ``[..., cp_r, 128]``."""
+    """``[..., C(+1), K]`` -> packed padded ``[..., cp_r, 128]``.
+
+    Ragged rows (f*K < 128) zero-pad the trailing lanes.
+    """
     nx, ny, nz = grid.dims
     k = grid.capacity
     c = grid.n_cells
@@ -379,7 +385,7 @@ def _pack_dense(arr, grid, f, nzp, pad_r, cp_r):
     rows = nx * ny * nzp // f
     a = a.reshape(lead + (rows, f * k))
     trail = cp_r - pad_r - rows
-    widths = [(0, 0)] * len(lead) + [(pad_r, trail), (0, 0)]
+    widths = [(0, 0)] * len(lead) + [(pad_r, trail), (0, 128 - f * k)]
     return jnp.pad(a, widths)
 
 
@@ -387,7 +393,7 @@ def _unpack_rows(out, grid, f, nzp, rows):
     """Packed ``[>=rows, 128]`` kernel output -> ``[n_cells, K]``."""
     nx, ny, nz = grid.dims
     k = grid.capacity
-    a = out[:rows].reshape(nx, ny, nzp, k)[:, :, :nz]
+    a = out[:rows, : f * k].reshape(nx, ny, nzp, k)[:, :, :nz]
     return a.reshape(grid.n_cells, k)
 
 
@@ -411,50 +417,49 @@ def _packed_slices(xw, mw, w, e, block, f, k, izb, a_n, dh, nzp):
     ``D`` is the static lane-quadrant validity (None = all-valid);
     ``zn`` the [B, 128] neighbor z coordinate to bounds-check.
 
-    For f == 2 the j=0 and j=2 row-slices each hold a single useful
-    K x K quadrant (dz = -1 pairs center half 0, dz = +1 pairs half 1),
-    so they are merged into one composite slice by lane-concatenating
-    the two needed halves - 2 slices of pair math per window instead
-    of 3 (27 -> 18 total), the difference between losing and beating
-    the XLA path at the default capacity 64.
+    Two slices per window at EVERY packing depth f:
+
+    * the middle row (j=1), where the valid (hc, hn) quadrants are the
+      |hn - hc| <= 1 band (all of them when f == 2);
+    * one composite of the two outer rows.  A row boundary is only ever
+      crossed by the extreme halves - for j=0 (offset -f) the single
+      valid quadrant is (hc=0, hn=f-1), for j=2 (offset +f) it is
+      (hc=f-1, hn=0) - so lanes [0:K) take the j=2 row's first half and
+      lanes [K:) the j=0 row's tail, cutting 27 slices to 18.  This
+      merge is the difference between losing and beating the XLA path
+      at capacity 64, and it generalizes verbatim to f >= 4.
     """
-    if f == 2:
-        # middle row: every (hc, hn) quadrant valid (|dz| <= 1 always)
-        yield (
-            xw[w, :, e + 1 : e + 1 + block],
-            mw[w, e + 1 : e + 1 + block],
-            None,
-            izb + a_n,
-        )
-        # composite of the two outer rows: lanes 0:K = row j=2 half 0
-        # (dz=+1 for center half 1), lanes K: = row j=0 half 1 (dz=-1
-        # for center half 0)
-        hi = xw[w, :, e + 2 : e + 2 + block]
-        lo = xw[w, :, e : e + block]
-        comp = jnp.concatenate([hi[..., :k], lo[..., k:]], axis=-1)
-        m_comp = jnp.concatenate(
-            [
-                mw[w, e + 2 : e + 2 + block][..., :k],
-                mw[w, e : e + block][..., k:],
-            ],
-            axis=-1,
-        )
-        D = (dh != 0).astype(jnp.float32)  # anti-diagonal quadrants
-        zn = izb + jnp.where(a_n == 0, f, -1)
-        yield comp, m_comp, D, zn
-    else:
-        for j in (0, 1, 2):
-            c0 = f * (j - 1)
-            yield (
-                xw[w, :, e + j : e + j + block],
-                mw[w, e + j : e + j + block],
-                _band_matrix(c0, dh),
-                izb + (c0 + a_n),
-            )
+    # middle row: dz = hn - hc, so validity is the static |dh| <= 1 band
+    D_mid = None if f == 2 else _band_matrix(0, dh)
+    yield (
+        xw[w, :, e + 1 : e + 1 + block],
+        mw[w, e + 1 : e + 1 + block],
+        D_mid,
+        izb + a_n,
+    )
+    # composite of the two outer rows (see docstring); the half-splice is
+    # an elementwise lane SELECT (lanes < K from the j=2 row, the rest
+    # from the j=0 row) - no lane shuffling, so any K lowers on Mosaic
+    hi = xw[w, :, e + 2 : e + 2 + block]
+    lo = xw[w, :, e : e + block]
+    first_half = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < k
+    comp = jnp.where(first_half[None], hi, lo)
+    m_comp = jnp.where(
+        first_half, mw[w, e + 2 : e + 2 + block], mw[w, e : e + block]
+    )
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // k
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // k
+    D = (
+        ((lane_c == f - 1) & (lane_n == 0))
+        | ((lane_c == 0) & (lane_n == f - 1))
+    ).astype(jnp.float32)
+    zn = izb + jnp.where(a_n == 0, f, -1)
+    yield comp, m_comp, D, zn
 
 
 def _density_kernel_packed(
-    x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block, f, nzp
+    flags_ref, x_hbm, m_hbm, rho_ref, xw, mw, sems,
+    *, grid, params, kernel, block, f, nzp
 ):
     nx, ny, nz = grid.dims
     k = grid.capacity
@@ -463,52 +468,72 @@ def _density_kernel_packed(
     i = pl.program_id(0)
     base = i * block
 
-    xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
-    mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-    for c_ in xcopies + mcopies:
-        c_.wait()
+    # occupancy-driven sparsity (scalar-prefetched flags, see _block_flags):
+    # a block with no live center particles writes zeros and skips its DMAs
+    # and pair math entirely; an occupied block still skips the pair math
+    # of any all-empty neighbor window.  Free surfaces leave large parts
+    # of real SPH domains empty - the static XLA path cannot exploit that.
+    @pl.when(flags_ref[i, 0] == 0)
+    def _empty():
+        rho_ref[:] = jnp.zeros((block, 128), jnp.float32)
 
-    # row-uniform coords: every cell in packed row r shares (ix, iy);
-    # iz of lane l is izb + l // K
-    row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-    cell0 = f * row
-    ix = cell0 // (ny * nzp)
-    rem = cell0 - ix * (ny * nzp)
-    iy = rem // nzp
-    izb = rem - iy * nzp  # [B, 1], multiple of f
+    @pl.when(flags_ref[i, 0] != 0)
+    def _occupied():
+        xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
+        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+        for c_ in xcopies + mcopies:
+            c_.wait()
 
-    a_n, dh = _lane_half_vectors(k)
+        # row-uniform coords: every cell in packed row r shares (ix, iy);
+        # iz of lane l is izb + l // K
+        row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        cell0 = f * row
+        ix = cell0 // (ny * nzp)
+        rem = cell0 - ix * (ny * nzp)
+        iy = rem // nzp
+        izb = rem - iy * nzp  # [B, 1], multiple of f
 
-    # center row: window 4 (off'=0, r_lo=-1), j=1
-    e4 = extras[4]
-    xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, 128]
-    mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, 128]
+        a_n, dh = _lane_half_vectors(k)
 
-    acc = jnp.zeros((block, 128), jnp.float32)
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    for w, (dx, dy) in enumerate(offs):
-        e = extras[w]
-        xy_ok = (
-            (ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
-        ).astype(jnp.float32)  # [B, 1]
-        for yb, ym, D, zn in _packed_slices(
-            xw, mw, w, e, block, f, k, izb, a_n, dh, nzp
-        ):
-            z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
-            pm = ym * z_ok * xy_ok  # [B, 128]
-            ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, 128, 128]
-            ddy = xc[1][:, :, None] - yb[1][:, None, :]
-            ddz = xc[2][:, :, None] - yb[2][:, None, :]
-            r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-            wv = kernel.w(r, params.h, dim=params.dim)
-            if D is not None:
-                wv = wv * D[None, :, :]
-            acc = acc + jnp.sum(wv * pm[:, None, :], axis=-1)
-    rho_ref[:] = params.mass * acc * mc
+        # center row: window 4 (off'=0, r_lo=-1), j=1
+        e4 = extras[4]
+        xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, 128]
+        mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, 128]
+
+        rho_ref[:] = jnp.zeros((block, 128), jnp.float32)
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
+
+            @pl.when(flags_ref[i, 1 + w] != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                xy_ok = (
+                    (ix + dx >= 0)
+                    & (ix + dx < nx)
+                    & (iy + dy >= 0)
+                    & (iy + dy < ny)
+                ).astype(jnp.float32)  # [B, 1]
+                acc = jnp.zeros((block, 128), jnp.float32)
+                for yb, ym, D, zn in _packed_slices(
+                    xw, mw, w, e, block, f, k, izb, a_n, dh, nzp
+                ):
+                    z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+                    pm = ym * z_ok * xy_ok  # [B, 128]
+                    ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, 128, 128]
+                    ddy = xc[1][:, :, None] - yb[1][:, None, :]
+                    ddz = xc[2][:, :, None] - yb[2][:, None, :]
+                    r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    wv = kernel.w(r, params.h, dim=params.dim)
+                    if D is not None:
+                        wv = wv * D[None, :, :]
+                    acc = acc + jnp.sum(wv * pm[:, None, :], axis=-1)
+                rho_ref[:] += acc
+
+        rho_ref[:] = params.mass * rho_ref[:] * mc
 
 
 def _accel_kernel_packed(
-    f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
+    flags_ref, f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
     *, grid, params, kernel, block, f, nzp
 ):
     nx, ny, nz = grid.dims
@@ -519,79 +544,119 @@ def _accel_kernel_packed(
     i = pl.program_id(0)
     base = i * block
 
-    fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
-    mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-    for c_ in fcopies + mcopies:
-        c_.wait()
+    # same occupancy-driven block/window sparsity as the density kernel
+    @pl.when(flags_ref[i, 0] == 0)
+    def _empty():
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
 
-    row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-    cell0 = f * row
-    ix = cell0 // (ny * nzp)
-    rem = cell0 - ix * (ny * nzp)
-    iy = rem // nzp
-    izb = rem - iy * nzp  # [B, 1]
+    @pl.when(flags_ref[i, 0] != 0)
+    def _occupied():
+        fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
+        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
+        for c_ in fcopies + mcopies:
+            c_.wait()
 
-    a_n, dh = _lane_half_vectors(k)
+        row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        cell0 = f * row
+        ix = cell0 // (ny * nzp)
+        rem = cell0 - ix * (ny * nzp)
+        iy = rem // nzp
+        izb = rem - iy * nzp  # [B, 1]
 
-    e4 = extras[4]
-    cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
-    mc = mw[4, e4 + 1 : e4 + 1 + block]
+        a_n, dh = _lane_half_vectors(k)
 
-    rho_c = cen[6]
-    p_c = cen[7]
-    pterm_c = p_c / (rho_c * rho_c + 1e-30)
+        e4 = extras[4]
+        cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
+        mc = mw[4, e4 + 1 : e4 + 1 + block]
 
-    accx = jnp.zeros((block, 128), jnp.float32)
-    accy = jnp.zeros((block, 128), jnp.float32)
-    accz = jnp.zeros((block, 128), jnp.float32)
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    for w, (dx, dy) in enumerate(offs):
-        e = extras[w]
-        xy_ok = (
-            (ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
-        ).astype(jnp.float32)  # [B, 1]
-        for nb, ym, D, zn in _packed_slices(
-            fw, mw, w, e, block, f, k, izb, a_n, dh, nzp
-        ):
-            z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
-            pm = ym * z_ok * xy_ok  # [B, 128]
-            if D is not None:
-                pm3 = D[None, :, :] * pm[:, None, :]
-            else:
-                pm3 = pm[:, None, :]
+        rho_c = cen[6]
+        p_c = cen[7]
+        pterm_c = p_c / (rho_c * rho_c + 1e-30)
 
-            ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B, 128, 128]
-            ddy = cen[1][:, :, None] - nb[1][:, None, :]
-            ddz = cen[2][:, :, None] - nb[2][:, None, :]
-            dvx = cen[3][:, :, None] - nb[3][:, None, :]
-            dvy = cen[4][:, :, None] - nb[4][:, None, :]
-            dvz = cen[5][:, :, None] - nb[5][:, None, :]
-            rho_n = nb[6][:, None, :]
-            p_n = nb[7][:, None, :]
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
 
-            r2 = ddx * ddx + ddy * ddy + ddz * ddz
-            r = jnp.sqrt(r2)
-            dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
+            @pl.when(flags_ref[i, 1 + w] != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                xy_ok = (
+                    (ix + dx >= 0)
+                    & (ix + dx < nx)
+                    & (iy + dy >= 0)
+                    & (iy + dy < ny)
+                ).astype(jnp.float32)  # [B, 1]
+                accx = jnp.zeros((block, 128), jnp.float32)
+                accy = jnp.zeros((block, 128), jnp.float32)
+                accz = jnp.zeros((block, 128), jnp.float32)
+                for nb, ym, D, zn in _packed_slices(
+                    fw, mw, w, e, block, f, k, izb, a_n, dh, nzp
+                ):
+                    z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+                    pm = ym * z_ok * xy_ok  # [B, 128]
+                    if D is not None:
+                        pm3 = D[None, :, :] * pm[:, None, :]
+                    else:
+                        pm3 = pm[:, None, :]
 
-            press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
+                    ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B,128,128]
+                    ddy = cen[1][:, :, None] - nb[1][:, None, :]
+                    ddz = cen[2][:, :, None] - nb[2][:, None, :]
+                    dvx = cen[3][:, :, None] - nb[3][:, None, :]
+                    dvy = cen[4][:, :, None] - nb[4][:, None, :]
+                    dvz = cen[5][:, :, None] - nb[5][:, None, :]
+                    rho_n = nb[6][:, None, :]
+                    p_n = nb[7][:, None, :]
 
-            vdotx = dvx * ddx + dvy * ddy + dvz * ddz
-            rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-            pi = jnp.where(
-                vdotx < 0.0,
-                -params.alpha * params.c0 * params.h
-                * (vdotx / (r2 + h2eps)) / rho_bar,
-                0.0,
-            )
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
 
-            scale = -params.mass * (press + pi) * dwr * pm3
-            accx = accx + jnp.sum(scale * ddx, axis=-1)
-            accy = accy + jnp.sum(scale * ddy, axis=-1)
-            accz = accz + jnp.sum(scale * ddz, axis=-1)
+                    press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
 
-    ax_ref[:] = accx * mc
-    ay_ref[:] = accy * mc
-    az_ref[:] = accz * mc
+                    vdotx = dvx * ddx + dvy * ddy + dvz * ddz
+                    rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
+                    pi = jnp.where(
+                        vdotx < 0.0,
+                        -params.alpha * params.c0 * params.h
+                        * (vdotx / (r2 + h2eps)) / rho_bar,
+                        0.0,
+                    )
+
+                    scale = -params.mass * (press + pi) * dwr * pm3
+                    accx = accx + jnp.sum(scale * ddx, axis=-1)
+                    accy = accy + jnp.sum(scale * ddy, axis=-1)
+                    accz = accz + jnp.sum(scale * ddz, axis=-1)
+                ax_ref[:] += accx
+                ay_ref[:] += accy
+                az_ref[:] += accz
+
+        ax_ref[:] = ax_ref[:] * mc
+        ay_ref[:] = ay_ref[:] * mc
+        az_ref[:] = az_ref[:] * mc
+
+
+def _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen):
+    """``[nblocks, 10]`` int32 occupancy flags for the packed kernels.
+
+    Column 0: any live particle in the block's CENTER rows (all-empty
+    blocks produce zero output - skip everything).  Columns 1-9: any live
+    particle in neighbor window w's rows (empty windows contribute
+    nothing - skip their pair math).  One mask pass + a prefix sum;
+    consumed via scalar prefetch so the kernel can branch before its DMAs.
+    """
+    row_any = (jnp.sum(m_pk, axis=-1) > 0).astype(jnp.int32)
+    csum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(row_any)])
+    base = jnp.arange(nblocks, dtype=jnp.int32)[:, None] * block
+    offs = np.array([pad_r] + list(astarts), np.int32)[None, :]
+    lens = np.array([block] + [wlen] * len(astarts), np.int32)[None, :]
+    return (csum[base + offs + lens] - csum[base + offs] > 0).astype(jnp.int32)
 
 
 def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
@@ -603,6 +668,7 @@ def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
     m_pk = _pack_dense(
         mask[: grid.n_cells].astype(jnp.float32), grid, f, nzp, pad_r, cp_r
     )
+    flags = _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
         _density_kernel_packed, grid=grid, params=params, kernel=kernel,
@@ -610,25 +676,28 @@ def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
     )
     rho = pl.pallas_call(
         kern,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 3, wlen, 128), jnp.float32),
+                pltpu.VMEM((9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((18,)),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((9, 3, wlen, 128), jnp.float32),
-            pltpu.VMEM((9, wlen, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((18,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_pk, m_pk)
+    )(flags, x_pk, m_pk)
     return _unpack_rows(rho, grid, f, nzp, rows)
 
 
@@ -652,35 +721,42 @@ def _accel_packed(
     f_pk = _pack_dense(fields, grid, f, nzp, pad_r, cp_r)
     m_pk = _pack_dense(mask[:c].astype(jnp.float32), grid, f, nzp, pad_r, cp_r)
 
+    flags = _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen)
+
     kern = functools.partial(
         _accel_kernel_packed, grid=grid, params=params, kernel=kernel,
         block=block, f=f, nzp=nzp,
     )
     ax, ay, az = pl.pallas_call(
         kern,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(3)
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(3)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 8, wlen, 128), jnp.float32),
+                pltpu.VMEM((9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((18,)),
+            ],
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32)
             for _ in range(3)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((9, 8, wlen, 128), jnp.float32),
-            pltpu.VMEM((9, wlen, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((18,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(f_pk, m_pk)
+    )(flags, f_pk, m_pk)
     return jnp.stack(
         [
             _unpack_rows(ax, grid, f, nzp, rows),
@@ -691,9 +767,61 @@ def _accel_packed(
     )
 
 
+# ---------------------------------------------------------------------------
+# Periodic boundaries: pre-shifted ghost-cell halos
+#
+# The windowed-stencil kernels rely on the 27 neighbors of a contiguous cell
+# block living in 9 contiguous windows - modular wrap at a grid face breaks
+# that contiguity, so periodicity is handled OUTSIDE the kernels: the dense
+# cell array grows one ghost layer per wrapped axis, each ghost cell holding a
+# copy of its periodic image with positions pre-shifted by +-L.  Interior
+# cells then see geometrically true neighbors everywhere (no minimum-image
+# needed in-kernel, no kernel changes at all: the in-kernel bounds check is
+# trivially true on wrapped axes for interior cells, and ghost rows' outputs
+# are discarded).  This is the jnp path's wrapped neighbor_table
+# (tpgsd/sph/cells.py) re-expressed as sequential-DMA-friendly data layout.
+# Cost: one gather to build the halo + the ghost rows' pair math
+# (~(n+2)^3/n^3 - 1, i.e. ~20% at 30^3 grids).
+# ---------------------------------------------------------------------------
+
+
+def _ghost_maps(grid, wrap_axes):
+    """Trace-time ghost-halo maps for ``wrap_axes`` (3 bools).
+
+    Returns ``(ghost_grid, src, shift, interior)``: ``src[Cg]`` is each
+    ghost-grid cell's source cell id in the original grid, ``shift[Cg, 3]``
+    the periodic-image position offset, ``interior[C]`` the ghost-linear
+    ids of the original cells in original order.
+    """
+    nx, ny, nz = grid.dims
+    g = grid._replace(
+        dims=tuple(d + 2 * int(w) for d, w in zip(grid.dims, wrap_axes)),
+        lo=tuple(
+            l - grid.cell_size * int(w) for l, w in zip(grid.lo, wrap_axes)
+        ),
+    )
+    coords, images = [], []
+    for n, w in zip(grid.dims, wrap_axes):
+        c = np.arange(n + 2 * int(w)) - int(w)
+        images.append(np.where(c < 0, -1, np.where(c >= n, 1, 0)))
+        coords.append(np.mod(c, n))
+    sx, sy, sz = np.meshgrid(*coords, indexing="ij")
+    mx, my, mz = np.meshgrid(*images, indexing="ij")
+    src = ((sx * ny + sy) * nz + sz).astype(np.int32).ravel()
+    ext = grid.cell_size * np.asarray(grid.dims, np.float64)
+    shift = np.stack(
+        [mx.ravel() * ext[0], my.ravel() * ext[1], mz.ravel() * ext[2]],
+        axis=-1,
+    ).astype(np.float32)
+    interior = np.nonzero(
+        ((mx == 0) & (my == 0) & (mz == 0)).ravel()
+    )[0].astype(np.int32)
+    return g, src, shift, interior
+
+
 def _use_packed(grid):
     k = grid.capacity
-    return k < 128 and 128 % k == 0
+    return k <= 64
 
 
 def supported(grid):
@@ -717,9 +845,19 @@ def _interpret_default():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "params", "kernel", "block", "interpret")
+    jax.jit,
+    static_argnames=("grid", "params", "kernel", "block", "interpret", "wrap_axes"),
 )
-def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None):
+def density(
+    dense_x,
+    mask,
+    grid,
+    params,
+    kernel=WendlandC2,
+    block=DEFAULT_BLOCK,
+    interpret=None,
+    wrap_axes=None,
+):
     """Per-slot SPH density via the windowed-stencil Pallas kernel.
 
     Args:
@@ -727,6 +865,9 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
             (from :func:`tpgsd.sph.cells.scatter_to_cells`).
         mask: ``[n_cells + 1, K]`` bool live-slot mask.
         grid: static :class:`tpgsd.sph.cells.CellGrid`.
+        wrap_axes: optional static 3-tuple of bools - wrap these axes
+            periodically via a pre-shifted ghost-cell halo (matches the
+            jnp path's wrapped ``neighbor_table`` + minimum image).
 
     Returns:
         ``[n_cells, K]`` float32 density (0 in dead slots), matching the
@@ -734,6 +875,18 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
     """
     if interpret is None:
         interpret = _interpret_default()
+    if wrap_axes is not None and any(wrap_axes):
+        g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
+        rho_g = density(
+            dense_x[src] + shift[:, None, :],
+            mask[src],
+            g,
+            params,
+            kernel=kernel,
+            block=block,
+            interpret=interpret,
+        )
+        return rho_g[interior]
     if _use_packed(grid):
         return _density_packed(
             dense_x, mask, grid, params, kernel, block, interpret
@@ -745,38 +898,43 @@ def density(dense_x, mask, grid, params, kernel=WendlandC2, block=DEFAULT_BLOCK,
 
     x_soa = _soa(dense_x.astype(jnp.float32), c, pad, cp, kp)  # [3, Cp, Kp]
     m_soa = _pad_cells_to(mask[:c].astype(jnp.float32), c, pad, cp, kp)
+    flags = _block_flags(m_soa, pad, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
         _density_kernel, grid=grid, params=params, kernel=kernel, block=block
     )
     rho = pl.pallas_call(
         kern,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, kp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 3, wlen, kp), jnp.float32),
+                pltpu.VMEM((9, wlen, kp), jnp.float32),
+                pltpu.SemaphoreType.DMA((18,)),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((9, 3, wlen, kp), jnp.float32),
-            pltpu.VMEM((9, wlen, kp), jnp.float32),
-            pltpu.SemaphoreType.DMA((18,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             # unrolled-body scoped stack exceeds the conservative 16 MB
             # default at block >= 16; v5e has 128 MB VMEM per core
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_soa, m_soa)
+    )(flags, x_soa, m_soa)
     return rho[:c, :k]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "params", "kernel", "block", "interpret")
+    jax.jit,
+    static_argnames=("grid", "params", "kernel", "block", "interpret", "wrap_axes"),
 )
 def accel(
     dense_x,
@@ -789,14 +947,30 @@ def accel(
     kernel=WendlandC2,
     block=DEFAULT_BLOCK,
     interpret=None,
+    wrap_axes=None,
 ):
     """Per-slot SPH acceleration (pressure + artificial viscosity).
 
     Same contract as ``tpgsd.sph.step._accel_blocks``: returns
-    ``[n_cells, K, 3]`` float32.
+    ``[n_cells, K, 3]`` float32.  ``wrap_axes`` as in :func:`density`.
     """
     if interpret is None:
         interpret = _interpret_default()
+    if wrap_axes is not None and any(wrap_axes):
+        g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
+        acc_g = accel(
+            dense_x[src] + shift[:, None, :],
+            dense_v[src],
+            dense_rho[src],
+            dense_p[src],
+            mask[src],
+            g,
+            params,
+            kernel=kernel,
+            block=block,
+            interpret=interpret,
+        )
+        return acc_g[interior]
     if _use_packed(grid):
         return _accel_packed(
             dense_x, dense_v, dense_rho, dense_p, mask, grid, params,
@@ -818,43 +992,41 @@ def accel(
     )  # [8, C, K]
     f_soa = _pad_cells_to(fields, c, pad, cp, kp)
     m_soa = _pad_cells_to(mask[:c].astype(jnp.float32), c, pad, cp, kp)
+    flags = _block_flags(m_soa, pad, nblocks, block, astarts, wlen)
 
-    # one unrolled kernel per dx plane (see _accel_kernel docstring)
-    ax = ay = az = None
-    for w_subset in ([0, 1, 2, 3, 4, 5, 6, 7, 8],):
-        nw = len(w_subset)
-        kern = functools.partial(
-            _accel_kernel, grid=grid, params=params, kernel=kernel,
-            block=block, w_subset=tuple(w_subset),
-        )
-        px, py, pz = pl.pallas_call(
-            kern,
+    kern = functools.partial(
+        _accel_kernel, grid=grid, params=params, kernel=kernel, block=block
+    )
+    ax, ay, az = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=tuple(
-                pl.BlockSpec((block, kp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-                for _ in range(3)
-            ),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32)
+                pl.BlockSpec(
+                    (block, kp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
                 for _ in range(3)
             ),
             scratch_shapes=[
-                pltpu.VMEM((nw + 1, 8, wlen, kp), jnp.float32),
-                pltpu.VMEM((nw + 1, wlen, kp), jnp.float32),
-                pltpu.SemaphoreType.DMA((2 * nw + 2,)),
+                pltpu.VMEM((9, 8, wlen, kp), jnp.float32),
+                pltpu.VMEM((9, wlen, kp), jnp.float32),
+                pltpu.SemaphoreType.DMA((18,)),
             ],
-            compiler_params=pltpu.CompilerParams(
-                # the unrolled 9-offset body needs ~17 MB of scoped
-                # stack; the default 16 MB cap is conservative
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(f_soa, m_soa)
-        ax = px if ax is None else ax + px
-        ay = py if ay is None else ay + py
-        az = pz if az is None else az + pz
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32)
+            for _ in range(3)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled 9-offset body needs ~17 MB of scoped
+            # stack; the default 16 MB cap is conservative
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, f_soa, m_soa)
     return jnp.stack([ax[:c, :k], ay[:c, :k], az[:c, :k]], axis=-1)

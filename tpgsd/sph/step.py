@@ -125,6 +125,33 @@ def _density_blocks(dense_x, mask, nbr, params, kernel, block, mimage=None):
     return rho.reshape(-1, k)[:c]
 
 
+def _renormalize_density(rho, params):
+    """Clipped rest-volume Shepard normalization of summation density.
+
+    The Shepard partition-of-unity at rest volume is
+    ``s0_i = sum_j (m/rho0) W_ij``, which for summation density is
+    IDENTICALLY ``rho_i / rho0`` - so dividing by ``min(s0, 1)``
+    (clipping so the normalization never *reduces* a legitimately
+    compressed density) collapses to the closed form
+
+        rho_hat = max(rho, rho0)
+
+    i.e. the Hughes & Graham (2010) free-surface density floor, derived
+    rather than asserted.  It removes the free-surface support-truncation
+    deficit (raw summation measures ~0.85 rho0 at a surface) and the
+    spurious NEGATIVE Tait pressures that deficit produces - the source
+    of the hydrostatic ringing in the round-1 ledger (NEXT.md
+    "Quality").  Costs nothing: no extra pair pass.
+
+    Note the *general* Shepard filter ``rho / sum_j (m/rho_j) W_ij``
+    with the current densities is a no-op for summation density (the
+    sum is ~1 everywhere by construction - measured: surface deficit
+    0.858 -> 0.854); it only adds information for evolved
+    (continuity-equation) density, which this stepper does not use.
+    """
+    return jnp.maximum(rho, params.rho0)
+
+
 def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage=None):
     """Shared pair machinery of the momentum AND energy equations:
     returns ``(dx, dwr, press_plus_pi, vdotx)``.
@@ -296,23 +323,32 @@ def energy_rate(state, grid, params, kernel=WendlandC2, block=32, periodic=False
     return gather_from_cells(du_dense, cells, grid)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def density_and_pressure(x, grid, params, kernel=WendlandC2, block=32, periodic=False):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def density_and_pressure(
+    x, grid, params, kernel=WendlandC2, block=32, periodic=False,
+    density_renorm=False,
+):
     """Standalone density + Tait pressure of a configuration.
 
     Returns per-particle ``(rho, p)`` - the SPH quantities the schema's
-    ``particles/density`` / ``particles/pressure`` chunks carry.
+    ``particles/density`` / ``particles/pressure`` chunks carry.  With
+    ``density_renorm`` the Shepard filter removes the free-surface
+    density deficit (see :func:`_shepard_blocks`).
     """
     cells = build_cells(x, grid)
     nbr = neighbor_table(grid, periodic=periodic)
+    mimage = _mimage_of(grid, periodic)
     dense_x = scatter_to_cells(x, cells, grid)
     rho_dense = _density_blocks(
-        dense_x, cells.mask, nbr, params, kernel, block,
-        mimage=_mimage_of(grid, periodic),
+        dense_x, cells.mask, nbr, params, kernel, block, mimage=mimage
     )
     rho_dense = jnp.concatenate(
         [rho_dense, jnp.full((1, grid.capacity), params.rho0, rho_dense.dtype)]
     )
+    if density_renorm:
+        rho_dense = jnp.where(
+            cells.mask, _renormalize_density(rho_dense, params), rho_dense
+        )
     rho = gather_from_cells(rho_dense, cells, grid)
     rho = jnp.maximum(rho, 0.1 * params.rho0)  # isolated-particle floor
     return rho, tait_pressure(rho, params)
@@ -328,6 +364,7 @@ def make_step_fn(
     pallas_block=None,
     n_fixed=0,
     periodic=False,
+    density_renorm=False,
 ):
     """Build the jittable SPH step.
 
@@ -362,8 +399,16 @@ def make_step_fn(
             collapsed-z 2-D layout composes naturally).  HOOMD-schema
             boxes are periodic by convention, so trajectories written
             from a periodic run match downstream tooling's reading of
-            the box chunk.  jnp path only (the Pallas kernels do not
-            minimum-image).
+            the box chunk.  Works with both compute paths: the Pallas
+            kernels receive wrapped axes as a pre-shifted ghost-cell
+            halo (``tpgsd.sph.pallas_ops._ghost_maps``).
+        density_renorm: renormalize the summation density with the
+            clipped rest-volume Shepard filter, whose closed form is the
+            Hughes-Graham density floor ``max(rho, rho0)`` (derivation
+            in :func:`_renormalize_density`) - removes the free-surface
+            support-truncation deficit and its spurious negative
+            pressures.  Free (no extra pair pass); works with every
+            compute path.
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -373,16 +418,7 @@ def make_step_fn(
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and _po.supported(grid)
-            and not periodic
-        )
-    if use_pallas and periodic:
-        raise ValueError(
-            "use_pallas with periodic=True is unsupported (the Pallas "
-            "kernels do not minimum-image); use the jnp path"
-        )
+        use_pallas = jax.default_backend() == "tpu" and _po.supported(grid)
     if pallas_block is None:
         pallas_block = _po.default_block(grid)
 
@@ -392,6 +428,9 @@ def make_step_fn(
     gravity = _np.asarray(params.gravity, _np.float32)
     wrap_axes = periodic & (_np.asarray(grid.dims) >= 3)
     mimage = _mimage_of(grid, periodic)
+    # periodic axes reach the Pallas kernels as a pre-shifted ghost-cell
+    # halo (see tpgsd.sph.pallas_ops) - same wrap rule as the jnp path
+    pallas_wrap = tuple(map(bool, wrap_axes)) if periodic else None
 
     if use_pallas:
         from . import pallas_ops
@@ -406,6 +445,7 @@ def make_step_fn(
             rho_dense = pallas_ops.density(
                 dense_x, cells.mask, grid, params, kernel=kernel,
                 block=pallas_block, interpret=pallas_interpret,
+                wrap_axes=pallas_wrap,
             )
         else:
             rho_dense = _density_blocks(
@@ -419,6 +459,8 @@ def make_step_fn(
         rho_dense = jnp.where(
             cells.mask, jnp.maximum(rho_dense, 0.1 * params.rho0), params.rho0
         )
+        if density_renorm:
+            rho_dense = _renormalize_density(rho_dense, params)
         p_dense = tait_pressure(rho_dense, params)
         p_dense = jnp.where(cells.mask, p_dense, 0.0)
 
@@ -426,7 +468,7 @@ def make_step_fn(
             acc_dense = pallas_ops.accel(
                 dense_x, dense_v, rho_dense, p_dense, cells.mask,
                 grid, params, kernel=kernel, block=pallas_block,
-                interpret=pallas_interpret,
+                interpret=pallas_interpret, wrap_axes=pallas_wrap,
             )
         else:
             acc_dense = _accel_blocks(
