@@ -412,3 +412,78 @@ def test_left_migration_into_busy_slab():
     # all 7 identities survive; the migrant now lives on device 0
     assert set(pid[pid >= 0].tolist()) == set(range(7))
     assert 6 in pid[:8].tolist()  # device 0's slots hold pid 6 now
+
+
+def test_y_decomposition_matches_x():
+    """Taylor-Green under y-slabs == x-slabs == single device: the
+    transposed decomposition (decomp_axis=1) must reproduce the same
+    trajectory, including the periodic ring seam along y."""
+    from tpgsd.sph import taylor_green
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    sc = taylor_green(n_side=21)
+    assert sc.grid.dims[1] % n_dev == 0, sc.grid.dims
+
+    step_ref = jax.jit(make_step_fn(sc.grid, sc.params, periodic=True))
+    s_ref = SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v))
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    results = {}
+    for axis in (0, 1):
+        dist, cap = distribute_state(
+            SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v)),
+            sc.grid,
+            mesh,
+            decomp_axis=axis,
+        )
+        step_d = make_distributed_step_fn(
+            sc.grid, sc.params, mesh, capacity=cap, periodic=True,
+            decomp_axis=axis,
+        )
+        for _ in range(3):
+            dist, aux = step_d(dist)
+        assert int(jnp.sum(aux.cell_overflow)) == 0
+        assert int(jnp.sum(aux.migrate_overflow)) == 0
+        results[axis] = collect_state(dist, sc.n)
+
+    for axis in (0, 1):
+        numpy.testing.assert_allclose(
+            results[axis][0], numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+        )
+        numpy.testing.assert_allclose(
+            results[axis][1], numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+        )
+    # x- and y-decomposition agree with each other even tighter
+    numpy.testing.assert_allclose(
+        results[0][0], results[1][0], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_periodic_distributed_pallas_matches_jnp():
+    """Slab step with the Pallas kernels (interpret mode on the CPU
+    mesh) under a periodic box: y/z wrap reaches the kernels as ghost
+    halos, x through the ring - must match the jnp slab step."""
+    from tpgsd.sph import taylor_green
+
+    mesh = make_mesh()
+    sc = taylor_green(n_side=21)
+
+    def run(**kw):
+        dist, cap = distribute_state(
+            SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v)),
+            sc.grid,
+            mesh,
+        )
+        step_d = make_distributed_step_fn(
+            sc.grid, sc.params, mesh, capacity=cap, periodic=True, **kw
+        )
+        for _ in range(2):
+            dist, aux = step_d(dist)
+        return collect_state(dist, sc.n)
+
+    x_j, v_j = run()
+    x_p, v_p = run(use_pallas=True)
+    numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)

@@ -180,6 +180,14 @@ def _insert(values, alive, recv_vals, recv_valid):
     return values.at[targets].set(recv_vals, mode="drop"), lost
 
 
+#: column permutation swapping the x and y axes of ``[N, 3]`` arrays
+_PERM01 = np.array([1, 0, 2])
+
+
+def _swap01_tuple(t):
+    return (t[1], t[0], t[2])
+
+
 def make_distributed_step_fn(
     grid,
     params,
@@ -194,13 +202,14 @@ def make_distributed_step_fn(
     n_fixed=0,
     periodic=False,
     compute_energy=False,
+    decomp_axis=0,
 ):
     """Build the slab-decomposed distributed step.
 
     Args:
-        grid: global :class:`CellGrid`; ``grid.dims[0]`` must be a
-            multiple of the mesh size (each device owns
-            ``nx / n_devices`` x-planes of cells).
+        grid: global :class:`CellGrid`; ``grid.dims[decomp_axis]`` must
+            be a multiple of the mesh size (each device owns
+            ``n / n_devices`` planes of cells along the decomposed axis).
         params: :class:`SPHParams`.
         mesh: 1-D ``jax.sharding.Mesh``.
         capacity: particle slots per device (default: next multiple of 8
@@ -217,17 +226,60 @@ def make_distributed_step_fn(
         periodic: periodic global box.  The x axis wraps through the
             RING halo (device n-1 exchanges planes and migrants with
             device 0 - ppermute with a ring permutation); y/z wrap
-            locally in the cell table when they have >= 3 cells.  jnp
-            pair path only.
+            locally - in the cell table (jnp path) or as ghost-cell
+            halos (Pallas path) - when they have >= 3 cells.
         compute_energy: also run the WCSPH energy equation (a third
             pair pass reusing the halo-exchanged rho/p) and return
             per-particle du/dt in ``aux.dudt`` (zeros when off - the
             default, since it costs ~an accel pass).
+        decomp_axis: 0 (x-slabs, the default) or 1 (y-slabs, for wide
+            planar domains whose x extent is too narrow to cut).  The
+            y form is the x machinery run on the axis-swapped problem:
+            SPH is isotropic, so swapping the x/y coordinates of the
+            grid, gravity, and state is exact - one column permutation
+            per step each way, no second slab implementation to keep
+            in sync.
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
         axis-0 shardings on every array.
     """
+    if decomp_axis == 1:
+        inner = make_distributed_step_fn(
+            grid._replace(
+                lo=_swap01_tuple(grid.lo), dims=_swap01_tuple(grid.dims)
+            ),
+            params._replace(gravity=_swap01_tuple(tuple(params.gravity))),
+            mesh,
+            capacity=capacity,
+            migrate_cap=migrate_cap,
+            axis_name=axis_name,
+            kernel=kernel,
+            block=block,
+            use_pallas=use_pallas,
+            pallas_block=pallas_block,
+            n_fixed=n_fixed,
+            periodic=periodic,
+            compute_energy=compute_energy,
+            decomp_axis=0,
+        )
+
+        def step(state):
+            t = DistState(
+                x=state.x[:, _PERM01], v=state.v[:, _PERM01], pid=state.pid
+            )
+            new, aux = inner(t)
+            return (
+                DistState(
+                    x=new.x[:, _PERM01], v=new.v[:, _PERM01], pid=new.pid
+                ),
+                aux,
+            )
+
+        return step
+    if decomp_axis != 0:
+        raise ValueError("decomp_axis must be 0 or 1, got %r" % (decomp_axis,))
+
     n_dev = mesh.devices.size
     nx, ny, nz = grid.dims
     if nx % n_dev != 0:
@@ -267,15 +319,13 @@ def make_distributed_step_fn(
 
     if use_pallas == "auto":
         use_pallas = (
-            jax.default_backend() == "tpu"
-            and _po.supported(ext_grid)
-            and not periodic
+            jax.default_backend() == "tpu" and _po.supported(ext_grid)
         )
-    if use_pallas and periodic:
-        raise ValueError(
-            "use_pallas with periodic=True is unsupported (the Pallas "
-            "kernels do not minimum-image); use the jnp path"
-        )
+    # the slab's x periodicity flows through the ring halo; only the
+    # LOCAL y/z wraps reach the kernels, as ghost-cell halos
+    pallas_wrap = (
+        (False, bool(wrap[1]), bool(wrap[2])) if periodic else None
+    )
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
     if use_pallas:
@@ -310,6 +360,18 @@ def make_distributed_step_fn(
             send_left,
         )
         ext_mask = ext_m[..., 0] > 0.5
+        if periodic:
+            # the ring seam delivers far-end planes with raw coordinates;
+            # pre-shift their x by -+Lx so ghost positions are
+            # geometrically true.  The jnp minimum image then never
+            # triggers on x (every true pair distance is < one cell) and
+            # the Pallas kernels - which see only true geometry, no
+            # min-image - get the seam right too.
+            Lx = cell * nx
+            sl = jnp.where(d == 0, -Lx, 0.0).astype(jnp.float32)
+            sr = jnp.where(d == n_dev - 1, Lx, 0.0).astype(jnp.float32)
+            ext_x = ext_x.at[:nynz, :, 0].add(sl)
+            ext_x = ext_x.at[nynz + c_local : 2 * nynz + c_local, :, 0].add(sr)
 
         # density over the extended slab; only CORE outputs are correct
         # (a ghost cell's own neighborhood extends one plane further out
@@ -318,7 +380,7 @@ def make_distributed_step_fn(
         if use_pallas:
             rho_d = pallas_ops.density(
                 ext_x, ext_mask, ext_grid, params, kernel=kernel,
-                block=pallas_block,
+                block=pallas_block, wrap_axes=pallas_wrap,
             )
         else:
             rho_d = _density_blocks(
@@ -361,7 +423,7 @@ def make_distributed_step_fn(
         if use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d, p_d, ext_mask, ext_grid, params,
-                kernel=kernel, block=pallas_block,
+                kernel=kernel, block=pallas_block, wrap_axes=pallas_wrap,
             )
         else:
             acc_d = _accel_blocks(
@@ -536,8 +598,10 @@ def make_distributed_step_fn(
     return step
 
 
-def distribute_state(state, grid, mesh, capacity=None, axis_name="shard"):
-    """Partition an ``SPHState`` onto the mesh by x-slab ownership.
+def distribute_state(
+    state, grid, mesh, capacity=None, axis_name="shard", decomp_axis=0
+):
+    """Partition an ``SPHState`` onto the mesh by slab ownership.
 
     Returns a :class:`DistState` (``[n_devices * capacity, ...]``,
     sharded on axis 0) where each device's slots hold exactly the
@@ -546,9 +610,10 @@ def distribute_state(state, grid, mesh, capacity=None, axis_name="shard"):
     Args:
         capacity: slots per device (default: smallest multiple of 8
             at least ``2 * max slab population``).
+        decomp_axis: slab axis, matching the step builder's.
     """
     n_dev = mesh.devices.size
-    nx = grid.dims[0]
+    nx = grid.dims[decomp_axis]
     nxl = nx // n_dev
     x = np.asarray(state.x)
     v = np.asarray(state.v)
@@ -556,7 +621,11 @@ def distribute_state(state, grid, mesh, capacity=None, axis_name="shard"):
 
     slab_width = nxl * grid.cell_size
     owner = np.clip(
-        ((x[:, 0] - grid.lo[0]) // slab_width).astype(np.int64), 0, n_dev - 1
+        ((x[:, decomp_axis] - grid.lo[decomp_axis]) // slab_width).astype(
+            np.int64
+        ),
+        0,
+        n_dev - 1,
     )
     pops = np.bincount(owner, minlength=n_dev)
     if capacity is None:
