@@ -253,3 +253,76 @@ def test_append_reopen_multirank(tmp_path):
         numpy.testing.assert_array_equal(
             f.read_chunk(1, "d"), numpy.full(4, 1, numpy.int32)
         )
+
+
+def test_strict_mode_raises_on_divergence(tmp_path):
+    """With strict=True a diverged writer raises instead of printing -
+    it must not keep writing garbage offsets."""
+    fname = str(tmp_path / "mr_strict.gsd")
+
+    def work(rank, comm):
+        f = tpgsd.fl.PGSDFile(
+            fname, "w", application="mr", schema="none",
+            schema_version=(1, 0), comm=comm, strict=True,
+        )
+        if rank == 1:
+            f._cur_frame += 1  # simulate a missed frame
+        f.write_chunk(
+            "d", numpy.arange(2, dtype=numpy.int32),
+            offset=numpy.array([1, 1], numpy.uint64), rank=rank,
+        )
+        f.end_frame()
+        f.close()
+
+    with pytest.raises(AssertionError, match="consistency error"):
+        run_ranks(2, work)
+
+
+def test_flush_metadata_is_batched(tmp_path):
+    """The flush metadata protocol must stay O(1) collectives: one
+    object bcast for the committed names, one for the committed index
+    entries + scalars (the reference does ~10 per flush,
+    pgsd/pgsd/pgsd.c:1229-1317 + 2064-2067)."""
+    fname = str(tmp_path / "mr_batched.gsd")
+    counts = numpy.array([2, 2], dtype=numpy.uint64)
+    bcasts = [0, 0]
+
+    class CountingComm(ThreadComm):
+        def bcast(self, value, root=0):
+            bcasts[self.rank] += 1
+            return super().bcast(value, root)
+
+    shared = ThreadComm.Shared(2)
+    errors = []
+
+    def runner(rank):
+        try:
+            comm = CountingComm(rank, shared)
+            f = tpgsd.fl.PGSDFile(
+                fname, "w", application="mr", schema="none",
+                schema_version=(1, 0), comm=comm,
+            )
+            f.write_chunk(
+                "d", numpy.arange(2, dtype=numpy.int32),
+                offset=counts, rank=rank,
+            )
+            before = bcasts[rank]
+            f.end_frame()  # flushes (direct entries pending)
+            per_flush = bcasts[rank] - before
+            # names payload + index payload; nothing per-scalar
+            assert per_flush <= 2, per_flush
+            f.close()
+        except BaseException as e:  # noqa: BLE001
+            errors.append((rank, e))
+            shared.barrier_obj.abort()
+
+    threads = [
+        threading.Thread(target=runner, args=(r,)) for r in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    if errors:
+        rank, err = errors[0]
+        raise AssertionError("rank %d failed: %r" % (rank, err)) from err

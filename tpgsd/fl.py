@@ -116,11 +116,13 @@ class PGSDFile:
             flush is forced (settable).
     """
 
-    def __init__(self, name, mode, application=None, schema=None, schema_version=None, comm=None):
+    def __init__(self, name, mode, application=None, schema=None,
+                 schema_version=None, comm=None, strict=False):
         self._comm = comm if comm is not None else _SingleComm()
         self._is_open = False
         self._mode = mode
         self._name = str(name)
+        self._strict = bool(strict)
 
         # mode table (reference: pgsd/pgsd/fl.pyx:301-317)
         import os
@@ -608,30 +610,35 @@ class PGSDFile:
 
         The TPU-side equivalent of the reference's Allreduce-MIN
         same-value checks (reference: pgsd/pgsd/pgsd.c:174-202, invoked
-        at pgsd.c:1938, 2219, 2272); divergence indicates a rank wrote a
-        different chunk set and is reported on stderr rather than
-        silently corrupting offsets.
+        at pgsd.c:1938, 2219, 2272).  Divergence indicates a process
+        wrote a different chunk set; by default it is reported on stderr
+        (the reference's behavior), with ``strict=True`` it raises - a
+        diverged writer must not keep writing garbage offsets.
         """
         if self._comm.size == 1:
             return
         frames = self._comm.allgather(self._cur_frame)
         sizes = self._comm.allgather(self._file_size)
+        problems = []
         if len(set(int(f) for f in frames)) != 1:
-            import sys
-
-            print(
-                "tpgsd consistency error: frame counters diverge across "
-                "processes: %s (%s)" % (list(frames), self._name),
-                file=sys.stderr,
+            problems.append(
+                "frame counters diverge across processes: %s" % list(frames)
             )
         if len(set(int(s) for s in sizes)) != 1:
-            import sys
-
-            print(
-                "tpgsd consistency error: derived file sizes diverge "
-                "across processes: %s (%s)" % (list(sizes), self._name),
-                file=sys.stderr,
+            problems.append(
+                "derived file sizes diverge across processes: %s" % list(sizes)
             )
+        if not problems:
+            return
+        msg = "tpgsd consistency error: %s (%s)" % (
+            "; ".join(problems),
+            self._name,
+        )
+        if self._strict:
+            raise RuntimeError(msg)
+        import sys
+
+        print(msg, file=sys.stderr)
 
     def flush(self):
         """Commit buffered data, names, and index entries to the file.
@@ -680,22 +687,31 @@ class PGSDFile:
             # (reference: pgsd/pgsd/pgsd.c:2371-2378, a per-read Bcast
             # and the bogus-pointer quirk SURVEY.md 2.6#4); replicating
             # at flush costs 32 bytes/entry once and removes the
-            # per-read collective entirely.
-            batch = self._comm.bcast(batch)
-            if self._comm.rank != 0 and batch:
-                new = structs.unpack_index(batch)
-                self._file_index = numpy.concatenate([self._file_index, new])
-
-        # controller metadata may have moved (index relocation); keep every
-        # process's derived scalars in sync - the reference's Bcast tail
-        # (reference: pgsd/pgsd/pgsd.c:2064-2067)
-        self._file_size = self._comm.bcast(self._file_size)
-        self._header["index_location"] = self._comm.bcast(
-            int(self._header["index_location"])
-        )
-        self._header["index_allocated_entries"] = self._comm.bcast(
-            int(self._header["index_allocated_entries"])
-        )
+            # per-read collective entirely.  The entries AND the
+            # controller's derived scalars (which may have moved via
+            # index relocation) travel as ONE payload - the reference's
+            # Bcast tail is ~4 collectives (pgsd/pgsd/pgsd.c:2064-2067).
+            payload = self._comm.bcast(
+                {
+                    "batch": batch,
+                    "file_size": self._file_size,
+                    "index_location": int(self._header["index_location"]),
+                    "index_allocated_entries": int(
+                        self._header["index_allocated_entries"]
+                    ),
+                }
+            )
+            if self._comm.rank != 0:
+                if payload["batch"]:
+                    new = structs.unpack_index(payload["batch"])
+                    self._file_index = numpy.concatenate(
+                        [self._file_index, new]
+                    )
+                self._file_size = payload["file_size"]
+                self._header["index_location"] = payload["index_location"]
+                self._header["index_allocated_entries"] = payload[
+                    "index_allocated_entries"
+                ]
         if self._durable:
             # second barrier: the committed index itself is durable, so
             # every frame flushed so far survives power loss
@@ -749,21 +765,34 @@ class PGSDFile:
         """Commit pending names; relocate the namelist if it grew.
 
         (reference: pgsd/pgsd/pgsd.c:1216-1319)
+
+        Multi-host cost: exactly ONE object bcast per flush - the
+        committed names and the controller's updated scalars travel as a
+        single payload (``None`` when no names are pending), replacing
+        the reference's per-scalar Bcast cascade
+        (reference: pgsd/pgsd/pgsd.c:1229-1317, ~5 collectives).
         """
-        n_pending = self._comm.allreduce_sum(len(self._frame_names))
-        if n_pending == 0:
-            return
-        if self._comm.rank != 0:
+        if self._comm.size > 1 and self._comm.rank != 0:
             # replicate the committed names (so local reads resolve ids
             # without a per-read collective) and the controller's
             # updated scalars
-            new_names = self._comm.bcast(None)
-            for n in new_names:
+            payload = self._comm.bcast(None)
+            if payload is None:
+                return
+            for n in payload["names"]:
                 self._name_map[n] = len(self._names)
                 self._names.append(n)
-            self._file_size = self._comm.bcast(None)
-            self._header["namelist_location"] = self._comm.bcast(None)
-            self._header["namelist_allocated_entries"] = self._comm.bcast(None)
+            self._file_size = payload["file_size"]
+            self._header["namelist_location"] = payload["namelist_location"]
+            self._header["namelist_allocated_entries"] = payload[
+                "namelist_allocated_entries"
+            ]
+            return
+        # names pend on the controller only (_write_chunk_raw appends
+        # names under rank == 0), so the empty check is local
+        if not self._frame_names:
+            if self._comm.size > 1:
+                self._comm.bcast(None)
             return
 
         version = int(self._header["pgsd_version"])
@@ -812,15 +841,19 @@ class PGSDFile:
             tail = new_bytes + b"\x00" * (new_reserved - new_size)
             self._fh.pwrite(location, tail)
 
-        # publish the committed names and the controller's updated scalars
-        self._comm.bcast(committed_names)
-        self._file_size = self._comm.bcast(self._file_size)
-        self._header["namelist_location"] = self._comm.bcast(
-            int(self._header["namelist_location"])
-        )
-        self._header["namelist_allocated_entries"] = self._comm.bcast(
-            int(self._header["namelist_allocated_entries"])
-        )
+        # publish the committed names and the controller's updated
+        # scalars as one payload
+        if self._comm.size > 1:
+            self._comm.bcast(
+                {
+                    "names": committed_names,
+                    "file_size": self._file_size,
+                    "namelist_location": int(self._header["namelist_location"]),
+                    "namelist_allocated_entries": int(
+                        self._header["namelist_allocated_entries"]
+                    ),
+                }
+            )
 
     def batched_writes(self):
         """Context manager combining the enclosed direct chunk writes
@@ -1123,9 +1156,20 @@ class PGSDFile:
 
     @property
     def nframes(self):
-        """int: number of complete frames (reference: pgsd/pgsd/pgsd.c:2261-2277)."""
+        """int: number of complete frames (reference: pgsd/pgsd/pgsd.c:2261-2277).
+
+        With ``strict=True`` on a writable multi-process handle, every
+        access cross-checks the frame counter like the reference does
+        (reference: pgsd/pgsd/pgsd.c:2272-2273) - which makes the
+        property COLLECTIVE in that configuration, exactly as the
+        reference's ``pgsd_get_nframes`` is; do not gate it on a single
+        process's control flow.  Read-only handles stay collective-free
+        (their counter cannot diverge after open).
+        """
         if not self._is_open:
             raise ValueError("File is not open")
+        if self._strict and not self._readonly and self._comm.size > 1:
+            self._check_consistency()
         return self._cur_frame
 
     @property
@@ -1177,7 +1221,8 @@ class PGSDFile:
         self._index_entries_to_buffer = n
 
 
-def open(name, mode, application=None, schema=None, schema_version=None, comm=None):
+def open(name, mode, application=None, schema=None, schema_version=None,
+         comm=None, strict=False):
     """Open a GSD/PGSD file and return a :class:`PGSDFile`.
 
     Args:
@@ -1199,7 +1244,14 @@ def open(name, mode, application=None, schema=None, schema_version=None, comm=No
         schema_version (tuple[int,int]): schema version (required when
             creating).
         comm: optional multi-host communicator (default: single process).
+        strict (bool): raise on cross-process consistency divergence
+            instead of printing to stderr, and cross-check the frame
+            counter on every ``nframes`` access like the reference
+            (reference: pgsd/pgsd/pgsd.c:2272-2273).
 
     (reference API: pgsd/pgsd/fl.pyx:149-228)
     """
-    return PGSDFile(str(name), mode, application, schema, schema_version, comm=comm)
+    return PGSDFile(
+        str(name), mode, application, schema, schema_version, comm=comm,
+        strict=strict,
+    )
