@@ -86,7 +86,8 @@ def main(argv=None):
             os.unlink(args.file)
         except OSError:
             pass
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -48,6 +48,33 @@ def test_large_chunk_roundtrip(tmp_path, N):
     fname.unlink()
 
 
+@pytest.mark.validate
+def test_1e8_row_chunk(tmp_path):
+    """BASELINE-scale frame: one 1e8-row float32x3 chunk (1.2 GB)
+    written through the sharded writer and read back in stripes."""
+    from tpgsd.parallel import ShardedFrameWriter
+
+    n = 100_000_000
+    pos = numpy.arange(3 * n, dtype=numpy.float32).reshape(n, 3)
+    fname = tmp_path / "rows_1e8.gsd"
+
+    w = ShardedFrameWriter(str(fname))
+    w.write_frame({"particles/position": pos}, step=0)
+    w.close()
+
+    with tpgsd.fl.open(name=fname, mode="r") as f:
+        assert f.nframes == 1
+        entry = f._find_chunk(0, "particles/position")
+        assert int(entry["N"]) == n
+        head = f.read_chunk(0, "particles/position", N=4, M=3, offset=0, r_all=True)
+        tail = f.read_chunk(0, "particles/position", N=4, M=3, offset=n - 4, r_all=True)
+        numpy.testing.assert_array_equal(head, pos[:4])
+        numpy.testing.assert_array_equal(tail, pos[-4:])
+    del pos
+    gc.collect()
+    fname.unlink()
+
+
 def test_chunk_beyond_2gb_offset(tmp_path):
     """64-bit offset arithmetic: a chunk located past 2^31 reads back
     through every reader.  Uses a sparse file, so it runs instantly

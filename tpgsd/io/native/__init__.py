@@ -49,6 +49,10 @@ def _build():
     tmp = tempfile.mktemp(suffix=".so", dir=os.path.dirname(out))
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        # warning-clean is enforced, not aspirational (the reference
+        # wires clang-tidy into its build the same way,
+        # reference: pgsd/CMake/LinterSetup.cmake:1-13)
+        "-Wall", "-Wextra", "-Werror",
         _SRC, "-o", tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True, timeout=120)
