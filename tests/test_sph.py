@@ -195,6 +195,52 @@ def test_lattice_density_near_rest():
     assert abs(numpy.median(rho[interior]) / db.params.rho0 - 1.0) < 0.15
 
 
+def test_density_renorm_fixes_surface_deficit():
+    """The clipped rest-volume Shepard renormalization (closed form:
+    the Hughes-Graham floor, tpgsd.sph.step._renormalize_density) must
+    (a) remove the free-surface density deficit - no particle below
+    rho0, hence no spurious negative Tait pressures - while (b) leaving
+    legitimately compressed interior densities untouched."""
+    db = dam_break(n_side=8, box=(1.0, 1.0, 1.0), fill=(1.0, 1.0, 1.0))
+    rho_raw, p_raw = density_and_pressure(db.state.x, db.grid, db.params)
+    rho_rn, p_rn = density_and_pressure(
+        db.state.x, db.grid, db.params, density_renorm=True
+    )
+    rho_raw, rho_rn = numpy.asarray(rho_raw), numpy.asarray(rho_rn)
+    p_raw, p_rn = numpy.asarray(p_raw), numpy.asarray(p_rn)
+
+    # the raw lattice HAS a surface deficit and negative surface pressure
+    assert rho_raw.min() < 0.9 * db.params.rho0
+    assert p_raw.min() < 0
+    # (a) renormalized: no deficit anywhere, pressure floor at 0
+    assert rho_rn.min() >= db.params.rho0 - 1e-3
+    assert p_rn.min() >= -1e-6
+    # (b) compressed particles (rho > rho0) are untouched
+    over = rho_raw > db.params.rho0
+    assert over.any()
+    numpy.testing.assert_allclose(rho_rn[over], rho_raw[over], rtol=1e-6)
+
+
+def test_density_renorm_in_step_paths():
+    """density_renorm threads identically through the jnp and Pallas
+    step paths."""
+    db = dam_break(n_side=6)
+    s0 = db.state
+    step_j = jax.jit(make_step_fn(db.grid, db.params, density_renorm=True))
+    step_p = jax.jit(
+        make_step_fn(
+            db.grid, db.params, density_renorm=True, use_pallas=True,
+            pallas_interpret=True,
+        )
+    )
+    s_j, (rho_j, _, _) = step_j(s0)
+    s_p, (rho_p, _, _) = step_p(s0)
+    assert float(jnp.min(rho_j)) >= db.params.rho0 - 1e-3
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_p.x), numpy.asarray(s_j.x), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_dam_break_short_run_stable():
     """A dam-break rollout stays finite, in-box, and near incompressible."""
     db = dam_break(n_side=6)
@@ -262,3 +308,16 @@ def test_use_pallas_auto_policy():
     step = jax.jit(make_step_fn(db.grid, db.params, use_pallas="auto"))
     state, aux = step(db.state)
     assert numpy.isfinite(numpy.asarray(state.x)).all()
+
+    # the measured policy itself: lane-native multiples of 128 and the
+    # ragged packings 40..64 win on TPU; deeper packings stay jnp
+    from tpgsd.sph import pallas_ops
+    from tpgsd.sph.cells import CellGrid
+
+    def sup(k):
+        return pallas_ops.supported(
+            CellGrid(lo=(0, 0, 0), cell_size=1.0, dims=(4, 4, 4), capacity=k)
+        )
+
+    assert all(sup(k) for k in (40, 48, 56, 64, 128, 256))
+    assert not any(sup(k) for k in (8, 16, 24, 32, 72, 96))

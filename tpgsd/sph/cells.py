@@ -129,20 +129,31 @@ class CellList(NamedTuple):
     """Dense cell decomposition of one particle set.
 
     ``order`` sorts particles by cell; ``cid``/``slot`` are each sorted
-    particle's dense coordinates; ``mask`` marks live slots; ``overflow``
-    counts particles dropped from neighbor sums (capacity exceeded).
+    particle's dense coordinates; ``src`` is the dense gather map (the
+    ORIGINAL particle index occupying each slot, N for empty slots);
+    ``mask`` marks live slots; ``overflow`` counts particles dropped
+    from neighbor sums (capacity exceeded).
     """
 
     order: jax.Array  # [N] permutation: particle index in sorted order
     cid: jax.Array  # [N] cell id per sorted particle
     slot: jax.Array  # [N] slot per sorted particle (== capacity if dropped)
+    src: jax.Array  # [n_cells+1, capacity] int32 gather map (N = empty)
     mask: jax.Array  # [n_cells+1, capacity] bool
     overflow: jax.Array  # [] int32
 
 
 @partial(jax.jit, static_argnums=1)
 def build_cells(x, grid):
-    """Assign particles to cells: one sort + one cumulative count.
+    """Assign particles to cells, scatter-free: one sort, one binary
+    search, then pure gathers.
+
+    XLA lowers scatters to serialized updates on TPU (~4x the cost of
+    the equivalent gather at 100k particles on v5e) while its sorts are
+    nearly free (0.2 ms), so the dense layout is built as a GATHER map:
+    ``src[cell, k]`` is the particle whose sorted position is
+    ``starts[cell] + k`` - and every later :func:`scatter_to_cells`
+    "scatter" is one gather through it.
 
     Returns a :class:`CellList`; use :func:`scatter_to_cells` to lay
     per-particle quantities out densely and :func:`gather_from_cells` to
@@ -150,36 +161,47 @@ def build_cells(x, grid):
     """
     n = x.shape[0]
     c = grid.n_cells
+    k = grid.capacity
     cid = cell_id(x, grid)
     order = jnp.argsort(cid)
     cid_s = cid[order]
-    # slot within cell = position among equal cids
-    counts = jnp.zeros(c, jnp.int32).at[cid].add(1)
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
-    dropped = slot >= grid.capacity
-    slot = jnp.where(dropped, grid.capacity, slot)  # out-of-bounds -> dropped
-
-    mask = (
-        jnp.zeros((c + 1, grid.capacity), bool)
-        .at[cid_s, slot]
-        .set(True, mode="drop")
+    # first sorted position of each cell: vectorized binary search
+    # (replaces the scatter-add histogram + cumsum)
+    starts = jnp.searchsorted(cid_s, jnp.arange(c, dtype=cid_s.dtype))
+    starts = starts.astype(jnp.int32)
+    counts = jnp.diff(
+        jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)])
     )
+    kslots = jnp.arange(k, dtype=jnp.int32)
+    valid = kslots[None, :] < jnp.minimum(counts, k)[:, None]  # [c, K]
+    gidx = jnp.clip(starts[:, None] + kslots[None, :], 0, max(n - 1, 0))
+    src = jnp.where(valid, order[gidx].astype(jnp.int32), n)
+    src = jnp.concatenate([src, jnp.full((1, k), n, jnp.int32)])
+    mask = jnp.concatenate([valid, jnp.zeros((1, k), bool)])
+
+    # per-sorted-particle coordinates (the gather_from_cells inverse map)
+    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
+    dropped = slot >= k
+    slot = jnp.where(dropped, k, slot)  # out-of-bounds -> dropped
     return CellList(
         order=order,
         cid=cid_s,
         slot=slot,
+        src=src,
         mask=mask,
         overflow=dropped.sum().astype(jnp.int32),
     )
 
 
 def scatter_to_cells(values, cells, grid, fill=0.0):
-    """Scatter per-particle ``values`` (particle order) into the dense
-    ``[n_cells+1, capacity, ...]`` layout (sentinel row stays ``fill``)."""
+    """Lay per-particle ``values`` (particle order) out in the dense
+    ``[n_cells+1, capacity, ...]`` layout (sentinel row stays ``fill``).
+
+    Despite the name this is ONE GATHER through ``cells.src`` - see
+    :func:`build_cells` for why scatters are avoided on TPU."""
     trailing = values.shape[1:]
-    out = jnp.full((grid.n_cells + 1, grid.capacity) + trailing, fill, values.dtype)
-    return out.at[cells.cid, cells.slot].set(values[cells.order], mode="drop")
+    pad = jnp.full((1,) + trailing, fill, values.dtype)
+    return jnp.concatenate([values, pad])[cells.src]
 
 
 def gather_from_cells(dense, cells, grid):

@@ -76,10 +76,13 @@ class DistAux(NamedTuple):
 
 
 def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
-    """Cell assignment for one device's slab (x-major local ids).
+    """Cell assignment for one device's slab (x-major local ids),
+    scatter-free: one sort + one binary search + gathers (scatters
+    serialize on TPU; see ``tpgsd.sph.cells.build_cells``).
 
-    Dead slots get slot == capacity so every scatter drops them.
-    Returns (cid_sorted, slot, order, mask, overflow).
+    Dead slots sort into a sentinel cell past the grid.  Returns
+    (cid_sorted, slot, order, src, mask, overflow) where ``src`` is the
+    ``[c+1, capacity]`` gather map (particle index per slot, n = empty).
     """
     n = x.shape[0]
     c = nxl * ny * nz
@@ -91,23 +94,29 @@ def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
 
     order = jnp.argsort(cid)
     cid_s = cid[order]
-    counts = jnp.zeros(c + 1, jnp.int32).at[cid].add(1)
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    starts = jnp.searchsorted(
+        cid_s, jnp.arange(c + 1, dtype=cid_s.dtype)
+    ).astype(jnp.int32)
+    counts = jnp.diff(jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)]))
+    kslots = jnp.arange(capacity, dtype=jnp.int32)
+    valid = kslots[None, :] < jnp.minimum(counts, capacity)[:, None]
+    # the sentinel row holds the dead particles - never live slots
+    valid = valid & (jnp.arange(c + 1) < c)[:, None]
+    gidx = jnp.clip(starts[:, None] + kslots[None, :], 0, max(n - 1, 0))
+    src = jnp.where(valid, order[gidx].astype(jnp.int32), n)
+
     slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
     dead_s = cid_s == c
     dropped = (slot >= capacity) & ~dead_s
     slot = jnp.where(dropped | dead_s, capacity, slot)
-
-    mask = (
-        jnp.zeros((c + 1, capacity), bool).at[cid_s, slot].set(True, mode="drop")
-    )
-    return cid_s, slot, order, mask, dropped.sum().astype(jnp.int32)
+    return cid_s, slot, order, src, valid, dropped.sum().astype(jnp.int32)
 
 
-def _scatter(values, cid_s, slot, order, c, capacity, fill=0.0):
+def _scatter(values, src, fill=0.0):
+    """Dense [c+1, capacity, ...] layout via ONE gather through ``src``."""
     trailing = values.shape[1:]
-    out = jnp.full((c + 1, capacity) + trailing, fill, values.dtype)
-    return out.at[cid_s, slot].set(values[order], mode="drop")
+    pad = jnp.full((1,) + trailing, fill, values.dtype)
+    return jnp.concatenate([values, pad])[src]
 
 
 def _gather(dense, cid_s, slot, order, c, capacity):
@@ -345,11 +354,12 @@ def make_distributed_step_fn(
         alive = pid >= 0
         lo_local = lo_g + jnp.asarray([d * nxl * cell, 0.0, 0.0], jnp.float32)
 
-        cid_s, slot, order, mask, cell_ovf = _local_cells(
+        cid_s, slot, order, src, mask, cell_ovf = _local_cells(
             x, alive, nxl, ny, nz, k, lo_local, cell
         )
-        dense_x = _scatter(x, cid_s, slot, order, c_local, k)
-        dense_v = _scatter(v, cid_s, slot, order, c_local, k)
+        # one fused layout gather for x AND v
+        xv = _scatter(jnp.concatenate([x, v], axis=-1), src)
+        dense_x, dense_v = xv[..., :3], xv[..., 3:]
 
         # halo exchange: one x-plane of cells each way
         ext_x, ext_v, ext_m = _halo_exchange(
@@ -430,20 +440,16 @@ def make_distributed_step_fn(
                 ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel,
                 block, mimage=mimage,
             )
-        # slice the core planes back out; append the sentinel rows the
-        # particle-order gather expects
-        acc_core = jnp.concatenate(
-            [acc_d[core], jnp.zeros((1, k, 3), acc_d.dtype)], axis=0
-        )
-        rho_core_s = jnp.concatenate([rho_core, sent_rho], axis=0)
-        p_core_s = jnp.concatenate(
-            [p_core, jnp.zeros((1, k), p_core.dtype)], axis=0
-        )
-
-        acc = _gather(acc_core, cid_s, slot, order, c_local, k) + gravity
-        rho = _gather(rho_core_s, cid_s, slot, order, c_local, k)
-        p = _gather(p_core_s, cid_s, slot, order, c_local, k)
-
+        # slice the core planes back out and bundle acc/rho/p (and du)
+        # as columns of ONE particle-order gather - n-element gathers
+        # are the layout cost, one fused pass instead of three/four
+        cols = [
+            acc_d[core],
+            rho_core[..., None],
+            p_core[..., None],
+        ]
+        sent = [jnp.zeros((1, k, 3), acc_d.dtype), sent_rho[..., None],
+                jnp.zeros((1, k, 1), p_core.dtype)]
         if compute_energy:
             # third pair pass over the same halo-exchanged fields: the
             # energy equation shares _pair_terms with the momentum
@@ -452,12 +458,18 @@ def make_distributed_step_fn(
                 ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel,
                 block, mimage=mimage,
             )
-            du_core = jnp.concatenate(
-                [du_d[core], jnp.zeros((1, k), du_d.dtype)], axis=0
-            )
-            dudt = _gather(du_core, cid_s, slot, order, c_local, k)
-        else:
-            dudt = jnp.zeros_like(rho)
+            cols.append(du_d[core][..., None])
+            sent.append(jnp.zeros((1, k, 1), du_d.dtype))
+        bundle = jnp.concatenate(
+            [jnp.concatenate(cols, axis=-1),
+             jnp.concatenate(sent, axis=-1)],
+            axis=0,
+        )
+        out = _gather(bundle, cid_s, slot, order, c_local, k)
+        acc = out[..., :3] + gravity
+        rho = out[..., 3]
+        p = out[..., 4]
+        dudt = out[..., 5] if compute_energy else jnp.zeros_like(rho)
 
         # integrate (dead slots don't move)
         v_new = jnp.where(alive[:, None], v + params.dt * acc, v)

@@ -30,23 +30,33 @@ axis absorbs all negative/overflow window starts; padded cells carry
 mask 0 and never contribute.
 
 STATUS (measured on v5e with FORCED completion - block_until_ready is
-unreliable on tunneled runtimes):
+unreliable on tunneled runtimes; round-2 numbers include the occupancy
+skip flags, the one-DMA-per-window mask plane, the fused viscosity
+divide, block 16, and the scatter-free / fused-gather cell layout):
 
-* capacity 128 (lane-native): **pallas 8.9 ms/step (block 16) vs jnp
-  14.9 - 1.68x faster** (6.4k-particle dam break, 50 steps).  Block
-  32's unrolled body stalls the compiler; 16 is the tuned default.
-* capacity 64 (packed, f=2, composite outer rows): **pallas 7.94
-  ms/step (block 8) vs jnp 9.04 - 1.15x faster** (12.5k-particle dam
-  break, 50 steps).  Without packing the lane padding cost 4x the
-  pair math (0.4x of jnp); packing recovered 1.8x and the composite
-  outer-row merge (27 -> 18 slices) the rest.
-* capacities 32/16/8 pack at f = 128/K with the same kernels (the
-  f=2 composite specialization applies only to 64).
+* 100k dam break, `capacity="auto"` (48, ragged f=2 packing):
+  **pallas 50.2 ms/step vs jnp 57.6 - 1.15x**, and **1.28x over the
+  round-1 default champion** (XLA@48, 64.1 ms).
+* 100k dam break, capacity 64: pallas 52.2 vs jnp 84.8 - 1.62x.
+* 12.5k dam break, capacity 64: pallas 5.90 vs jnp 9.49 - 1.61x
+  (round 1: 7.94 vs 9.04).
+* 6.4k dam break, capacity 128 (lane-native): pallas 6.58 vs jnp
+  14.3 - 2.17x (round 1: 8.9 vs 14.9).
+* block 16 wins at every size measured; 24+ stalls the Mosaic compile.
+* deeper packings (capacity <= 32, f >= 4) remain unproven vs XLA;
+  `supported()` keeps them off the auto path.
+
+Ablation of the 100k auto step (in-jit, chained): accel kernel ~24 ms,
+density kernel ~12 ms, cell layout + gathers + integrate ~15 ms - the
+pair kernels are VPU-compute-bound (the mask-plane DMA fold measured
+neutral; the fused particle-order gather cut ~6 ms).
 
 Both kernels are fully unrolled with static window slices - fori_loop /
 dynamic-slice variants measured 3-5x slower.  The accel body needs
 ~44 MB of VMEM scoped stack (`vmem_limit_bytes` raised accordingly);
-v5e carries 128 MB of VMEM per core.
+v5e carries 128 MB of VMEM per core.  Ref slicing inside kernels must
+use non-negative static indices - negative indices crash the Mosaic
+LLO lowering (lower_to_llo.cc Check d >> 32 == 0).
 """
 
 import functools
@@ -60,7 +70,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import WendlandC2
 
-DEFAULT_BLOCK = 8
+DEFAULT_BLOCK = 16
 
 
 def _round_up(v, m):
@@ -157,7 +167,7 @@ def _start_window_dmas(src, dst, sem, sem_base, base, astarts, wlen):
 
 
 def _density_kernel(
-    flags_ref, x_hbm, m_hbm, rho_ref, xw, mw, sems, *, grid, params, kernel, block
+    flags_ref, xm_hbm, rho_ref, xw, sems, *, grid, params, kernel, block
 ):
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
@@ -172,17 +182,16 @@ def _density_kernel(
 
     @pl.when(flags_ref[i, 0] != 0)
     def _occupied():
-        xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
-        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-        for c_ in xcopies + mcopies:
+        # mask rides as the last field plane: ONE DMA per window
+        for c_ in _start_window_dmas(xm_hbm, xw, sems, 0, base, astarts, wlen):
             c_.wait()
 
         ix, iy, iz = _cell_coords(i * block, block, ny, nz)
 
         # center block = middle window (dx=0, dy=0), dz=0 slice
         e4 = extras[4]
-        xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, Kp]
-        mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, Kp]
+        xc = xw[4, :3, e4 + 1 : e4 + 1 + block]  # [3, B, Kp]
+        mc = xw[4, 3, e4 + 1 : e4 + 1 + block]  # [B, Kp]
 
         # fully unrolled 27-offset pair loop with static window slices:
         # the density body is small enough for the VMEM scoped stack, and
@@ -197,8 +206,8 @@ def _density_kernel(
             def _window(w=w, dx=dx, dy=dy, e=e):
                 acc = jnp.zeros((block, kp), jnp.float32)
                 for dz in (-1, 0, 1):
-                    yb = xw[w, :, e + 1 + dz : e + 1 + dz + block]  # [3,B,Kp]
-                    ym = mw[w, e + 1 + dz : e + 1 + dz + block]  # [B, Kp]
+                    yb = xw[w, :3, e + 1 + dz : e + 1 + dz + block]  # [3,B,Kp]
+                    ym = xw[w, 3, e + 1 + dz : e + 1 + dz + block]  # [B, Kp]
                     valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
                     pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
                     ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, Kp, Kp]
@@ -213,14 +222,15 @@ def _density_kernel(
 
 
 def _accel_kernel(
-    flags_ref, f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
+    flags_ref, f_hbm, ax_ref, ay_ref, az_ref, fw, sems,
     *, grid, params, kernel, block
 ):
     """Acceleration over all 27 offsets: fully unrolled pair loop with
     static window slices (fori/dynamic-slice variants measured 3-5x
     slower), occupancy-flag-gated like the density kernel.
 
-    f_hbm: ``[8, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho, p).
+    f_hbm: ``[9, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho, p, mask) -
+    the mask rides as the last plane so each window is ONE DMA.
     """
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
@@ -238,16 +248,14 @@ def _accel_kernel(
 
     @pl.when(flags_ref[i, 0] != 0)
     def _occupied():
-        fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
-        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-        for c_ in fcopies + mcopies:
+        for c_ in _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen):
             c_.wait()
 
         ix, iy, iz = _cell_coords(i * block, block, ny, nz)
 
         e4 = extras[4]
-        cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
-        mc = mw[4, e4 + 1 : e4 + 1 + block]
+        cen = fw[4, :8, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
+        mc = fw[4, 8, e4 + 1 : e4 + 1 + block]
 
         rho_c = cen[6]
         p_c = cen[7]
@@ -267,8 +275,8 @@ def _accel_kernel(
                 accy = jnp.zeros((block, kp), jnp.float32)
                 accz = jnp.zeros((block, kp), jnp.float32)
                 for dz in (-1, 0, 1):
-                    nb = fw[w, :, e + 1 + dz : e + 1 + dz + block]  # [8,B,Kp]
-                    ym = mw[w, e + 1 + dz : e + 1 + dz + block]
+                    nb = fw[w, :8, e + 1 + dz : e + 1 + dz + block]  # [8,B,Kp]
+                    ym = fw[w, 8, e + 1 + dz : e + 1 + dz + block]
                     valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
                     pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
 
@@ -289,12 +297,12 @@ def _accel_kernel(
 
                     vdotx = dvx * ddx + dvy * ddy + dvz * ddz
                     rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-                    pi = jnp.where(
-                        vdotx < 0.0,
+                    # one fused divide (this kernel is VPU-compute-bound;
+                    # divides are multi-cycle) and min() instead of a
+                    # select: pi == 0 exactly when vdotx >= 0
+                    pi = (
                         -params.alpha * params.c0 * params.h
-                        * (vdotx / (r2 + h2eps)) / rho_bar,
-                        0.0,
-                    )
+                    ) * jnp.minimum(vdotx, 0.0) / ((r2 + h2eps) * rho_bar)
 
                     scale = -params.mass * (press + pi) * dwr * pm
                     accx = accx + jnp.sum(scale * ddx, axis=-1)
@@ -411,8 +419,13 @@ def _band_matrix(c0, dh):
     return (jnp.abs(c0 + dh) <= 1).astype(jnp.float32)
 
 
-def _packed_slices(xw, mw, w, e, block, f, k, izb, a_n, dh, nzp):
+def _packed_slices(buf, w, e, block, f, k, izb, a_n, dh, nzp):
     """Yield (fields, mask, D, zn) pair-slices for window ``w``.
+
+    ``buf`` is the window scratch ``[9, P+1, wlen, 128]`` whose LAST
+    plane is the mask - mask rides the same DMA as the fields (one copy
+    per window instead of two; the issue/wait overhead of the second
+    stream measures, the bytes don't).
 
     ``D`` is the static lane-quadrant validity (None = all-valid);
     ``zn`` the [B, 128] neighbor z coordinate to bounds-check.
@@ -430,22 +443,27 @@ def _packed_slices(xw, mw, w, e, block, f, k, izb, a_n, dh, nzp):
       at capacity 64, and it generalizes verbatim to f >= 4.
     """
     # middle row: dz = hn - hc, so validity is the static |dh| <= 1 band
+    # (plane indices are explicit non-negative statics - negative ref
+    # indices crash the Mosaic LLO lowering)
+    nf = buf.shape[1] - 1  # field planes; plane nf is the mask
     D_mid = None if f == 2 else _band_matrix(0, dh)
     yield (
-        xw[w, :, e + 1 : e + 1 + block],
-        mw[w, e + 1 : e + 1 + block],
+        buf[w, 0:nf, e + 1 : e + 1 + block],
+        buf[w, nf, e + 1 : e + 1 + block],
         D_mid,
         izb + a_n,
     )
     # composite of the two outer rows (see docstring); the half-splice is
     # an elementwise lane SELECT (lanes < K from the j=2 row, the rest
     # from the j=0 row) - no lane shuffling, so any K lowers on Mosaic
-    hi = xw[w, :, e + 2 : e + 2 + block]
-    lo = xw[w, :, e : e + block]
+    hi = buf[w, 0:nf, e + 2 : e + 2 + block]
+    lo = buf[w, 0:nf, e : e + block]
     first_half = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < k
     comp = jnp.where(first_half[None], hi, lo)
     m_comp = jnp.where(
-        first_half, mw[w, e + 2 : e + 2 + block], mw[w, e : e + block]
+        first_half,
+        buf[w, nf, e + 2 : e + 2 + block],
+        buf[w, nf, e : e + block],
     )
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // k
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // k
@@ -458,7 +476,7 @@ def _packed_slices(xw, mw, w, e, block, f, k, izb, a_n, dh, nzp):
 
 
 def _density_kernel_packed(
-    flags_ref, x_hbm, m_hbm, rho_ref, xw, mw, sems,
+    flags_ref, xm_hbm, rho_ref, xw, sems,
     *, grid, params, kernel, block, f, nzp
 ):
     nx, ny, nz = grid.dims
@@ -479,9 +497,8 @@ def _density_kernel_packed(
 
     @pl.when(flags_ref[i, 0] != 0)
     def _occupied():
-        xcopies = _start_window_dmas(x_hbm, xw, sems, 0, base, astarts, wlen)
-        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-        for c_ in xcopies + mcopies:
+        # mask rides as the last field plane: ONE DMA per window
+        for c_ in _start_window_dmas(xm_hbm, xw, sems, 0, base, astarts, wlen):
             c_.wait()
 
         # row-uniform coords: every cell in packed row r shares (ix, iy);
@@ -497,8 +514,8 @@ def _density_kernel_packed(
 
         # center row: window 4 (off'=0, r_lo=-1), j=1
         e4 = extras[4]
-        xc = xw[4, :, e4 + 1 : e4 + 1 + block]  # [3, B, 128]
-        mc = mw[4, e4 + 1 : e4 + 1 + block]  # [B, 128]
+        xc = xw[4, :3, e4 + 1 : e4 + 1 + block]  # [3, B, 128]
+        mc = xw[4, 3, e4 + 1 : e4 + 1 + block]  # [B, 128]
 
         rho_ref[:] = jnp.zeros((block, 128), jnp.float32)
         offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -515,7 +532,7 @@ def _density_kernel_packed(
                 ).astype(jnp.float32)  # [B, 1]
                 acc = jnp.zeros((block, 128), jnp.float32)
                 for yb, ym, D, zn in _packed_slices(
-                    xw, mw, w, e, block, f, k, izb, a_n, dh, nzp
+                    xw, w, e, block, f, k, izb, a_n, dh, nzp
                 ):
                     z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
                     pm = ym * z_ok * xy_ok  # [B, 128]
@@ -533,7 +550,7 @@ def _density_kernel_packed(
 
 
 def _accel_kernel_packed(
-    flags_ref, f_hbm, m_hbm, ax_ref, ay_ref, az_ref, fw, mw, sems,
+    flags_ref, f_hbm, ax_ref, ay_ref, az_ref, fw, sems,
     *, grid, params, kernel, block, f, nzp
 ):
     nx, ny, nz = grid.dims
@@ -554,9 +571,8 @@ def _accel_kernel_packed(
 
     @pl.when(flags_ref[i, 0] != 0)
     def _occupied():
-        fcopies = _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen)
-        mcopies = _start_window_dmas(m_hbm, mw, sems, 9, base, astarts, wlen)
-        for c_ in fcopies + mcopies:
+        # mask rides as the last field plane: ONE DMA per window
+        for c_ in _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen):
             c_.wait()
 
         row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
@@ -569,8 +585,8 @@ def _accel_kernel_packed(
         a_n, dh = _lane_half_vectors(k)
 
         e4 = extras[4]
-        cen = fw[4, :, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
-        mc = mw[4, e4 + 1 : e4 + 1 + block]
+        cen = fw[4, :8, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
+        mc = fw[4, 8, e4 + 1 : e4 + 1 + block]
 
         rho_c = cen[6]
         p_c = cen[7]
@@ -596,7 +612,7 @@ def _accel_kernel_packed(
                 accy = jnp.zeros((block, 128), jnp.float32)
                 accz = jnp.zeros((block, 128), jnp.float32)
                 for nb, ym, D, zn in _packed_slices(
-                    fw, mw, w, e, block, f, k, izb, a_n, dh, nzp
+                    fw, w, e, block, f, k, izb, a_n, dh, nzp
                 ):
                     z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
                     pm = ym * z_ok * xy_ok  # [B, 128]
@@ -622,12 +638,12 @@ def _accel_kernel_packed(
 
                     vdotx = dvx * ddx + dvy * ddy + dvz * ddz
                     rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-                    pi = jnp.where(
-                        vdotx < 0.0,
+                    # one fused divide (this kernel is VPU-compute-bound;
+                    # divides are multi-cycle) and min() instead of a
+                    # select: pi == 0 exactly when vdotx >= 0
+                    pi = (
                         -params.alpha * params.c0 * params.h
-                        * (vdotx / (r2 + h2eps)) / rho_bar,
-                        0.0,
-                    )
+                    ) * jnp.minimum(vdotx, 0.0) / ((r2 + h2eps) * rho_bar)
 
                     scale = -params.mass * (press + pi) * dwr * pm3
                     accx = accx + jnp.sum(scale * ddx, axis=-1)
@@ -663,12 +679,16 @@ def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
     f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
         grid, block
     )
-    x_soa = jnp.moveaxis(dense_x[: grid.n_cells].astype(jnp.float32), -1, 0)
-    x_pk = _pack_dense(x_soa, grid, f, nzp, pad_r, cp_r)  # [3, cp_r, 128]
-    m_pk = _pack_dense(
-        mask[: grid.n_cells].astype(jnp.float32), grid, f, nzp, pad_r, cp_r
-    )
-    flags = _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen)
+    # mask rides as the 4th field plane so each window is ONE DMA
+    xm = jnp.concatenate(
+        [
+            jnp.moveaxis(dense_x[: grid.n_cells].astype(jnp.float32), -1, 0),
+            mask[: grid.n_cells].astype(jnp.float32)[None],
+        ],
+        axis=0,
+    )  # [4, C, K]
+    xm_pk = _pack_dense(xm, grid, f, nzp, pad_r, cp_r)  # [4, cp_r, 128]
+    flags = _block_flags(xm_pk[3], pad_r, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
         _density_kernel_packed, grid=grid, params=params, kernel=kernel,
@@ -679,17 +699,13 @@ def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((9, 3, wlen, 128), jnp.float32),
-                pltpu.VMEM((9, wlen, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((18,)),
+                pltpu.VMEM((9, 4, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32),
@@ -697,7 +713,7 @@ def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(flags, x_pk, m_pk)
+    )(flags, xm_pk)
     return _unpack_rows(rho, grid, f, nzp, rows)
 
 
@@ -709,19 +725,20 @@ def _accel_packed(
         grid, block
     )
     c = grid.n_cells
+    # mask rides as the 9th field plane so each window is ONE DMA
     fields = jnp.concatenate(
         [
             jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0),
             jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0),
             dense_rho[:c].astype(jnp.float32)[None],
             dense_p[:c].astype(jnp.float32)[None],
+            mask[:c].astype(jnp.float32)[None],
         ],
         axis=0,
-    )  # [8, C, K]
+    )  # [9, C, K]
     f_pk = _pack_dense(fields, grid, f, nzp, pad_r, cp_r)
-    m_pk = _pack_dense(mask[:c].astype(jnp.float32), grid, f, nzp, pad_r, cp_r)
 
-    flags = _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen)
+    flags = _block_flags(f_pk[8], pad_r, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
         _accel_kernel_packed, grid=grid, params=params, kernel=kernel,
@@ -732,10 +749,7 @@ def _accel_packed(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=tuple(
                 pl.BlockSpec(
                     (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -743,9 +757,8 @@ def _accel_packed(
                 for _ in range(3)
             ),
             scratch_shapes=[
-                pltpu.VMEM((9, 8, wlen, 128), jnp.float32),
-                pltpu.VMEM((9, wlen, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((18,)),
+                pltpu.VMEM((9, 9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
             ],
         ),
         out_shape=tuple(
@@ -756,7 +769,7 @@ def _accel_packed(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(flags, f_pk, m_pk)
+    )(flags, f_pk)
     return jnp.stack(
         [
             _unpack_rows(ax, grid, f, nzp, rows),
@@ -826,18 +839,22 @@ def _use_packed(grid):
 
 def supported(grid):
     """True when the Pallas path MEASURES faster than the XLA path for
-    this grid's capacity (v5e): lane-native multiples of 128 (1.68x)
-    and the f=2 packing at capacity 64 (1.15-1.24x).  Deeper packings
-    (capacity <= 32) run but lose to XLA - their j=0/j=2 slices use
-    1/f^2 of the lane math (no composite merge below f=2 yet); the
-    ``use_pallas="auto"`` policy keeps the jnp path there."""
+    this grid's capacity (v5e, 100k dam break, occupancy skip flags on):
+    lane-native multiples of 128 (2.3x) and the generalized ragged f=2
+    packing for 40 <= K <= 64 (1.09-1.55x; the occupancy-matched
+    ``capacity="auto"`` sizes land here).  Deeper packings (K <= 32,
+    f >= 4) remain unproven against XLA - their composite outer rows
+    use 2/f^2 of the lane math - so ``use_pallas="auto"`` keeps the
+    jnp path there."""
     k = grid.capacity
-    return k % 128 == 0 or k == 64
+    return k % 128 == 0 or (40 <= k <= 64 and k % 8 == 0)
 
 
 def default_block(grid):
-    """Measured-best block per path (v5e): 8 packed, 16 lane-native."""
-    return 8 if _use_packed(grid) else 16
+    """Measured-best block (v5e): 16 for both paths (with the one-DMA
+    window layout and occupancy flags, 16 beats 8 at every size
+    measured: 12.5k, 100k particles; 24+ stalls the Mosaic compile)."""
+    return 16
 
 
 def _interpret_default():
@@ -896,8 +913,12 @@ def density(
     )
     k = grid.capacity
 
-    x_soa = _soa(dense_x.astype(jnp.float32), c, pad, cp, kp)  # [3, Cp, Kp]
+    # mask rides as the 4th SoA plane so each window is ONE DMA
     m_soa = _pad_cells_to(mask[:c].astype(jnp.float32), c, pad, cp, kp)
+    xm_soa = jnp.concatenate(
+        [_soa(dense_x.astype(jnp.float32), c, pad, cp, kp), m_soa[None]],
+        axis=0,
+    )  # [4, Cp, Kp]
     flags = _block_flags(m_soa, pad, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
@@ -908,17 +929,13 @@ def density(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (block, kp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((9, 3, wlen, kp), jnp.float32),
-                pltpu.VMEM((9, wlen, kp), jnp.float32),
-                pltpu.SemaphoreType.DMA((18,)),
+                pltpu.VMEM((9, 4, wlen, kp), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32),
@@ -928,7 +945,7 @@ def density(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(flags, x_soa, m_soa)
+    )(flags, xm_soa)
     return rho[:c, :k]
 
 
@@ -981,18 +998,19 @@ def accel(
     )
     k = grid.capacity
 
+    # mask rides as the 9th SoA plane so each window is ONE DMA
     fields = jnp.concatenate(
         [
             jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0),
             jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0),
             dense_rho[:c].astype(jnp.float32)[None],
             dense_p[:c].astype(jnp.float32)[None],
+            mask[:c].astype(jnp.float32)[None],
         ],
         axis=0,
-    )  # [8, C, K]
+    )  # [9, C, K]
     f_soa = _pad_cells_to(fields, c, pad, cp, kp)
-    m_soa = _pad_cells_to(mask[:c].astype(jnp.float32), c, pad, cp, kp)
-    flags = _block_flags(m_soa, pad, nblocks, block, astarts, wlen)
+    flags = _block_flags(f_soa[8], pad, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
         _accel_kernel, grid=grid, params=params, kernel=kernel, block=block
@@ -1002,10 +1020,7 @@ def accel(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=tuple(
                 pl.BlockSpec(
                     (block, kp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -1013,9 +1028,8 @@ def accel(
                 for _ in range(3)
             ),
             scratch_shapes=[
-                pltpu.VMEM((9, 8, wlen, kp), jnp.float32),
-                pltpu.VMEM((9, wlen, kp), jnp.float32),
-                pltpu.SemaphoreType.DMA((18,)),
+                pltpu.VMEM((9, 9, wlen, kp), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
             ],
         ),
         out_shape=tuple(
@@ -1028,5 +1042,5 @@ def accel(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(flags, f_soa, m_soa)
+    )(flags, f_soa)
     return jnp.stack([ax[:c, :k], ay[:c, :k], az[:c, :k]], axis=-1)
