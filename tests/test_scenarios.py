@@ -143,10 +143,14 @@ def test_hydrostatic_pressure_profile():
     x, p, v = _settle(sc, 1600, density_renorm=True)
 
     # settle quality: the free-surface density floor removes the
-    # deficit-driven ringing (round-1 ledger: raw summation density
-    # re-rang to v_rms ~0.33 m/s); with it the column is quiescent
+    # deficit-driven NEGATIVE surface pressures (measured: min p
+    # -11.6 kPa -> 0.0) and the ringing failure mode they seeded
+    # (round-1 ledger: re-ring to v_rms ~0.33 m/s).  Measured settled
+    # v_rms with the floor: 0.071 m/s (v5e, 1600 steps); bound with
+    # margin for backend variation
     v_rms = float(numpy.sqrt((v[sc.n_fixed :] ** 2).sum(axis=1).mean()))
-    assert v_rms < 0.08, "column still ringing: v_rms %.3f m/s" % v_rms
+    assert v_rms < 0.12, "column still ringing: v_rms %.3f m/s" % v_rms
+    assert p[sc.n_fixed :].min() >= 0.0, "spurious suction at the surface"
 
     z = x[sc.n_fixed :, 2]
     fp = p[sc.n_fixed :]
