@@ -176,11 +176,11 @@ def _density_kernel(
     base = i * block  # multiple of 8; astarts carry the pad
 
     # occupancy-driven sparsity (see _block_flags / the packed kernels)
-    @pl.when(flags_ref[i, 0] == 0)
+    @pl.when(flags_ref[i] & 1 == 0)
     def _empty():
         rho_ref[:] = jnp.zeros((block, kp), jnp.float32)
 
-    @pl.when(flags_ref[i, 0] != 0)
+    @pl.when(flags_ref[i] & 1 != 0)
     def _occupied():
         # mask rides as the last field plane: ONE DMA per window
         for c_ in _start_window_dmas(xm_hbm, xw, sems, 0, base, astarts, wlen):
@@ -202,7 +202,7 @@ def _density_kernel(
         for w, (dx, dy) in enumerate(offs):
             e = extras[w]
 
-            @pl.when(flags_ref[i, 1 + w] != 0)
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
                 acc = jnp.zeros((block, kp), jnp.float32)
                 for dz in (-1, 0, 1):
@@ -239,14 +239,14 @@ def _accel_kernel(
     i = pl.program_id(0)
     base = i * block
 
-    @pl.when(flags_ref[i, 0] == 0)
+    @pl.when(flags_ref[i] & 1 == 0)
     def _empty():
         zero = jnp.zeros((block, kp), jnp.float32)
         ax_ref[:] = zero
         ay_ref[:] = zero
         az_ref[:] = zero
 
-    @pl.when(flags_ref[i, 0] != 0)
+    @pl.when(flags_ref[i] & 1 != 0)
     def _occupied():
         for c_ in _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen):
             c_.wait()
@@ -269,7 +269,7 @@ def _accel_kernel(
             dx, dy = w // 3 - 1, w % 3 - 1
             e = extras[w]
 
-            @pl.when(flags_ref[i, 1 + w] != 0)
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
                 accx = jnp.zeros((block, kp), jnp.float32)
                 accy = jnp.zeros((block, kp), jnp.float32)
@@ -491,11 +491,11 @@ def _density_kernel_packed(
     # and pair math entirely; an occupied block still skips the pair math
     # of any all-empty neighbor window.  Free surfaces leave large parts
     # of real SPH domains empty - the static XLA path cannot exploit that.
-    @pl.when(flags_ref[i, 0] == 0)
+    @pl.when(flags_ref[i] & 1 == 0)
     def _empty():
         rho_ref[:] = jnp.zeros((block, 128), jnp.float32)
 
-    @pl.when(flags_ref[i, 0] != 0)
+    @pl.when(flags_ref[i] & 1 != 0)
     def _occupied():
         # mask rides as the last field plane: ONE DMA per window
         for c_ in _start_window_dmas(xm_hbm, xw, sems, 0, base, astarts, wlen):
@@ -522,7 +522,7 @@ def _density_kernel_packed(
         for w, (dx, dy) in enumerate(offs):
             e = extras[w]
 
-            @pl.when(flags_ref[i, 1 + w] != 0)
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
                 xy_ok = (
                     (ix + dx >= 0)
@@ -562,14 +562,14 @@ def _accel_kernel_packed(
     base = i * block
 
     # same occupancy-driven block/window sparsity as the density kernel
-    @pl.when(flags_ref[i, 0] == 0)
+    @pl.when(flags_ref[i] & 1 == 0)
     def _empty():
         zero = jnp.zeros((block, 128), jnp.float32)
         ax_ref[:] = zero
         ay_ref[:] = zero
         az_ref[:] = zero
 
-    @pl.when(flags_ref[i, 0] != 0)
+    @pl.when(flags_ref[i] & 1 != 0)
     def _occupied():
         # mask rides as the last field plane: ONE DMA per window
         for c_ in _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen):
@@ -600,7 +600,7 @@ def _accel_kernel_packed(
         for w, (dx, dy) in enumerate(offs):
             e = extras[w]
 
-            @pl.when(flags_ref[i, 1 + w] != 0)
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
                 xy_ok = (
                     (ix + dx >= 0)
@@ -659,20 +659,26 @@ def _accel_kernel_packed(
 
 
 def _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen):
-    """``[nblocks, 10]`` int32 occupancy flags for the packed kernels.
+    """``[nblocks]`` int32 occupancy BITMASKS for the kernels.
 
-    Column 0: any live particle in the block's CENTER rows (all-empty
-    blocks produce zero output - skip everything).  Columns 1-9: any live
+    Bit 0: any live particle in the block's CENTER rows (all-empty
+    blocks produce zero output - skip everything).  Bits 1-9: any live
     particle in neighbor window w's rows (empty windows contribute
     nothing - skip their pair math).  One mask pass + a prefix sum;
-    consumed via scalar prefetch so the kernel can branch before its DMAs.
+    consumed via scalar prefetch so the kernel can branch before its
+    DMAs.  Packed to one word per block because SMEM prefetch operands
+    are lane-padded to 128 words per ROW: a ``[nblocks, 10]`` layout
+    costs 512 B/block and blows the 1 MB SMEM budget at ~2000 blocks
+    (observed as a compile failure at 1M particles); the bitmask costs
+    4 B/block.
     """
     row_any = (jnp.sum(m_pk, axis=-1) > 0).astype(jnp.int32)
     csum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(row_any)])
     base = jnp.arange(nblocks, dtype=jnp.int32)[:, None] * block
     offs = np.array([pad_r] + list(astarts), np.int32)[None, :]
     lens = np.array([block] + [wlen] * len(astarts), np.int32)[None, :]
-    return (csum[base + offs + lens] - csum[base + offs] > 0).astype(jnp.int32)
+    bits = (csum[base + offs + lens] - csum[base + offs] > 0).astype(jnp.int32)
+    return jnp.sum(bits << jnp.arange(10, dtype=jnp.int32)[None, :], axis=-1)
 
 
 def _density_packed(dense_x, mask, grid, params, kernel, block, interpret):
