@@ -1,7 +1,7 @@
 """Fixed-capacity cell list for neighbor search.
 
 TPU constraint: no dynamic shapes under jit.  The cell list is a dense
-``[n_cells + 1, capacity]`` slot array built with one sort + one scatter;
+``[n_cells + 1, capacity]`` slot array built with one sort + gathers;
 slot overflow drops particles from *neighbor interactions only* (they keep
 integrating ballistically) and is reported via the returned overflow count
 so callers can size ``capacity``.  Row ``n_cells`` is a zero sentinel: the
@@ -129,8 +129,9 @@ class CellList(NamedTuple):
     """Dense cell decomposition of one particle set.
 
     ``order`` sorts particles by cell; ``cid``/``slot`` are each sorted
-    particle's dense coordinates; ``src`` is the dense gather map (the
-    ORIGINAL particle index occupying each slot, N for empty slots);
+    particle's dense coordinates; ``gidx`` is the dense gather map INTO
+    THE SORTED ORDER (sorted position occupying each slot, N for empty
+    slots - elementwise from the cell starts, no gather to build);
     ``mask`` marks live slots; ``overflow`` counts particles dropped
     from neighbor sums (capacity exceeded).
     """
@@ -138,7 +139,7 @@ class CellList(NamedTuple):
     order: jax.Array  # [N] permutation: particle index in sorted order
     cid: jax.Array  # [N] cell id per sorted particle
     slot: jax.Array  # [N] slot per sorted particle (== capacity if dropped)
-    src: jax.Array  # [n_cells+1, capacity] int32 gather map (N = empty)
+    gidx: jax.Array  # [n_cells+1, capacity] int32 sorted-order gather map
     mask: jax.Array  # [n_cells+1, capacity] bool
     overflow: jax.Array  # [] int32
 
@@ -150,10 +151,11 @@ def build_cells(x, grid):
 
     XLA lowers scatters to serialized updates on TPU (~4x the cost of
     the equivalent gather at 100k particles on v5e) while its sorts are
-    nearly free (0.2 ms), so the dense layout is built as a GATHER map:
-    ``src[cell, k]`` is the particle whose sorted position is
-    ``starts[cell] + k`` - and every later :func:`scatter_to_cells`
-    "scatter" is one gather through it.
+    nearly free (0.2 ms), so the dense layout is a GATHER: slot
+    (cell, j) reads sorted position ``starts[cell] + j``, and the
+    ``gidx`` map encoding that is pure elementwise arithmetic (an
+    earlier variant materialized original-order indices with an extra
+    [c, K] gather - measurable at 1M particles).
 
     Returns a :class:`CellList`; use :func:`scatter_to_cells` to lay
     per-particle quantities out densely and :func:`gather_from_cells` to
@@ -174,9 +176,11 @@ def build_cells(x, grid):
     )
     kslots = jnp.arange(k, dtype=jnp.int32)
     valid = kslots[None, :] < jnp.minimum(counts, k)[:, None]  # [c, K]
-    gidx = jnp.clip(starts[:, None] + kslots[None, :], 0, max(n - 1, 0))
-    src = jnp.where(valid, order[gidx].astype(jnp.int32), n)
-    src = jnp.concatenate([src, jnp.full((1, k), n, jnp.int32)])
+    # slot (cell, j) holds the particle at SORTED position starts+j; the
+    # map is pure elementwise arithmetic (invalid slots point at the
+    # fill row N appended by scatter_to_cells)
+    gidx = jnp.where(valid, starts[:, None] + kslots[None, :], n)
+    gidx = jnp.concatenate([gidx, jnp.full((1, k), n, jnp.int32)])
     mask = jnp.concatenate([valid, jnp.zeros((1, k), bool)])
 
     # per-sorted-particle coordinates (the gather_from_cells inverse map)
@@ -187,7 +191,7 @@ def build_cells(x, grid):
         order=order,
         cid=cid_s,
         slot=slot,
-        src=src,
+        gidx=gidx,
         mask=mask,
         overflow=dropped.sum().astype(jnp.int32),
     )
@@ -197,11 +201,14 @@ def scatter_to_cells(values, cells, grid, fill=0.0):
     """Lay per-particle ``values`` (particle order) out in the dense
     ``[n_cells+1, capacity, ...]`` layout (sentinel row stays ``fill``).
 
-    Despite the name this is ONE GATHER through ``cells.src`` - see
-    :func:`build_cells` for why scatters are avoided on TPU."""
+    Despite the name this is gathers, not scatters: one N-row gather
+    into sorted order, then one dense gather through the elementwise
+    ``cells.gidx`` map - see :func:`build_cells` for why scatters are
+    avoided on TPU."""
     trailing = values.shape[1:]
     pad = jnp.full((1,) + trailing, fill, values.dtype)
-    return jnp.concatenate([values, pad])[cells.src]
+    vs = jnp.concatenate([values[cells.order], pad])
+    return vs[cells.gidx]
 
 
 def gather_from_cells(dense, cells, grid):

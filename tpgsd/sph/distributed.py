@@ -81,8 +81,8 @@ def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
     serialize on TPU; see ``tpgsd.sph.cells.build_cells``).
 
     Dead slots sort into a sentinel cell past the grid.  Returns
-    (cid_sorted, slot, order, src, mask, overflow) where ``src`` is the
-    ``[c+1, capacity]`` gather map (particle index per slot, n = empty).
+    (cid_sorted, slot, order, gidx, mask, overflow) where ``gidx`` is
+    the ``[c+1, capacity]`` gather map into SORTED order (n = empty).
     """
     n = x.shape[0]
     c = nxl * ny * nz
@@ -102,21 +102,23 @@ def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
     valid = kslots[None, :] < jnp.minimum(counts, capacity)[:, None]
     # the sentinel row holds the dead particles - never live slots
     valid = valid & (jnp.arange(c + 1) < c)[:, None]
-    gidx = jnp.clip(starts[:, None] + kslots[None, :], 0, max(n - 1, 0))
-    src = jnp.where(valid, order[gidx].astype(jnp.int32), n)
+    # elementwise sorted-order map (invalid -> the fill row n)
+    gidx = jnp.where(valid, starts[:, None] + kslots[None, :], n)
 
     slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
     dead_s = cid_s == c
     dropped = (slot >= capacity) & ~dead_s
     slot = jnp.where(dropped | dead_s, capacity, slot)
-    return cid_s, slot, order, src, valid, dropped.sum().astype(jnp.int32)
+    return cid_s, slot, order, gidx, valid, dropped.sum().astype(jnp.int32)
 
 
-def _scatter(values, src, fill=0.0):
-    """Dense [c+1, capacity, ...] layout via ONE gather through ``src``."""
+def _scatter(values, order, gidx, fill=0.0):
+    """Dense [c+1, capacity, ...] layout: one n-row gather into sorted
+    order + one dense gather through the elementwise ``gidx`` map."""
     trailing = values.shape[1:]
     pad = jnp.full((1,) + trailing, fill, values.dtype)
-    return jnp.concatenate([values, pad])[src]
+    vs = jnp.concatenate([values[order], pad])
+    return vs[gidx]
 
 
 def _gather(dense, cid_s, slot, order, c, capacity):
@@ -354,11 +356,11 @@ def make_distributed_step_fn(
         alive = pid >= 0
         lo_local = lo_g + jnp.asarray([d * nxl * cell, 0.0, 0.0], jnp.float32)
 
-        cid_s, slot, order, src, mask, cell_ovf = _local_cells(
+        cid_s, slot, order, gidx, mask, cell_ovf = _local_cells(
             x, alive, nxl, ny, nz, k, lo_local, cell
         )
         # one fused layout gather for x AND v
-        xv = _scatter(jnp.concatenate([x, v], axis=-1), src)
+        xv = _scatter(jnp.concatenate([x, v], axis=-1), order, gidx)
         dense_x, dense_v = xv[..., :3], xv[..., 3:]
 
         # halo exchange: one x-plane of cells each way

@@ -35,8 +35,9 @@ skip flags, the one-DMA-per-window mask plane, the fused viscosity
 divide, block 16, and the scatter-free / fused-gather cell layout):
 
 * 100k dam break, `capacity="auto"` (48, ragged f=2 packing):
-  **pallas 50.2 ms/step vs jnp 57.6 - 1.15x**, and **1.28x over the
-  round-1 default champion** (XLA@48, 64.1 ms).
+  **pallas 46.5 ms/step vs jnp 57.6 - 1.24x**, and **1.38x over the
+  round-1 default champion** (XLA@48, 64.1 ms).  1M particles:
+  507.8 ms/step (1.98e6 particle-steps/s - near-linear from 100k).
 * 100k dam break, capacity 64: pallas 52.2 vs jnp 84.8 - 1.62x.
 * 12.5k dam break, capacity 64: pallas 5.90 vs jnp 9.49 - 1.61x
   (round 1: 7.94 vs 9.04).
@@ -47,9 +48,10 @@ divide, block 16, and the scatter-free / fused-gather cell layout):
   `supported()` keeps them off the auto path.
 
 Ablation of the 100k auto step (in-jit, chained): accel kernel ~24 ms,
-density kernel ~12 ms, cell layout + gathers + integrate ~15 ms - the
+density kernel ~12 ms, cell layout + gathers + integrate ~10 ms - the
 pair kernels are VPU-compute-bound (the mask-plane DMA fold measured
-neutral; the fused particle-order gather cut ~6 ms).
+neutral; the fused particle-order gather cut ~6 ms and the elementwise
+gidx layout map another ~4 at 100k / ~225 at 1M).
 
 Both kernels are fully unrolled with static window slices - fori_loop /
 dynamic-slice variants measured 3-5x slower.  The accel body needs
