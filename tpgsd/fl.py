@@ -1077,15 +1077,45 @@ class PGSDFile:
         index = self._file_index
         lo = int(numpy.searchsorted(index["frame"], frame, side="left"))
         hi = int(numpy.searchsorted(index["frame"], frame, side="right"))
-        out = {}
-        reads = []
-        for entry in index[lo:hi]:
+        entries = index[lo:hi]
+
+        # fast path: a frame written in one go tiles ONE contiguous byte
+        # span - read it with a single allocation + a single sequential
+        # pread and hand out zero-copy views.  One sequential read is
+        # what a cold spinning/virtual device wants (no per-chunk
+        # seeks), and one block allocation sidesteps glibc's
+        # mmap-threshold churn (17 fresh 8 MB buffers per call measured
+        # 0.4 GB/s where one 143 MB buffer runs at copy speed).
+        segs = []
+        for entry in entries:
             dtype = TYPE_TO_DTYPE[int(entry["type"])]
             n, m = int(entry["N"]), int(entry["M"])
-            name = self._names[int(entry["id"])]
+            nbytes = n * m * dtype.itemsize
+            segs.append((int(entry["location"]), nbytes, dtype, n, m,
+                         self._names[int(entry["id"])]))
+        data_segs = sorted(s for s in segs if s[1])
+        contiguous = data_segs and all(
+            a[0] + a[1] == b[0] for a, b in zip(data_segs, data_segs[1:])
+        )
+        out = {}
+        if contiguous:
+            base = data_segs[0][0]
+            span = data_segs[-1][0] + data_segs[-1][1] - base
+            blob = numpy.empty(span, numpy.uint8)
+            self._fh.pread_into(base, blob)
+            for loc, nbytes, dtype, n, m, name in segs:
+                if nbytes:
+                    arr = blob[loc - base : loc - base + nbytes].view(dtype)
+                else:
+                    arr = numpy.empty(0, dtype)
+                out[name] = arr.reshape(n, m) if m > 1 else arr
+            return out
+
+        reads = []
+        for loc, nbytes, dtype, n, m, name in segs:
             arr = numpy.empty(n * m, dtype=dtype)
-            if arr.nbytes:
-                reads.append((int(entry["location"]), arr))
+            if nbytes:
+                reads.append((loc, arr))
             out[name] = arr.reshape(n, m) if m > 1 else arr
         if reads:
             batched = getattr(self._fh, "pread_many", None)
