@@ -1055,17 +1055,27 @@ class PGSDFile:
             return out
         return out.reshape([n_rows, m_cols])
 
-    def read_all_chunks(self, frame):
+    def read_all_chunks(self, frame, names=None):
         """Read every chunk of ``frame`` in one batched positioned read.
 
         The frame's entries are contiguous in the (frame, id)-sorted
-        index, so one index slice + one threaded ``pread_many`` replaces
-        the per-field read cascade (~15 reads/frame in the hoomd layer;
+        index, so one index slice + one batched read replaces the
+        per-field read cascade (~15 reads/frame in the hoomd layer;
         the reference warns about exactly this cost,
         reference: pgsd/pgsd/fl.pyx:732-735).
 
+        Args:
+            frame (int): frame index.
+            names: optional container of chunk names - read ONLY these
+                (callers after a few small chunks, e.g. ``read_log``,
+                must not pay for the frame's bulk particle data).
+
         Returns:
-            dict chunk name -> array (M == 1 chunks are 1-D).
+            dict chunk name -> array (M == 1 chunks are 1-D).  When the
+            frame tiles one contiguous byte span the arrays are
+            zero-copy views into a single per-call buffer: holding ANY
+            of them alive keeps the whole frame's bytes alive - take
+            ``.copy()`` of small chunks you intend to retain long-term.
         """
         if not self._is_open:
             raise ValueError("File is not open")
@@ -1078,6 +1088,11 @@ class PGSDFile:
         lo = int(numpy.searchsorted(index["frame"], frame, side="left"))
         hi = int(numpy.searchsorted(index["frame"], frame, side="right"))
         entries = index[lo:hi]
+        if names is not None:
+            keep = set(names)
+            entries = [
+                e for e in entries if self._names[int(e["id"])] in keep
+            ]
 
         # fast path: a frame written in one go tiles ONE contiguous byte
         # span - read it with a single allocation + a single sequential

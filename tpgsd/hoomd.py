@@ -317,12 +317,34 @@ class _TrajectoryView:
         return len(self._indices)
 
     def __iter__(self):
-        return map(self._trajectory.__getitem__, self._indices)
+        return _FrameIter(self._trajectory, self._indices)
 
     def __getitem__(self, key):
         if isinstance(key, slice):
             return _TrajectoryView(self._trajectory, self._indices[key])
         return self._trajectory[self._indices[key]]
+
+
+class _FrameIter:
+    """Sized frame iterator: ``len(iter(traj))`` works, as it does in
+    the reference (its iterable defines ``__len__``,
+    pgsd/pgsd/hoomd.py:486-488) - progress wrappers rely on it."""
+
+    def __init__(self, trajectory, indices):
+        self._trajectory = trajectory
+        self._it = iter(indices)
+        self._remaining = len(indices)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        frame = self._trajectory[next(self._it)]
+        self._remaining -= 1
+        return frame
+
+    def __len__(self):
+        return max(self._remaining, 0)
 
 
 class HOOMDTrajectory:
@@ -723,7 +745,7 @@ def read_log(name, scalar_only=False):
         # always qualifies, defaulting to 0); its frame-0 value also fills
         # any later frame that omits the chunk - the same sticky-frame-0
         # semantics as the frame reader
-        frame0 = f.read_all_chunks(0)
+        frame0 = f.read_all_chunks(0, names=wanted)
         fill = {}
         for nm in wanted:
             v = frame0.get(nm)
@@ -735,12 +757,13 @@ def read_log(name, scalar_only=False):
                 continue
             fill[nm] = v
 
-        # single batched positioned read per frame (one index slice +
-        # threaded pread_many in tpgsd.fl) instead of the reference's
-        # chunk_exists/read_chunk cascade per quantity per frame
+        # one batched positioned read per frame, restricted to the log
+        # quantities (never the frame's bulk particle data) - replaces
+        # the reference's chunk_exists/read_chunk cascade per quantity
+        # per frame
         columns = {nm: [v] for nm, v in fill.items()}
         for idx in range(1, f.nframes):
-            present = f.read_all_chunks(idx)
+            present = f.read_all_chunks(idx, names=columns.keys())
             for nm, col in columns.items():
                 col.append(present.get(nm, fill[nm]))
 

@@ -144,6 +144,42 @@ class CellList(NamedTuple):
     overflow: jax.Array  # [] int32
 
 
+
+def _sorted_slot_map(cid, n_query, capacity, live_rows=None):
+    """Shared scatter-free slot assignment (single-device AND slab
+    paths): sort by cell id, locate each cell's first sorted position
+    by vectorized binary search, and build the elementwise sorted-order
+    gather map.
+
+    Args:
+        cid: ``[n]`` cell id per particle, values in ``[0, n_query)``.
+        n_query: number of cells to map (may include sentinel cells).
+        capacity: slots per cell.
+        live_rows: optional count of leading rows eligible for live
+            slots (rows past it - sentinel cells - map to empty).
+
+    Returns:
+        ``(order, cid_s, valid, gidx, slot)`` where ``gidx[q, k]`` is
+        the sorted position filling slot ``(q, k)`` (``n`` = empty) and
+        ``slot`` is each SORTED particle's slot within its cell
+        (unclamped - callers apply their own overflow rule).
+    """
+    n = cid.shape[0]
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    starts = jnp.searchsorted(
+        cid_s, jnp.arange(n_query, dtype=cid_s.dtype)
+    ).astype(jnp.int32)
+    counts = jnp.diff(jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)]))
+    kslots = jnp.arange(capacity, dtype=jnp.int32)
+    valid = kslots[None, :] < jnp.minimum(counts, capacity)[:, None]
+    if live_rows is not None and live_rows < n_query:
+        valid = valid & (jnp.arange(n_query) < live_rows)[:, None]
+    gidx = jnp.where(valid, starts[:, None] + kslots[None, :], n)
+    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
+    return order, cid_s, valid, gidx, slot
+
+
 @partial(jax.jit, static_argnums=1)
 def build_cells(x, grid):
     """Assign particles to cells, scatter-free: one sort, one binary
@@ -165,26 +201,11 @@ def build_cells(x, grid):
     c = grid.n_cells
     k = grid.capacity
     cid = cell_id(x, grid)
-    order = jnp.argsort(cid)
-    cid_s = cid[order]
-    # first sorted position of each cell: vectorized binary search
-    # (replaces the scatter-add histogram + cumsum)
-    starts = jnp.searchsorted(cid_s, jnp.arange(c, dtype=cid_s.dtype))
-    starts = starts.astype(jnp.int32)
-    counts = jnp.diff(
-        jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)])
-    )
-    kslots = jnp.arange(k, dtype=jnp.int32)
-    valid = kslots[None, :] < jnp.minimum(counts, k)[:, None]  # [c, K]
-    # slot (cell, j) holds the particle at SORTED position starts+j; the
-    # map is pure elementwise arithmetic (invalid slots point at the
-    # fill row N appended by scatter_to_cells)
-    gidx = jnp.where(valid, starts[:, None] + kslots[None, :], n)
+    order, cid_s, valid, gidx, slot = _sorted_slot_map(cid, c, k)
     gidx = jnp.concatenate([gidx, jnp.full((1, k), n, jnp.int32)])
     mask = jnp.concatenate([valid, jnp.zeros((1, k), bool)])
 
     # per-sorted-particle coordinates (the gather_from_cells inverse map)
-    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
     dropped = slot >= k
     slot = jnp.where(dropped, k, slot)  # out-of-bounds -> dropped
     return CellList(

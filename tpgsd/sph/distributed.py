@@ -42,7 +42,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .cells import CellGrid, neighbor_table
+from .cells import CellGrid, _sorted_slot_map, neighbor_table
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
@@ -92,20 +92,11 @@ def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
     cid = idx[:, 0] * (ny * nz) + idx[:, 1] * nz + idx[:, 2]
     cid = jnp.where(alive, cid, c)  # dead -> sentinel cell
 
-    order = jnp.argsort(cid)
-    cid_s = cid[order]
-    starts = jnp.searchsorted(
-        cid_s, jnp.arange(c + 1, dtype=cid_s.dtype)
-    ).astype(jnp.int32)
-    counts = jnp.diff(jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)]))
-    kslots = jnp.arange(capacity, dtype=jnp.int32)
-    valid = kslots[None, :] < jnp.minimum(counts, capacity)[:, None]
-    # the sentinel row holds the dead particles - never live slots
-    valid = valid & (jnp.arange(c + 1) < c)[:, None]
-    # elementwise sorted-order map (invalid -> the fill row n)
-    gidx = jnp.where(valid, starts[:, None] + kslots[None, :], n)
-
-    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
+    # shared slot-map core (tpgsd.sph.cells); the sentinel row (c) holds
+    # the dead particles and never produces live slots
+    order, cid_s, valid, gidx, slot = _sorted_slot_map(
+        cid, c + 1, capacity, live_rows=c
+    )
     dead_s = cid_s == c
     dropped = (slot >= capacity) & ~dead_s
     slot = jnp.where(dropped | dead_s, capacity, slot)
@@ -507,10 +498,19 @@ def make_distributed_step_fn(
         # ---- migration: particles that left this slab ----
         slab_lo = lo_g[0] + d * nxl * cell
         slab_hi = slab_lo + nxl * cell
+        x_raw = x_new  # pre-wrap coordinates (identical inside the box)
         if periodic:
             go_left = alive & (x_new[:, 0] < slab_lo)
             go_right = alive & (x_new[:, 0] >= slab_hi)
-            # wrap AFTER detecting the crossing direction
+            # wrap AFTER detecting the crossing direction; only the
+            # MIGRATION PAYLOAD carries the wrapped coordinate (it is
+            # correct on the receiving slab).  Particles retained by
+            # send-side overflow keep the raw coordinate: a wrapped
+            # seam-crosser sitting on its OWN slab would land in the
+            # far edge cells, exert forces on the wrong side of the
+            # domain, and then migrate the long way around the ring -
+            # the raw coordinate re-detects the same crossing next step
+            # (the documented one-step delay).
             x_new = jnp.where(
                 wrap, lo_g + jnp.mod(x_new - lo_g, hi_g - lo_g), x_new
             )
@@ -542,7 +542,7 @@ def make_distributed_step_fn(
         )
 
         payload_new = jnp.concatenate(
-            [x_new, v_new, pid_after.astype(jnp.float32)[:, None]], axis=1
+            [x_raw, v_new, pid_after.astype(jnp.float32)[:, None]], axis=1
         )
         payload_new = jnp.where(
             alive_after[:, None], payload_new, jnp.zeros_like(payload_new)

@@ -333,7 +333,7 @@ def density_and_pressure(
     Returns per-particle ``(rho, p)`` - the SPH quantities the schema's
     ``particles/density`` / ``particles/pressure`` chunks carry.  With
     ``density_renorm`` the Shepard filter removes the free-surface
-    density deficit (see :func:`_shepard_blocks`).
+    density deficit (see :func:`_renormalize_density`).
     """
     cells = build_cells(x, grid)
     nbr = neighbor_table(grid, periodic=periodic)
