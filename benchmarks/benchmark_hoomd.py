@@ -38,8 +38,8 @@ def drop_caches():
         print("  (cannot drop caches: %s)" % e, file=sys.stderr)
 
 
-def make_frame(n):
-    rng = numpy.random.RandomState(42)
+def make_frame(n, seed=42):
+    rng = numpy.random.RandomState(seed)
     frame = tpgsd.hoomd.Frame()
     frame.particles.N = n
     frame.particles.position = rng.rand(n, 3).astype(numpy.float32)
@@ -55,10 +55,17 @@ def bench_one(n, size, path, caches=False):
     bytes_per_frame = n * (3 + 3 + 1 + 1 + 1) * 4
     nframes = max(2, int(size // bytes_per_frame))
 
-    frame = make_frame(n)
+    # frame 0 and the appended frame must DIFFER: append() elides
+    # chunks equal to frame 0's (sticky-frame-0 dedup), so appending
+    # one frame object repeatedly writes ~no data and the column
+    # measured metadata appends instead of bulk I/O
+    frame0 = make_frame(n, seed=42)
+    frame = make_frame(n, seed=43)
     t0 = time.perf_counter()
     with tpgsd.hoomd.open(path, "w") as traj:
-        for i in range(nframes):
+        frame0.configuration.step = 0
+        traj.append(frame0)
+        for i in range(1, nframes):
             frame.configuration.step = i
             traj.append(frame)
     t_write = time.perf_counter() - t0
