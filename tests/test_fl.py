@@ -685,3 +685,39 @@ def test_durable_mode(tmp_path):
         numpy.testing.assert_array_equal(
             f.read_chunk(2, "d"), numpy.full(100, 2, numpy.int32)
         )
+
+
+def test_read_all_chunks_batched_and_filtered(tmp_path):
+    """One batched read returns every chunk of a frame; the ``names``
+    filter restricts I/O to the requested chunks (read_log's path -
+    it must not read a frame's bulk data to extract scalar columns)."""
+    fname = tmp_path / "batched.gsd"
+    with tpgsd.fl.open(
+        fname, "w", application="t", schema="none", schema_version=[1, 0]
+    ) as f:
+        for frame in range(3):
+            f.write_chunk("big", numpy.full((1000, 3), frame, numpy.float32))
+            f.write_chunk("log/e", numpy.array([frame * 2.0]))
+            f.write_chunk("step", numpy.array([frame], numpy.uint64))
+            f.end_frame()
+
+    with tpgsd.fl.open(fname, "r") as f:
+        # full frame: every chunk, correct values/shapes
+        out = f.read_all_chunks(1)
+        assert sorted(out) == ["big", "log/e", "step"]
+        numpy.testing.assert_array_equal(
+            out["big"], numpy.full((1000, 3), 1, numpy.float32)
+        )
+        assert out["log/e"][0] == 2.0 and out["step"][0] == 1
+
+        # the contiguous fast path returns views into one span; they
+        # remain valid and independent after the dict is dropped
+        big = out["big"]
+        del out
+        assert big[0, 0] == 1.0
+
+        # filtered: only the requested names are returned
+        out = f.read_all_chunks(2, names=["log/e", "step"])
+        assert sorted(out) == ["log/e", "step"]
+        assert out["log/e"][0] == 4.0 and out["step"][0] == 2
+        assert f.read_all_chunks(0, names=["absent"]) == {}
