@@ -487,3 +487,30 @@ def test_periodic_distributed_pallas_matches_jnp():
     x_p, v_p = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
+
+
+def test_xsph_distributed_matches_single_device():
+    """The slab step's XSPH pass (over halo-exchanged velocities) must
+    reproduce the single-device xsph trajectory."""
+    mesh = make_mesh()
+    db = dam_break(n_side=8, box=(4.0, 0.5, 0.5), fill=(0.4, 1.0, 1.0))
+
+    step_ref = jax.jit(make_step_fn(db.grid, db.params, xsph=0.5))
+    s_ref = SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v))
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state(
+        SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v)),
+        db.grid, mesh,
+    )
+    step_d = make_distributed_step_fn(
+        db.grid, db.params, mesh, capacity=cap, xsph=0.5
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    x_d, v_d = collect_state(dist, db.n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=1e-5
+    )

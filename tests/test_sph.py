@@ -321,3 +321,67 @@ def test_use_pallas_auto_policy():
 
     assert all(sup(k) for k in (40, 48, 56, 64, 128, 256))
     assert not any(sup(k) for k in (8, 16, 24, 32, 72, 96))
+
+
+def test_xsph_conserves_momentum():
+    """The XSPH correction's pair weight is symmetric and the velocity
+    difference antisymmetric, so total momentum is exactly preserved -
+    and the correction must damp velocity disorder (smoothed field
+    closer to the local mean)."""
+    rng = numpy.random.RandomState(5)
+    db = dam_break(n_side=8, box=(1.0, 1.0, 1.0), fill=(1.0, 1.0, 1.0))
+    x = db.state.x
+    v = jnp.asarray(rng.randn(db.n, 3).astype(numpy.float32) * 0.1)
+
+    from tpgsd.sph.cells import build_cells, scatter_to_cells, gather_from_cells
+    from tpgsd.sph.step import _xsph_blocks
+
+    cells = build_cells(x, db.grid)
+    dense_x = scatter_to_cells(x, cells, db.grid)
+    dense_v = scatter_to_cells(v, cells, db.grid)
+    rho, _ = density_and_pressure(x, db.grid, db.params)
+    dense_rho = scatter_to_cells(rho, cells, db.grid, fill=db.params.rho0)
+    nbr = neighbor_table(db.grid)
+    dvc_dense = _xsph_blocks(
+        dense_x, dense_v, dense_rho, cells.mask, nbr, db.params,
+        WendlandC2, 32,
+    )
+    dvc_dense = jnp.concatenate(
+        [dvc_dense, jnp.zeros((1, db.grid.capacity, 3), dvc_dense.dtype)]
+    )
+    dvc = numpy.asarray(gather_from_cells(dvc_dense, cells, db.grid))
+
+    # momentum of the correction sums to ~0 (equal masses)
+    total = numpy.abs(dvc.sum(axis=0))
+    scale = numpy.abs(numpy.asarray(v)).sum()
+    assert (total < 1e-4 * scale).all(), (total, scale)
+    # disorder damped: the corrected field has smaller deviation from
+    # the (unchanged) mean velocity
+    v_np = numpy.asarray(v)
+    before = numpy.var(v_np, axis=0).sum()
+    after = numpy.var(v_np + 0.5 * dvc, axis=0).sum()
+    assert after < before
+
+
+def test_xsph_step_stable_and_momentum_neutral():
+    """A dam-break rollout with xsph=0.5 stays finite/in-box, and at
+    xsph=0 the option is exactly the plain step."""
+    db = dam_break(n_side=6)
+    step_x = jax.jit(make_step_fn(db.grid, db.params, xsph=0.5))
+    step_0 = jax.jit(make_step_fn(db.grid, db.params, xsph=0.0))
+    step_p = jax.jit(make_step_fn(db.grid, db.params))
+
+    s_x = s_0 = s_p = db.state
+    for _ in range(50):
+        s_x, (rho_x, _, ovf_x) = step_x(s_x)
+        s_0, _ = step_0(s_0)
+        s_p, _ = step_p(s_p)
+    assert numpy.isfinite(numpy.asarray(s_x.x)).all()
+    assert int(ovf_x) == 0
+    lo = numpy.zeros(3); hi = numpy.asarray(db.box)
+    xs = numpy.asarray(s_x.x)
+    assert (xs >= lo - 1e-5).all() and (xs <= hi + 1e-5).all()
+    # xsph=0.0 is a no-op relative to the default step
+    numpy.testing.assert_array_equal(
+        numpy.asarray(s_0.x), numpy.asarray(s_p.x)
+    )

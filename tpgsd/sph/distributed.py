@@ -49,6 +49,7 @@ from .step import (
     _density_blocks,
     _energy_blocks,
     _mimage_of,
+    _xsph_blocks,
     tait_pressure,
 )
 
@@ -205,6 +206,7 @@ def make_distributed_step_fn(
     periodic=False,
     compute_energy=False,
     decomp_axis=0,
+    xsph=0.0,
 ):
     """Build the slab-decomposed distributed step.
 
@@ -234,6 +236,10 @@ def make_distributed_step_fn(
             pair pass reusing the halo-exchanged rho/p) and return
             per-particle du/dt in ``aux.dudt`` (zeros when off - the
             default, since it costs ~an accel pass).
+        xsph: XSPH drift-velocity smoothing strength (Monaghan's
+            epsilon; 0 = off) - one extra pair pass over the
+            halo-exchanged velocities, same semantics as the
+            single-device step.
         decomp_axis: 0 (x-slabs, the default) or 1 (y-slabs, for wide
             planar domains whose x extent is too narrow to cut).  The
             y form is the x machinery run on the axis-swapped problem:
@@ -264,6 +270,7 @@ def make_distributed_step_fn(
             periodic=periodic,
             compute_energy=compute_energy,
             decomp_axis=0,
+            xsph=xsph,
         )
 
         def step(state):
@@ -453,6 +460,15 @@ def make_distributed_step_fn(
             )
             cols.append(du_d[core][..., None])
             sent.append(jnp.zeros((1, k, 1), du_d.dtype))
+        if xsph > 0:
+            # XSPH over the halo-exchanged velocities and owner-correct
+            # rho (an extra pair pass; same semantics as single-device)
+            dvc_d = _xsph_blocks(
+                ext_x, ext_v, rho_d, ext_mask, nbr_ext, params, kernel,
+                block, mimage=mimage,
+            )
+            cols.append(dvc_d[core])
+            sent.append(jnp.zeros((1, k, 3), dvc_d.dtype))
         bundle = jnp.concatenate(
             [jnp.concatenate(cols, axis=-1),
              jnp.concatenate(sent, axis=-1)],
@@ -462,11 +478,17 @@ def make_distributed_step_fn(
         acc = out[..., :3] + gravity
         rho = out[..., 3]
         p = out[..., 4]
-        dudt = out[..., 5] if compute_energy else jnp.zeros_like(rho)
+        ecol = 5
+        dudt = out[..., ecol] if compute_energy else jnp.zeros_like(rho)
+        if compute_energy:
+            ecol += 1
+        dvc = out[..., ecol : ecol + 3] if xsph > 0 else None
 
-        # integrate (dead slots don't move)
+        # integrate (dead slots don't move); XSPH smooths the DRIFT
+        # velocity only
         v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
-        x_new = jnp.where(alive[:, None], x + params.dt * v_new, x)
+        v_drift = v_new + xsph * dvc if dvc is not None else v_new
+        x_new = jnp.where(alive[:, None], x + params.dt * v_drift, x)
 
         # global walls: reflective, except wrapped axes of a periodic
         # box (the x wrap is deferred past migration detection - a

