@@ -39,6 +39,11 @@ def main(argv=None):
     p.add_argument("--sharded", action="store_true",
                    help="shard the particle axis over all devices")
     p.add_argument("--vtu", action="store_true", help="convert to .vtu after")
+    p.add_argument("--xsph", type=float, default=0.0,
+                   help="XSPH drift-smoothing strength (e.g. 0.5)")
+    p.add_argument("--density-renorm", action="store_true",
+                   help="free-surface density floor (no negative "
+                        "surface pressures)")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices (env vars alone do "
                         "not override accelerator plugins)")
@@ -103,7 +108,10 @@ def main(argv=None):
         x = x.at[db.n:].set(jnp.asarray(box3, jnp.float32) * 0.999)
         v = jnp.pad(state.v, ((0, pad), (0, 0)))
         step = jax.jit(
-            make_step_fn(db.grid, db.params, n_fixed=n_fixed),
+            make_step_fn(
+                db.grid, db.params, n_fixed=n_fixed, xsph=args.xsph,
+                density_renorm=args.density_renorm,
+            ),
             in_shardings=(SPHState(x=sharding, v=sharding),),
             out_shardings=(
                 SPHState(x=sharding, v=sharding),
@@ -117,7 +125,8 @@ def main(argv=None):
     else:
         step = jax.jit(
             make_step_fn(
-                db.grid, db.params, n_fixed=n_fixed, periodic=periodic
+                db.grid, db.params, n_fixed=n_fixed, periodic=periodic,
+                xsph=args.xsph, density_renorm=args.density_renorm,
             )
         )
 
