@@ -46,7 +46,9 @@ def make_frame(n, seed=42):
     frame.particles.velocity = rng.rand(n, 3).astype(numpy.float32)
     frame.particles.density = rng.rand(n).astype(numpy.float32)
     frame.particles.pressure = rng.rand(n).astype(numpy.float32)
-    frame.particles.slength = numpy.full(n, 0.1, numpy.float32)
+    frame.particles.slength = numpy.full(
+        n, 0.1 + rng.rand() * 0.01, numpy.float32
+    )
     frame.configuration.box = numpy.array([1, 1, 1, 0, 0, 0], numpy.float32)
     return frame
 

@@ -514,3 +514,49 @@ def test_xsph_distributed_matches_single_device():
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=1e-5
     )
+
+
+def test_periodic_yz_wrap_commits_to_state():
+    """A particle crossing a periodic y boundary must come back wrapped
+    in the stored state - retaining raw coordinates (which the x seam
+    overflow rule wants on the MIGRATION axis only) would let a y drift
+    grow without bound and put the particle in the wrong cell row."""
+    from tpgsd.sph import SPHParams
+    from tpgsd.sph.cells import CellGrid
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25,
+                    dims=(n_dev, 4, 4), capacity=8)
+    params = SPHParams(mass=0.01, h=0.12, dt=0.05, gravity=(0.0, 0.0, 0.0),
+                       alpha=0.0)
+
+    n = n_dev * 8
+    x = numpy.full((n, 3), -1.0, numpy.float32)  # most slots unused
+    v = numpy.zeros((n, 3), numpy.float32)
+    # one isolated particle per device, moving +y at 1.0
+    for dv in range(n_dev):
+        x[dv * 8] = [(dv + 0.5) * 0.25, 0.95, 0.5]
+        v[dv * 8] = [0.0, 1.0, 0.0]
+    pid = numpy.full(n, -1, numpy.int32)
+    pid[::8] = numpy.arange(n_dev)
+
+    from tpgsd.sph.distributed import DistState
+
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("shard")
+    )
+    dist = DistState(
+        x=jax.device_put(jnp.asarray(x), sharding),
+        v=jax.device_put(jnp.asarray(v), sharding),
+        pid=jax.device_put(jnp.asarray(pid), sharding),
+    )
+    step = make_distributed_step_fn(
+        grid, params, mesh, capacity=8, periodic=True
+    )
+    for _ in range(12):
+        dist, aux = step(dist)
+    ys = numpy.asarray(dist.x)[numpy.asarray(dist.pid) >= 0, 1]
+    # 12 steps x dt 0.05 x v 1.0 = 0.6 of travel from y=0.95 -> wraps
+    # past 1.0; stored y must be inside the box
+    assert (ys >= 0.0).all() and (ys <= 1.0).all(), ys

@@ -520,19 +520,21 @@ def make_distributed_step_fn(
         # ---- migration: particles that left this slab ----
         slab_lo = lo_g[0] + d * nxl * cell
         slab_hi = slab_lo + nxl * cell
-        x_raw = x_new  # pre-wrap coordinates (identical inside the box)
+        x_raw_0 = x_new[:, 0:1]  # pre-wrap x (identical inside the box)
         if periodic:
             go_left = alive & (x_new[:, 0] < slab_lo)
             go_right = alive & (x_new[:, 0] >= slab_hi)
-            # wrap AFTER detecting the crossing direction; only the
-            # MIGRATION PAYLOAD carries the wrapped coordinate (it is
-            # correct on the receiving slab).  Particles retained by
-            # send-side overflow keep the raw coordinate: a wrapped
-            # seam-crosser sitting on its OWN slab would land in the
-            # far edge cells, exert forces on the wrong side of the
-            # domain, and then migrate the long way around the ring -
-            # the raw coordinate re-detects the same crossing next step
-            # (the documented one-step delay).
+            # wrap AFTER detecting the crossing direction.  On the
+            # MIGRATION (x) axis, only the migration payload carries
+            # the wrapped coordinate (correct on the receiving slab);
+            # particles retained by send-side overflow keep the raw x -
+            # a wrapped seam-crosser sitting on its OWN slab would land
+            # in the far edge cells, exert forces on the wrong side of
+            # the domain, and then migrate the long way around the
+            # ring; the raw x re-detects the same crossing next step
+            # (the documented one-step delay).  y/z wraps are LOCAL and
+            # must always commit to state - retaining raw y/z would let
+            # a cross-boundary drift grow without bound.
             x_new = jnp.where(
                 wrap, lo_g + jnp.mod(x_new - lo_g, hi_g - lo_g), x_new
             )
@@ -563,8 +565,9 @@ def make_distributed_step_fn(
             [recv_from_left_valid, recv_from_right_valid], axis=0
         )
 
+        x_keep = jnp.concatenate([x_raw_0, x_new[:, 1:3]], axis=1)
         payload_new = jnp.concatenate(
-            [x_raw, v_new, pid_after.astype(jnp.float32)[:, None]], axis=1
+            [x_keep, v_new, pid_after.astype(jnp.float32)[:, None]], axis=1
         )
         payload_new = jnp.where(
             alive_after[:, None], payload_new, jnp.zeros_like(payload_new)
