@@ -1,17 +1,26 @@
-"""Bit-compatibility tests against independent implementations.
+"""Bit-compatibility tests against independent anchors.
 
-Two optional oracles, both skipped when unavailable:
+Self-contained tier (always runs, no external checkout needed):
 
-* the upstream reference's pure-Python reader (proves files tpgsd writes
-  are consumed unchanged by upstream GSD tooling), and
-* the upstream golden v1 binary fixture (proves tpgsd reads real v1 files).
+* ``fixtures/golden_v1.gsd`` — the upstream project's own checked-in v1
+  binary fixture, vendored unchanged (reference:
+  pgsd/pgsd/test/test_gsd_v1.gsd, exercised by test_fl.py:613-860).
+  Written by upstream GSD 1.x, so reading it proves tpgsd consumes real
+  v1 files produced by an independent implementation.
+* ``fixtures/golden_v2.gsd`` — a deterministic v2 file written by tpgsd
+  and byte-verified ONCE against the reference's own pure-Python reader
+  at generation time (see fixtures/make_golden_v2.py provenance note);
+  expected contents pinned in ``golden_v2_expected.npz``.
+* a v1 file synthesized directly from the byte-layout spec
+  (pgsd/doc/pgsd.tex:341-606).
 
-Plus a self-contained v1 read test against a v1 file synthesized from the
-byte-layout spec (pgsd/doc/pgsd.tex:341-606), which always runs.
+Bonus tier (skipped when the reference checkout is absent): live
+cross-reads with the reference's reader from /root/reference.
 """
 
 import pathlib
 import random
+import shutil
 import struct
 
 import numpy
@@ -22,7 +31,10 @@ import tpgsd.fl
 import tpgsd.pypgsd
 
 _REF = pathlib.Path("/root/reference/pgsd/pgsd")
-_V1_FIXTURE = _REF / "test" / "test_gsd_v1.gsd"
+_FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
+_V1_FIXTURE = _FIXTURES / "golden_v1.gsd"
+_V2_FIXTURE = _FIXTURES / "golden_v2.gsd"
+_V2_EXPECTED = _FIXTURES / "golden_v2_expected.npz"
 
 
 def _make_v1_file(path, chunks_per_frame, nframes=2):
@@ -119,9 +131,8 @@ def test_append_to_v1_writes_v1_names(tmp_path):
         )
 
 
-@pytest.mark.skipif(not _V1_FIXTURE.exists(), reason="upstream v1 fixture not present")
 def test_upstream_golden_v1_fixture():
-    """Read the upstream golden v1 file (reference: test_fl.py:613-651)."""
+    """Read the vendored upstream golden v1 file (reference: test_fl.py:613-651)."""
     values = list(range(127))
     values_str = sorted(str(v) for v in values)
 
@@ -140,6 +151,72 @@ def test_upstream_golden_v1_fixture():
         check(f)
     with tpgsd.pypgsd.PGSDFile(open(str(_V1_FIXTURE), "rb")) as f:
         check(f)
+
+
+def _load_v2_expected():
+    """Return {frame: {name: array}} from the pinned expected-values archive."""
+    frames = {}
+    with numpy.load(_V2_EXPECTED) as z:
+        for key in z.files:
+            fpart, name = key.split("|", 1)
+            frames.setdefault(int(fpart[1:]), {})[name] = z[key]
+    return frames
+
+
+def test_golden_v2_fixture():
+    """Both tpgsd readers reproduce the blessed v2 fixture chunk-for-chunk.
+
+    The fixture was byte-verified once against the reference's own reader
+    at generation time (fixtures/make_golden_v2.py), so agreement here is
+    transitive agreement with the reference — without needing the
+    reference checkout at test time.
+    """
+    expected = _load_v2_expected()
+    for opener in (
+        lambda: tpgsd.fl.open(name=_V2_FIXTURE, mode="r"),
+        lambda: tpgsd.pypgsd.PGSDFile(open(str(_V2_FIXTURE), "rb")),
+    ):
+        with opener() as f:
+            assert f.pgsd_version == (2, 0)
+            assert f.nframes == len(expected)
+            for frame, chunks in expected.items():
+                for name, arr in chunks.items():
+                    got = f.read_chunk(frame, name)
+                    numpy.testing.assert_array_equal(got.reshape(arr.shape), arr)
+                    assert got.dtype == arr.dtype
+            # frame 0 carried 70 extra names: the fixture pins namelist
+            # growth + relocation behavior.
+            assert len(f.find_matching_chunk_names("extra/")) == 70
+
+
+def test_golden_v2_fixture_verify_clean():
+    """The fsck walk passes on the blessed fixture."""
+    with open(str(_V2_FIXTURE), "rb") as fobj:
+        report = tpgsd.pypgsd.verify(fobj, deep=True)
+    assert report["ok"], report["errors"]
+
+
+def test_append_to_golden_v2(tmp_path):
+    """Appending to the blessed fixture preserves every existing chunk."""
+    work = tmp_path / "golden_v2_append.gsd"
+    shutil.copy(_V2_FIXTURE, work)
+    expected = _load_v2_expected()
+
+    new = numpy.arange(12, dtype=numpy.float64).reshape(4, 3)
+    with tpgsd.fl.open(name=work, mode="r+") as f:
+        f.write_chunk(name="appended/after_bless", data=new)
+        f.end_frame()
+
+    with tpgsd.pypgsd.PGSDFile(open(str(work), "rb")) as f:
+        assert f.nframes == len(expected) + 1
+        for frame, chunks in expected.items():
+            for name, arr in chunks.items():
+                numpy.testing.assert_array_equal(
+                    f.read_chunk(frame, name).reshape(arr.shape), arr
+                )
+        numpy.testing.assert_array_equal(
+            f.read_chunk(len(expected), "appended/after_bless"), new
+        )
 
 
 @pytest.mark.skipif(

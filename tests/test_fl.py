@@ -384,15 +384,41 @@ def test_many_names(tmp_path, open_mode):
 
 
 def test_namelist_full(tmp_path):
-    """At most 65535 unique names fit (ids are uint16)."""
+    """At most 65535 unique names fit (ids are uint16).
+
+    Drives all 65,535 names through the real write_chunk/_append_name
+    path, with periodic end_frame flushes so the namelist grows and
+    relocates at scale (reference: test_fl.py:558-571 exercises the
+    limit; pgsd.c:1284-1301 the relocation).
+    """
     fname = tmp_path / "test_namelist_full.gsd"
     data = numpy.array([1], dtype=numpy.uint8)
     with tpgsd.fl.open(
         name=fname, mode="w", application="t", schema="none", schema_version=[1, 0]
     ) as f:
-        # writing 65535 names is slow; exercise the limit directly
-        f._names = ["n%d" % i for i in range(65535)]
-        f._name_map = {n: i for i, n in enumerate(f._names)}
+        for i in range(65535):
+            f.write_chunk(name="n%05d" % i, data=data)
+            # flush every 16k names: forces several namelist
+            # grow-and-relocate cycles through the committed path
+            if i % 16384 == 16383:
+                f.end_frame()
+                f.flush()
+        with pytest.raises(RuntimeError):
+            f.write_chunk(name="one_too_many", data=data)
+        f.end_frame()
+
+    # reopen with both readers: all 65,535 names survived relocation.
+    # Names land in the frame whose flush committed them: 16,384 per frame.
+    with tpgsd.fl.open(name=fname, mode="r") as f:
+        assert f.nnames == 65535
+        for i in (0, 1, 16383, 16384, 40000, 65534):
+            assert f.chunk_exists(frame=i // 16384, name="n%05d" % i)
+    with tpgsd.pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.nnames == 65535
+        numpy.testing.assert_array_equal(f.read_chunk(3, "n65534"), data)
+
+    # appending to the full file still refuses a 65,536th name
+    with tpgsd.fl.open(name=fname, mode="r+") as f:
         with pytest.raises(RuntimeError):
             f.write_chunk(name="one_too_many", data=data)
 
