@@ -1,13 +1,20 @@
-"""REAL multi-process file-layer test over jax.distributed.
+"""REAL multi-process file-layer tests over jax.distributed.
 
-Two OS processes coordinate through ``JaxProcessComm``
+2/4/8 OS processes coordinate through ``JaxProcessComm``
 (multihost_utils over the Gloo CPU backend): collective open, the
 striped offset protocol, controller-only buffered chunks, name/index
-replication for in-session reads.  This is the closest local stand-in
+replication for in-session reads, the compose-on-commit writer, and a
+kill-one-process-mid-frame recovery test proving the data-before-index
+promise under real process death.  This is the closest local stand-in
 for a multi-host TPU pod; the threading harness in test_multirank.py
-covers the same protocol in-process.
+covers the same protocol in-process.  (Reference never automated any
+multi-rank test — CHANGELOG.md:172-194 reports manual 1/2/4/8-rank
+benchmark runs; INSTALLING.rst:178-183 states the open-ranks
+constraint.)
 """
 
+import pathlib
+import signal
 import socket
 import subprocess
 import sys
@@ -19,13 +26,24 @@ import pytest
 
 import tpgsd.pypgsd
 
-WORKER = textwrap.dedent(
+_REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+
+# Preamble shared by every worker: argv = pid nprocs fname port
+_PREAMBLE = textwrap.dedent(
     """
     import sys
     pid = int(sys.argv[1]); nprocs = int(sys.argv[2])
-    fname = sys.argv[3]; port = sys.argv[4]; repo = sys.argv[5]
+    fname = sys.argv[3]; port = sys.argv[4]; repo = %r
+    import os
+    # the test session forces 8 virtual CPU devices; worker processes
+    # model one device per host process (the pod shape)
+    os.environ["XLA_FLAGS"] = " ".join(
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
     jax.distributed.initialize(
         coordinator_address="localhost:" + port,
         num_processes=nprocs, process_id=pid)
@@ -36,7 +54,15 @@ WORKER = textwrap.dedent(
 
     comm = JaxProcessComm()
     assert comm.size == nprocs and comm.rank == pid
-    counts = numpy.array([3, 5], dtype=numpy.uint64)
+    """
+    % _REPO
+)
+
+STRIPED_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    # uneven partition: rank r owns 3 + r rows (remainder-spread pattern,
+    # reference: benchmark-write.cc:33-37)
+    counts = numpy.array([3 + r for r in range(nprocs)], dtype=numpy.uint64)
     lo = int(counts[:pid].sum())
     data = numpy.arange(int(counts.sum()), dtype=numpy.float64)
 
@@ -56,6 +82,64 @@ WORKER = textwrap.dedent(
     """
 )
 
+COMPOSED_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from tpgsd.parallel.compose_io import ComposedFrameWriter
+
+    # Build a REAL cross-process sharded jax.Array (the pod pattern):
+    # each process contributes its single CPU device's shard; the
+    # global row indices come from the sharding, exactly as they would
+    # from per-host addressable shards on a TPU pod.
+    mesh = Mesh(numpy.array(jax.devices()), ("x",))
+    sharding = NamedSharding(mesh, PartitionSpec("x"))
+    rows = 4
+    total = rows * nprocs
+
+    w = ComposedFrameWriter(fname, schema="none", schema_version=(1, 0),
+                            comm=comm)
+    for frame in range(3):
+        local = (numpy.arange(rows, dtype=numpy.float64) + rows * pid) * 10
+        buf = jax.device_put(local + frame, jax.local_devices()[0])
+        garr = jax.make_array_from_single_device_arrays(
+            (total,), sharding, [buf])
+        w.write_frame({"log/d": garr}, step=frame)
+    w.close()
+    print("proc", pid, "OK")
+    """
+)
+
+# Rank 0 (the controller, which owns ALL metadata commits) is SIGKILLed
+# mid-frame after 3 committed frames; survivors exit without flushing.
+KILL_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    import os, time
+    counts = numpy.array([4] * nprocs, dtype=numpy.uint64)
+    lo = 4 * pid
+    data = numpy.arange(4 * nprocs, dtype=numpy.float64)
+
+    f = tpgsd.fl.PGSDFile(fname, "w", application="mp", schema="none",
+                          schema_version=(1, 0), comm=comm)
+    for frame in range(3):
+        f.write_chunk("d", data[lo:lo + 4] + frame,
+                      offset=counts, rank=pid, write_all=True)
+        f.end_frame()
+    f.flush()  # frames 0-2 durably indexed
+
+    # frame 3: data bytes land in the file (direct striped write),
+    # then the controller dies before the index is ever committed
+    f.write_chunk("d", data[lo:lo + 4] + 99.0,
+                  offset=counts, rank=pid, write_all=True)
+    comm.barrier()  # every rank's frame-3 bytes are issued
+    if pid == 0:
+        os.kill(os.getpid(), 9)
+    # survivors: simulate job teardown after detecting peer death --
+    # exit WITHOUT end_frame/close so no flush path runs
+    time.sleep(1.0)
+    os._exit(0)
+    """
+)
+
 
 def _free_port():
     s = socket.socket()
@@ -65,32 +149,89 @@ def _free_port():
     return port
 
 
-def test_two_process_striped_write(tmp_path):
-    import pathlib
-
-    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+def _launch(tmp_path, worker_src, nprocs, fname):
     worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
-    fname = str(tmp_path / "mp.gsd")
+    worker.write_text(worker_src)
     port = str(_free_port())
-
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", fname, port, repo],
+            [sys.executable, str(worker), str(i), str(nprocs), fname, port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outputs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=420)
         outputs.append(out)
+    return procs, outputs
+
+
+@pytest.mark.parametrize("nprocs", [2, 4, 8])
+def test_striped_write(tmp_path, nprocs):
+    """N processes stripe uneven row partitions into one shared file."""
+    fname = str(tmp_path / "mp.gsd")
+    procs, outputs = _launch(tmp_path, STRIPED_WORKER, nprocs, fname)
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, out[-2000:]
 
+    total = sum(3 + r for r in range(nprocs))
     with tpgsd.pypgsd.PGSDFile(open(fname, "rb")) as f:
         assert f.nframes == 2
         numpy.testing.assert_array_equal(
-            f.read_chunk(1, "d"), numpy.arange(8, dtype=numpy.float64) + 1
+            f.read_chunk(1, "d"), numpy.arange(total, dtype=numpy.float64) + 1
         )
         assert f.read_chunk(1, "step")[0] == 1
+
+
+@pytest.mark.parametrize("nprocs", [4])
+def test_composed_writer_multiprocess(tmp_path, nprocs):
+    """ComposedFrameWriter: per-process sequential spills -> one GSD file."""
+    fname = str(tmp_path / "composed.gsd")
+    procs, outputs = _launch(tmp_path, COMPOSED_WORKER, nprocs, fname)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+
+    total = 4 * nprocs
+    expected0 = numpy.arange(total, dtype=numpy.float64) * 10
+    with tpgsd.pypgsd.PGSDFile(open(fname, "rb")) as f:
+        assert f.nframes == 3
+        for frame in range(3):
+            numpy.testing.assert_array_equal(
+                f.read_chunk(frame, "log/d"), expected0 + frame
+            )
+    with open(fname, "rb") as fobj:
+        report = tpgsd.pypgsd.verify(fobj, deep=True)
+    assert report["ok"], report["errors"]
+
+
+def test_kill_controller_mid_frame(tmp_path):
+    """Process death mid-frame: the reopened file exposes only complete frames.
+
+    The controller process (sole owner of index/namelist commits) is
+    SIGKILLed after writing its frame-3 data bytes but before any
+    index commit; the survivors exit without flushing.  Data-before-
+    index ordering means the torn frame's bytes are dead bytes and the
+    file reopens cleanly at exactly 3 frames.
+    """
+    nprocs = 4
+    fname = str(tmp_path / "killed.gsd")
+    procs, outputs = _launch(tmp_path, KILL_WORKER, nprocs, fname)
+    assert procs[0].returncode == -signal.SIGKILL, outputs[0][-2000:]
+    # Survivors either win the race to _exit(0) or are hard-aborted by
+    # the JAX coordination service noticing the coordinator died --
+    # both are real teardown paths; the property under test is the FILE.
+    for p in procs[1:]:
+        assert p.returncode is not None
+
+    data = numpy.arange(4 * nprocs, dtype=numpy.float64)
+    with tpgsd.pypgsd.PGSDFile(open(fname, "rb")) as f:
+        assert f.nframes == 3  # frame 3 was torn: never indexed
+        for frame in range(3):
+            numpy.testing.assert_array_equal(
+                f.read_chunk(frame, "d"), data + frame
+            )
+        assert not f.chunk_exists(3, "d")
+    with open(fname, "rb") as fobj:
+        report = tpgsd.pypgsd.verify(fobj, deep=True)
+    assert report["ok"], report["errors"]
