@@ -30,28 +30,25 @@ axis absorbs all negative/overflow window starts; padded cells carry
 mask 0 and never contribute.
 
 STATUS (measured on v5e with FORCED completion - block_until_ready is
-unreliable on tunneled runtimes; round-2 numbers include the occupancy
-skip flags, the one-DMA-per-window mask plane, the fused viscosity
-divide, block 16, and the scatter-free / fused-gather cell layout):
+unreliable on tunneled runtimes; round-3 numbers include the MXU
+factorization of the pair contractions - see _accel_kernel_packed's
+docstring - on top of round 2's occupancy skip flags, one-DMA-per-window
+mask plane, block 16, and scatter-free / fused-gather cell layout):
 
 * 100k dam break, `capacity="auto"` (48, ragged f=2 packing):
-  **pallas 46.5 ms/step vs jnp 57.6 - 1.24x**, and **1.38x over the
-  round-1 default champion** (XLA@48, 64.1 ms).  1M particles:
-  507.8 ms/step (1.98e6 particle-steps/s - near-linear from 100k).
-* 100k dam break, capacity 64: pallas 52.2 vs jnp 84.8 - 1.62x.
-* 12.5k dam break, capacity 64: pallas 5.90 vs jnp 9.49 - 1.61x
-  (round 1: 7.94 vs 9.04).
-* 6.4k dam break, capacity 128 (lane-native): pallas 6.58 vs jnp
-  14.3 - 2.17x (round 1: 8.9 vs 14.9).
+  **pallas 38.2 ms/step vs jnp 53.0 - 1.39x** (round 2: 46.5 vs 57.6).
+  1M particles: **430.9 ms/step vs jnp 692.6 - 1.61x** (round 2:
+  507.8).  Standalone kernels at 100k: accel 29.9 -> 22.6 ms (1.32x),
+  density -> 10.1 ms.
+* MXU matmuls inside the pair kernels MUST use
+  ``precision=HIGHEST``: the Mosaic default truncates inputs to bf16,
+  which costs ~3 digits (measured 6.6e-2 relative error vs 2.7e-5 at
+  HIGHEST; an XLA-side jnp einsum cross-check silently agrees with the
+  wrong result because it defaults to bf16 too).  ``Precision.HIGH``
+  does not lower.
 * block 16 wins at every size measured; 24+ stalls the Mosaic compile.
 * deeper packings (capacity <= 32, f >= 4) remain unproven vs XLA;
   `supported()` keeps them off the auto path.
-
-Ablation of the 100k auto step (in-jit, chained): accel kernel ~24 ms,
-density kernel ~12 ms, cell layout + gathers + integrate ~10 ms - the
-pair kernels are VPU-compute-bound (the mask-plane DMA fold measured
-neutral; the fused particle-order gather cut ~6 ms and the elementwise
-gidx layout map another ~4 at 100k / ~225 at 1M).
 
 Both kernels are fully unrolled with static window slices - fori_loop /
 dynamic-slice variants measured 3-5x slower.  The accel body needs
@@ -477,6 +474,28 @@ def _packed_slices(buf, w, e, block, f, k, izb, a_n, dh, nzp):
     yield comp, m_comp, D, zn
 
 
+def _accel_folds(params, kernel):
+    """Trace-time constant folding for the factorized accel kernels.
+
+    ``scale = -mass*(press+pi)*dw_over_r`` becomes ``cfold*(press+pi)*g``
+    with every constant folded into ``cfold`` (and, transitively, into
+    the pre-scaled pterm plane and the viscosity constant ``cv``).  For
+    WendlandC2, ``g = t^3`` (its dw_over_r IS ``-(5 sigma/h^2) t^3``)
+    so the kernel constant folds too; generic kernels evaluate
+    ``g = -dw_over_r`` in-kernel and fold only ``mass``.
+    """
+    if kernel is WendlandC2:
+        cfold = 5.0 * params.mass * kernel._sigma(params.h, params.dim) / (
+            params.h * params.h
+        )
+    else:
+        cfold = params.mass
+    # C*pi = cv * min(vdotx,0) / ((r2+h2eps)(rho_c+rho_n)); rho_bar's
+    # 0.5 and the leading cfold are folded in
+    cv = -2.0 * params.alpha * params.c0 * params.h * cfold
+    return cfold, cv
+
+
 def _density_kernel_packed(
     flags_ref, xm_hbm, rho_ref, xw, sems,
     *, grid, params, kernel, block, f, nzp
@@ -484,6 +503,13 @@ def _density_kernel_packed(
     nx, ny, nz = grid.dims
     k = grid.capacity
     _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+    # WendlandC2 fast path: w = sigma t^4 (2q+1) with t = max(1-q/2, 0);
+    # sigma folds into the final mass multiply, q terms into r coeffs
+    inv2h = 0.5 / params.h
+    invh2 = 2.0 / params.h
+    mfold = params.mass * (
+        kernel._sigma(params.h, params.dim) if kernel is WendlandC2 else 1.0
+    )
 
     i = pl.program_id(0)
     base = i * block
@@ -532,7 +558,7 @@ def _density_kernel_packed(
                     & (iy + dy >= 0)
                     & (iy + dy < ny)
                 ).astype(jnp.float32)  # [B, 1]
-                acc = jnp.zeros((block, 128), jnp.float32)
+                acc = jnp.zeros((block, 1, 128), jnp.float32)
                 for yb, ym, D, zn in _packed_slices(
                     xw, w, e, block, f, k, izb, a_n, dh, nzp
                 ):
@@ -542,23 +568,68 @@ def _density_kernel_packed(
                     ddy = xc[1][:, :, None] - yb[1][:, None, :]
                     ddz = xc[2][:, :, None] - yb[2][:, None, :]
                     r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                    wv = kernel.w(r, params.h, dim=params.dim)
+                    if kernel is WendlandC2:
+                        # w = sigma t^4 (2q+1): sigma folds into the
+                        # final mass multiply (see below)
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t2 = t * t
+                        wv = (t2 * t2) * (invh2 * r + 1.0)
+                    else:
+                        wv = kernel.w(r, params.h, dim=params.dim)
                     if D is not None:
                         wv = wv * D[None, :, :]
-                    acc = acc + jnp.sum(wv * pm[:, None, :], axis=-1)
-                rho_ref[:] += acc
+                    # rho_i = sum_n pm[n] wv[i,n]: the mask-broadcast
+                    # multiply AND the cross-lane reduction ride the MXU
+                    acc = acc + jax.lax.dot_general(
+                        pm[:, None, :], wv, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 1, 128]
+                rho_ref[:] += acc[:, 0]
 
-        rho_ref[:] = params.mass * rho_ref[:] * mc
+        rho_ref[:] = mfold * rho_ref[:] * mc
 
 
 def _accel_kernel_packed(
     flags_ref, f_hbm, ax_ref, ay_ref, az_ref, fw, sems,
     *, grid, params, kernel, block, f, nzp
 ):
+    """Factorized pair math: MXU matmuls carry the contractions, the VPU
+    only runs the irreducible per-pair transcendentals.
+
+    Three per-pair contractions are hoisted onto the (otherwise idle)
+    MXU as batched ``dot_general`` in planes-major layout:
+
+    * ``vdotx = (vc-vn).(xc-xn)`` expands to ``CCc + CCn - CROSS`` with
+      ``CROSS = xc.vn + vc.xn`` - ONE K=6 matmul per slice instead of
+      3 subs + a 3-term dot per pair,
+    * the output reduction ``acc_i = sum_n s(xc-xn)`` factorizes as
+      ``xc*S0 - S1`` with ``[S0|S1] = [pm|pm*xn] @ s^T`` - ONE K=128
+      matmul per slice instead of 3 muls + 3 cross-lane reductions
+      (the mask ``pm`` folds into the reduction matrix, so the
+      mask-broadcast multiply disappears too).
+
+    ``r2`` stays exact (explicit diffs): the matmul form
+    ``|xc|^2+|xn|^2-2xc.xn`` loses ~3 digits to cancellation at contact
+    range even in block-local coordinates, and r2 sits under sqrt and in
+    the viscosity denominator.  Positions ARE shifted to block-local
+    coordinates (origin = the block's first cell corner) so the
+    factorized vdotx/reduction cancellation stays ~|x_local| ~ a few
+    cells, not the domain size.
+
+    Constants are folded at prep time (see :func:`_accel_packed`):
+    plane 7 carries ``C*p/rho^2`` with ``C = -mass*(-5 sigma/h^2)``, so
+    in-kernel ``scale = (press + piC/den) * t^3`` with ``t = max(1 -
+    q/2, 0)`` - no per-pair constant multiplies, no dwr polynomial
+    beyond ``t^3`` (WendlandC2's dw_over_r IS ``C t^3``; other kernels
+    take the generic path, see ``_accel_packed``).
+    """
     nx, ny, nz = grid.dims
     k = grid.capacity
     _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
     h2eps = params.eps * params.h * params.h
+    cfold, cv = _accel_folds(params, kernel)
+    inv2h = 0.5 / params.h
 
     i = pl.program_id(0)
     base = i * block
@@ -586,13 +657,29 @@ def _accel_kernel_packed(
 
         a_n, dh = _lane_half_vectors(k)
 
+        # block-local coordinate origin: x/y from the first row's cell
+        # corner (blocks are x/y-compact); z pinned to the domain
+        # z-midpoint (a block's rows span whole z-columns, so mid-domain
+        # halves the worst-case |z_local| and with it the factorization
+        # cancellation error)
+        c00 = f * (i * block)
+        ix0 = c00 // (ny * nzp)
+        rem0 = c00 - ix0 * (ny * nzp)
+        tx = grid.lo[0] + grid.cell_size * ix0.astype(jnp.float32)
+        ty = grid.lo[1] + grid.cell_size * (rem0 // nzp).astype(jnp.float32)
+        tz = grid.lo[2] + grid.cell_size * (0.5 * nzp)
+
         e4 = extras[4]
         cen = fw[4, :8, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
         mc = fw[4, 8, e4 + 1 : e4 + 1 + block]
 
+        xcl = (cen[0] - tx, cen[1] - ty, cen[2] - tz)  # local coords
         rho_c = cen[6]
-        p_c = cen[7]
-        pterm_c = p_c / (rho_c * rho_c + 1e-30)
+        ptc = cen[7]  # pre-scaled C*p/rho^2
+        ccc = cen[3] * xcl[0] + cen[4] * xcl[1] + cen[5] * xcl[2]  # vc.xc_l
+        a6 = jnp.stack(
+            [xcl[0], xcl[1], xcl[2], cen[3], cen[4], cen[5]], axis=1
+        )  # [B, 6, 128] planes-major
 
         zero = jnp.zeros((block, 128), jnp.float32)
         ax_ref[:] = zero
@@ -610,50 +697,61 @@ def _accel_kernel_packed(
                     & (iy + dy >= 0)
                     & (iy + dy < ny)
                 ).astype(jnp.float32)  # [B, 1]
-                accx = jnp.zeros((block, 128), jnp.float32)
-                accy = jnp.zeros((block, 128), jnp.float32)
-                accz = jnp.zeros((block, 128), jnp.float32)
+                sacc = jnp.zeros((block, 4, 128), jnp.float32)
                 for nb, ym, D, zn in _packed_slices(
                     fw, w, e, block, f, k, izb, a_n, dh, nzp
                 ):
                     z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
                     pm = ym * z_ok * xy_ok  # [B, 128]
-                    if D is not None:
-                        pm3 = D[None, :, :] * pm[:, None, :]
-                    else:
-                        pm3 = pm[:, None, :]
 
-                    ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B,128,128]
-                    ddy = cen[1][:, :, None] - nb[1][:, None, :]
-                    ddz = cen[2][:, :, None] - nb[2][:, None, :]
-                    dvx = cen[3][:, :, None] - nb[3][:, None, :]
-                    dvy = cen[4][:, :, None] - nb[4][:, None, :]
-                    dvz = cen[5][:, :, None] - nb[5][:, None, :]
-                    rho_n = nb[6][:, None, :]
-                    p_n = nb[7][:, None, :]
+                    xnl0 = nb[0] - tx  # [B, 128] neighbor local coords
+                    xnl1 = nb[1] - ty
+                    xnl2 = nb[2] - tz
+                    ccn = nb[3] * xnl0 + nb[4] * xnl1 + nb[5] * xnl2
+                    b6 = jnp.stack(
+                        [nb[3], nb[4], nb[5], xnl0, xnl1, xnl2], axis=1
+                    )  # [B, 6, 128]
+                    # CROSS[i, n] = xc_l.vn + vc.xn_l  (MXU, K=6)
+                    cross = jax.lax.dot_general(
+                        a6, b6, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 128, 128]
 
+                    # r2 exact (see docstring): per-pair diffs
+                    ddx = xcl[0][:, :, None] - xnl0[:, None, :]
+                    ddy = xcl[1][:, :, None] - xnl1[:, None, :]
+                    ddz = xcl[2][:, :, None] - xnl2[:, None, :]
                     r2 = ddx * ddx + ddy * ddy + ddz * ddz
                     r = jnp.sqrt(r2)
-                    dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
+                    if kernel is WendlandC2:
+                        # dw_over_r = -(5 sigma/h^2) t^3: the constant is
+                        # folded into cfold/the pterm plane at prep time
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t3 = t * t * t
+                    else:
+                        t3 = -kernel.dw_over_r(r, params.h, dim=params.dim)
 
-                    press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
+                    vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
+                    press = ptc[:, :, None] + nb[7][:, None, :]
+                    den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
+                    scale = (press + cv * jnp.minimum(vdotx, 0.0) / den) * t3
+                    if D is not None:
+                        scale = scale * D[None, :, :]
 
-                    vdotx = dvx * ddx + dvy * ddy + dvz * ddz
-                    rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-                    # one fused divide (this kernel is VPU-compute-bound;
-                    # divides are multi-cycle) and min() instead of a
-                    # select: pi == 0 exactly when vdotx >= 0
-                    pi = (
-                        -params.alpha * params.c0 * params.h
-                    ) * jnp.minimum(vdotx, 0.0) / ((r2 + h2eps) * rho_bar)
-
-                    scale = -params.mass * (press + pi) * dwr * pm3
-                    accx = accx + jnp.sum(scale * ddx, axis=-1)
-                    accy = accy + jnp.sum(scale * ddy, axis=-1)
-                    accz = accz + jnp.sum(scale * ddz, axis=-1)
-                ax_ref[:] += accx
-                ay_ref[:] += accy
-                az_ref[:] += accz
+                    # reduction matrix [pm | pm*xn_l] - the mask folds in
+                    n4 = jnp.stack(
+                        [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
+                    )  # [B, 4, 128]
+                    # S[k,i] = sum_n n4[k,n] * scale[i,n]  (MXU, K=128)
+                    sacc = sacc + jax.lax.dot_general(
+                        n4, scale, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 4, 128]
+                ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
+                ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
+                az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
 
         ax_ref[:] = ax_ref[:] * mc
         ay_ref[:] = ay_ref[:] * mc
@@ -733,13 +831,18 @@ def _accel_packed(
         grid, block
     )
     c = grid.n_cells
-    # mask rides as the 9th field plane so each window is ONE DMA
+    # plane 7 carries the PRE-SCALED pressure term cfold*p/rho^2 (one
+    # [C, K] pass here saves a per-pair divide + two constant multiplies
+    # in-kernel); mask rides as the 9th plane so each window is ONE DMA
+    cfold, _ = _accel_folds(params, kernel)
+    rho_f = dense_rho[:c].astype(jnp.float32)
+    pt = cfold * dense_p[:c].astype(jnp.float32) / (rho_f * rho_f + 1e-30)
     fields = jnp.concatenate(
         [
             jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0),
             jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0),
-            dense_rho[:c].astype(jnp.float32)[None],
-            dense_p[:c].astype(jnp.float32)[None],
+            rho_f[None],
+            pt[None],
             mask[:c].astype(jnp.float32)[None],
         ],
         axis=0,
