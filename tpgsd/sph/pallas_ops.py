@@ -170,6 +170,12 @@ def _density_kernel(
 ):
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
+    # WendlandC2 fast path + MXU reduction (see _density_kernel_packed)
+    inv2h = 0.5 / params.h
+    invh2 = 2.0 / params.h
+    mfold = params.mass * (
+        kernel._sigma(params.h, params.dim) if kernel is WendlandC2 else 1.0
+    )
 
     i = pl.program_id(0)
     base = i * block  # multiple of 8; astarts carry the pad
@@ -203,21 +209,29 @@ def _density_kernel(
 
             @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
-                acc = jnp.zeros((block, kp), jnp.float32)
+                acc = jnp.zeros((block, 1, kp), jnp.float32)
                 for dz in (-1, 0, 1):
                     yb = xw[w, :3, e + 1 + dz : e + 1 + dz + block]  # [3,B,Kp]
                     ym = xw[w, 3, e + 1 + dz : e + 1 + dz + block]  # [B, Kp]
                     valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
-                    pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
+                    pm = ym * valid  # [B, Kp]
                     ddx = xc[0][:, :, None] - yb[0][:, None, :]  # [B, Kp, Kp]
                     ddy = xc[1][:, :, None] - yb[1][:, None, :]
                     ddz = xc[2][:, :, None] - yb[2][:, None, :]
                     r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                    acc = acc + jnp.sum(
-                        kernel.w(r, params.h, dim=params.dim) * pm, axis=-1
-                    )
-                rho_ref[:] += acc
-        rho_ref[:] = params.mass * rho_ref[:] * mc
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t2 = t * t
+                        wv = (t2 * t2) * (invh2 * r + 1.0)
+                    else:
+                        wv = kernel.w(r, params.h, dim=params.dim)
+                    acc = acc + jax.lax.dot_general(
+                        pm[:, None, :], wv, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 1, Kp]
+                rho_ref[:] += acc[:, 0]
+        rho_ref[:] = mfold * rho_ref[:] * mc
 
 
 def _accel_kernel(
@@ -228,12 +242,20 @@ def _accel_kernel(
     static window slices (fori/dynamic-slice variants measured 3-5x
     slower), occupancy-flag-gated like the density kernel.
 
-    f_hbm: ``[9, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho, p, mask) -
-    the mask rides as the last plane so each window is ONE DMA.
+    Same MXU factorization as :func:`_accel_kernel_packed` (see its
+    docstring): vdotx via a K=6 cross matmul, the output reduction as
+    ``xc*S0 - S1`` with the mask folded into the reduction matrix,
+    constants folded at prep time, block-local coordinates.
+
+    f_hbm: ``[9, Cp, Kp]`` SoA fields (x,y,z, vx,vy,vz, rho,
+    cfold*p/rho^2, mask) - the mask rides as the last plane so each
+    window is ONE DMA.
     """
     nx, ny, nz = grid.dims
     _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
     h2eps = params.eps * params.h * params.h
+    cfold, cv = _accel_folds(params, kernel)
+    inv2h = 0.5 / params.h
 
     i = pl.program_id(0)
     base = i * block
@@ -252,13 +274,25 @@ def _accel_kernel(
 
         ix, iy, iz = _cell_coords(i * block, block, ny, nz)
 
+        # block-local origin: first cell's x/y corner, domain z-midpoint
+        c00 = i * block
+        ix0 = c00 // (ny * nz)
+        rem0 = c00 - ix0 * (ny * nz)
+        tx = grid.lo[0] + grid.cell_size * ix0.astype(jnp.float32)
+        ty = grid.lo[1] + grid.cell_size * (rem0 // nz).astype(jnp.float32)
+        tz = grid.lo[2] + grid.cell_size * (0.5 * nz)
+
         e4 = extras[4]
         cen = fw[4, :8, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
         mc = fw[4, 8, e4 + 1 : e4 + 1 + block]
 
+        xcl = (cen[0] - tx, cen[1] - ty, cen[2] - tz)
         rho_c = cen[6]
-        p_c = cen[7]
-        pterm_c = p_c / (rho_c * rho_c + 1e-30)
+        ptc = cen[7]  # pre-scaled cfold*p/rho^2
+        ccc = cen[3] * xcl[0] + cen[4] * xcl[1] + cen[5] * xcl[2]
+        a6 = jnp.stack(
+            [xcl[0], xcl[1], xcl[2], cen[3], cen[4], cen[5]], axis=1
+        )  # [B, 6, Kp]
 
         zero = jnp.zeros((block, kp), jnp.float32)
         ax_ref[:] = zero
@@ -270,46 +304,53 @@ def _accel_kernel(
 
             @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
-                accx = jnp.zeros((block, kp), jnp.float32)
-                accy = jnp.zeros((block, kp), jnp.float32)
-                accz = jnp.zeros((block, kp), jnp.float32)
+                sacc = jnp.zeros((block, 4, kp), jnp.float32)
                 for dz in (-1, 0, 1):
                     nb = fw[w, :8, e + 1 + dz : e + 1 + dz + block]  # [8,B,Kp]
                     ym = fw[w, 8, e + 1 + dz : e + 1 + dz + block]
                     valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
-                    pm = ym[:, None, :] * valid[:, :, None]  # [B, 1, Kp]
+                    pm = ym * valid  # [B, Kp]
 
-                    ddx = cen[0][:, :, None] - nb[0][:, None, :]  # [B,Kp,Kp]
-                    ddy = cen[1][:, :, None] - nb[1][:, None, :]
-                    ddz = cen[2][:, :, None] - nb[2][:, None, :]
-                    dvx = cen[3][:, :, None] - nb[3][:, None, :]
-                    dvy = cen[4][:, :, None] - nb[4][:, None, :]
-                    dvz = cen[5][:, :, None] - nb[5][:, None, :]
-                    rho_n = nb[6][:, None, :]
-                    p_n = nb[7][:, None, :]
+                    xnl0 = nb[0] - tx
+                    xnl1 = nb[1] - ty
+                    xnl2 = nb[2] - tz
+                    ccn = nb[3] * xnl0 + nb[4] * xnl1 + nb[5] * xnl2
+                    b6 = jnp.stack(
+                        [nb[3], nb[4], nb[5], xnl0, xnl1, xnl2], axis=1
+                    )
+                    cross = jax.lax.dot_general(
+                        a6, b6, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, Kp, Kp]
 
+                    ddx = xcl[0][:, :, None] - xnl0[:, None, :]
+                    ddy = xcl[1][:, :, None] - xnl1[:, None, :]
+                    ddz = xcl[2][:, :, None] - xnl2[:, None, :]
                     r2 = ddx * ddx + ddy * ddy + ddz * ddz
                     r = jnp.sqrt(r2)
-                    dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t3 = t * t * t
+                    else:
+                        t3 = -kernel.dw_over_r(r, params.h, dim=params.dim)
 
-                    press = pterm_c[:, :, None] + p_n / (rho_n * rho_n + 1e-30)
+                    vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
+                    press = ptc[:, :, None] + nb[7][:, None, :]
+                    den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
+                    scale = (press + cv * jnp.minimum(vdotx, 0.0) / den) * t3
 
-                    vdotx = dvx * ddx + dvy * ddy + dvz * ddz
-                    rho_bar = 0.5 * (rho_c[:, :, None] + rho_n)
-                    # one fused divide (this kernel is VPU-compute-bound;
-                    # divides are multi-cycle) and min() instead of a
-                    # select: pi == 0 exactly when vdotx >= 0
-                    pi = (
-                        -params.alpha * params.c0 * params.h
-                    ) * jnp.minimum(vdotx, 0.0) / ((r2 + h2eps) * rho_bar)
-
-                    scale = -params.mass * (press + pi) * dwr * pm
-                    accx = accx + jnp.sum(scale * ddx, axis=-1)
-                    accy = accy + jnp.sum(scale * ddy, axis=-1)
-                    accz = accz + jnp.sum(scale * ddz, axis=-1)
-                ax_ref[:] += accx
-                ay_ref[:] += accy
-                az_ref[:] += accz
+                    n4 = jnp.stack(
+                        [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
+                    )  # [B, 4, Kp]
+                    sacc = sacc + jax.lax.dot_general(
+                        n4, scale, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 4, Kp]
+                ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
+                ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
+                az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
 
         ax_ref[:] = ax_ref[:] * mc
         ay_ref[:] = ay_ref[:] * mc
@@ -718,7 +759,9 @@ def _accel_kernel_packed(
                         precision=jax.lax.Precision.HIGHEST,
                     )  # [B, 128, 128]
 
-                    # r2 exact (see docstring): per-pair diffs
+                    # r2 exact (see docstring; a factorized-r2 variant
+                    # measured SLOWER - the third matmul tips the MXU
+                    # into the bottleneck - and 10x less accurate)
                     ddx = xcl[0][:, :, None] - xnl0[:, None, :]
                     ddy = xcl[1][:, :, None] - xnl1[:, None, :]
                     ddz = xcl[2][:, :, None] - xnl2[:, None, :]
@@ -1109,13 +1152,17 @@ def accel(
     )
     k = grid.capacity
 
-    # mask rides as the 9th SoA plane so each window is ONE DMA
+    # plane 7 = pre-scaled cfold*p/rho^2 (see _accel_packed); mask rides
+    # as the 9th SoA plane so each window is ONE DMA
+    cfold, _ = _accel_folds(params, kernel)
+    rho_f = dense_rho[:c].astype(jnp.float32)
+    pt = cfold * dense_p[:c].astype(jnp.float32) / (rho_f * rho_f + 1e-30)
     fields = jnp.concatenate(
         [
             jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0),
             jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0),
-            dense_rho[:c].astype(jnp.float32)[None],
-            dense_p[:c].astype(jnp.float32)[None],
+            rho_f[None],
+            pt[None],
             mask[:c].astype(jnp.float32)[None],
         ],
         axis=0,
