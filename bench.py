@@ -142,33 +142,46 @@ def run():
             # runtimes this can be orders of magnitude above steady state)
             numpy.asarray(produce(0))
 
-            # steady-state D2H link rate - the ceiling for this path -
-            # measured with the SAME pipelined pattern as the dump loop
-            # (async copies in flight behind each join) minus the file
-            # write, so "percent of link" below is apples-to-apples
-            link_frames = max(2, min(3, device_frames))
-            # prime: one full join with the next copy already in flight,
-            # outside the timing (the first pipelined frame carries ramp)
-            nxt = produce(1)
-            nxt.copy_to_host_async()
-            blk, nxt = nxt, produce(2)
-            nxt.copy_to_host_async()
-            numpy.asarray(blk)
-            t0 = time.perf_counter()
-            for f in range(link_frames):
-                blk, nxt = nxt, None
-                if f + 1 < link_frames:
-                    nxt = produce(f + 3)
-                    nxt.copy_to_host_async()
-                numpy.asarray(blk)
-            link_s = time.perf_counter() - t0
-            link_mb_s = (
-                link_frames * bytes_per_frame / 1e6 / link_s if link_s else 0.0
-            )
+            # pipelined D2H link CEILING: an all-async copy train - every
+            # frame's copy_to_host_async issued up front, joins drain
+            # behind the streaming link - so no per-frame join ever
+            # serializes the link.  On tunneled runtimes the link rate
+            # itself varies ~2x between measurement windows, so a SINGLE
+            # no-write sample can legitimately be beaten by the
+            # (link-bound) dump loop - the round-2 ">100% of link"
+            # artifact.  Airtight arithmetic: sample the train BEFORE and
+            # AFTER the dump, and treat the dump run itself as one more
+            # link sample (it is link-bound: writes overlap and occupy
+            # only a fraction of wall).  ceiling = best sample, so
+            # percent-of-ceiling <= 100 by construction and every sample
+            # is published for the variance note.
+            budget_s = float(os.environ.get("TPGSD_BENCH_DEVICE_BUDGET_S", 120))
 
-            deadline = time.perf_counter() + float(
-                os.environ.get("TPGSD_BENCH_DEVICE_BUDGET_S", 120)
-            )
+            def link_train(budget, seed0):
+                train = []
+                t0 = time.perf_counter()
+                for f in range(device_frames):
+                    a = produce(seed0 + f)
+                    a.copy_to_host_async()
+                    train.append(a)
+                    if f >= 2 and time.perf_counter() - t0 > 0.5 * budget:
+                        break
+                joined = 0
+                for a in train:
+                    numpy.asarray(a)
+                    joined += 1
+                    if time.perf_counter() - t0 > budget and joined >= 3:
+                        break
+                dt = time.perf_counter() - t0
+                for a in train[joined:]:
+                    numpy.asarray(a)  # drain the rest outside the timing
+                rate = joined * bytes_per_frame / 1e6 / dt if dt else 0.0
+                return rate, joined, dt
+
+            link_budget = max(10.0, 0.2 * budget_s)
+            pre_rate, pre_n, pre_s = link_train(link_budget, 100)
+
+            deadline = time.perf_counter() + budget_s
             frames_done = [0]
 
             def device_frame_iter():
@@ -196,21 +209,47 @@ def run():
             _verify(path, frames_done[0], n_keys)
             dev_bytes = bytes_per_frame * frames_done[0]
             dev_mb_s = dev_bytes / 1e6 / elapsed_d
+            post_rate, post_n, post_s = link_train(link_budget, 200)
+            samples = [pre_rate, post_rate, dev_mb_s]
+            ceiling = max(samples)
+            spread = (
+                100.0 * (max(samples) - min(samples)) / max(samples)
+                if max(samples)
+                else 0.0
+            )
+            pct = 100.0 * dev_mb_s / ceiling if ceiling else 0.0
             print(
-                "# d2h link steady-state (pipelined, no write): %.1f MB/s "
-                "(%d x %.0f MB frames in %.2f s)"
-                % (link_mb_s, link_frames, bytes_per_frame / 1e6, link_s),
+                "# d2h link ceiling: %.1f MB/s = best of [pre-train %.1f "
+                "(%dx%.0f MB/%.1fs), post-train %.1f (%dx/%.1fs), dump "
+                "run %.1f]; spread %.0f%% (tunneled-link variance)"
+                % (
+                    ceiling,
+                    pre_rate,
+                    pre_n,
+                    bytes_per_frame / 1e6,
+                    pre_s,
+                    post_rate,
+                    post_n,
+                    post_s,
+                    dev_mb_s,
+                    spread,
+                ),
                 file=sys.stderr,
+            )
+            bound = (
+                " - link-bound: the dump run itself is the best link "
+                "sample" if dev_mb_s >= max(pre_rate, post_rate) else ""
             )
             print(
                 "# device-resident (%s): %.2f GB in %.1f s = %.1f MB/s "
-                "(%.0f%% of link; writer busy %.0f%% of wall)"
+                "(%.0f%% of ceiling%s; writer busy %.0f%% of wall)"
                 % (
                     jax.default_backend(),
                     dev_bytes / 1e9,
                     elapsed_d,
                     dev_mb_s,
-                    100.0 * dev_mb_s / link_mb_s if link_mb_s else 0.0,
+                    pct,
+                    bound,
                     100.0 * stats.overlap_efficiency,
                 ),
                 file=sys.stderr,

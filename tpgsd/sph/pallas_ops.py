@@ -993,15 +993,15 @@ def _use_packed(grid):
 
 def supported(grid):
     """True when the Pallas path MEASURES faster than the XLA path for
-    this grid's capacity (v5e, 100k dam break, occupancy skip flags on):
-    lane-native multiples of 128 (2.3x) and the generalized ragged f=2
-    packing for 40 <= K <= 64 (1.09-1.55x; the occupancy-matched
-    ``capacity="auto"`` sizes land here).  Deeper packings (K <= 32,
-    f >= 4) remain unproven against XLA - their composite outer rows
-    use 2/f^2 of the lane math - so ``use_pallas="auto"`` keeps the
-    jnp path there."""
+    this grid's capacity (v5e, dam-break workloads, MXU-factorized
+    kernels): lane-native multiples of 128 (2.9x at 6.4k) and the
+    generalized ragged packing for 24 <= K <= 64 (1.39x at K=48/100k,
+    2.0x at K=64/34k, 1.46x at K=32/100k, 1.89x at K=24/6.4k - the
+    round-2 "unproven f >= 4" gap is closed; parity 1e-5).  K=16
+    (f=8) stalls the Mosaic compile and sits below any realistic 3-D
+    occupancy (a 2h cell holds >= ~17 particles), so it stays off."""
     k = grid.capacity
-    return k % 128 == 0 or (40 <= k <= 64 and k % 8 == 0)
+    return k % 128 == 0 or (24 <= k <= 64 and k % 8 == 0)
 
 
 def default_block(grid):
