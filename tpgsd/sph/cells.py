@@ -165,10 +165,17 @@ def _sorted_slot_map(cid, n_query, capacity, live_rows=None):
         (unclamped - callers apply their own overflow rule).
     """
     n = cid.shape[0]
-    order = jnp.argsort(cid)
-    cid_s = cid[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # two-operand sort returns the sorted keys AND the permutation in one
+    # pass - `cid[order]` as a separate 1-D gather measured 6.6 ms at 1M
+    # particles on v5e (TPU gathers move (8,128) tiles regardless of
+    # element width, so thin gathers run ~100x below HBM bandwidth)
+    cid_s, order = jax.lax.sort((cid, iota), num_keys=1)
+    # method="sort" lowers to one extra O(n+C) sort; the default binary
+    # search lowers to a log2(n)-iteration while loop of thin gathers -
+    # 36 ms/step at 1M particles vs ~2 ms for the sort
     starts = jnp.searchsorted(
-        cid_s, jnp.arange(n_query, dtype=cid_s.dtype)
+        cid_s, jnp.arange(n_query, dtype=cid_s.dtype), method="sort"
     ).astype(jnp.int32)
     counts = jnp.diff(jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)]))
     kslots = jnp.arange(capacity, dtype=jnp.int32)
@@ -176,7 +183,14 @@ def _sorted_slot_map(cid, n_query, capacity, live_rows=None):
     if live_rows is not None and live_rows < n_query:
         valid = valid & (jnp.arange(n_query) < live_rows)[:, None]
     gidx = jnp.where(valid, starts[:, None] + kslots[None, :], n)
-    slot = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
+    # slot = position within the cell's sorted run; the run start comes
+    # from a cummax over boundary positions (associative scan) instead
+    # of the thin `starts[cid_s]` gather (another 6.6 ms at 1M)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
+    slot = iota - run_start
     return order, cid_s, valid, gidx, slot
 
 
@@ -237,11 +251,11 @@ def gather_from_cells(dense, cells, grid):
 
     Dropped (overflow) particles read the sentinel row.
     """
-    n = cells.order.shape[0]
     slot = jnp.minimum(cells.slot, grid.capacity - 1)
     cid = jnp.where(cells.slot >= grid.capacity, grid.n_cells, cells.cid)
     sorted_vals = dense[cid, slot]
-    inv = jnp.zeros(n, cells.order.dtype).at[cells.order].set(
-        jnp.arange(n, dtype=cells.order.dtype)
-    )
+    # inverse permutation by sorting the permutation (one ~1.3 ms sort
+    # at 1M) - the scatter `zeros.at[order].set(iota)` serializes on TPU
+    # (measured 5.9 ms at 1M)
+    inv = jnp.argsort(cells.order)
     return sorted_vals[inv]
