@@ -95,7 +95,7 @@ def _local_cells(x, alive, nxl, ny, nz, capacity, lo_local, cell_size):
 
     # shared slot-map core (tpgsd.sph.cells); the sentinel row (c) holds
     # the dead particles and never produces live slots
-    order, cid_s, valid, gidx, slot = _sorted_slot_map(
+    order, cid_s, valid, gidx, slot, _starts = _sorted_slot_map(
         cid, c + 1, capacity, live_rows=c
     )
     dead_s = cid_s == c

@@ -36,6 +36,7 @@ from .cells import (
     gather_from_cells,
     neighbor_table,
     scatter_to_cells,
+    scatter_to_cells_soa,
 )
 from .kernels import WendlandC2
 
@@ -492,15 +493,33 @@ def make_step_fn(
         x, v = state.x, state.v
         cells = build_cells(x, grid)
         # one fused layout gather for x AND v (gathers are the layout
-        # cost on TPU; 6 columns in one pass instead of two passes)
-        xv = scatter_to_cells(jnp.concatenate([x, v], axis=-1), cells, grid)
-        dense_x, dense_v = xv[..., :3], xv[..., 3:]
+        # cost on TPU; 6 columns in one pass instead of two passes).
+        # The Pallas branch uses the octet-row SoA layout (8x fewer
+        # gather rows AND no AoS->SoA transpose in the kernel prep);
+        # the jnp pair blocks keep the AoS layout they index by slot.
+        if use_pallas:
+            xv_soa = scatter_to_cells_soa(
+                jnp.concatenate([x, v], axis=-1), cells, grid
+            )
+            dense_x_soa, dense_v_soa = xv_soa[:3], xv_soa[3:]
+            if xsph > 0:
+                # the (jnp) XSPH pair pass indexes AoS + sentinel row
+                xv = jnp.concatenate(
+                    [
+                        jnp.moveaxis(xv_soa, 0, -1),
+                        jnp.zeros((1, grid.capacity, 6), xv_soa.dtype),
+                    ]
+                )
+                dense_x, dense_v = xv[..., :3], xv[..., 3:]
+        else:
+            xv = scatter_to_cells(jnp.concatenate([x, v], axis=-1), cells, grid)
+            dense_x, dense_v = xv[..., :3], xv[..., 3:]
 
         if use_pallas:
             rho_dense = pallas_ops.density(
-                dense_x, cells.mask, grid, params, kernel=kernel,
+                dense_x_soa, cells.mask, grid, params, kernel=kernel,
                 block=pallas_block, interpret=pallas_interpret,
-                wrap_axes=pallas_wrap,
+                wrap_axes=pallas_wrap, soa=True,
             )
         else:
             rho_dense = _density_blocks(
@@ -521,9 +540,9 @@ def make_step_fn(
 
         if use_pallas:
             acc_dense = pallas_ops.accel(
-                dense_x, dense_v, rho_dense, p_dense, cells.mask,
+                dense_x_soa, dense_v_soa, rho_dense, p_dense, cells.mask,
                 grid, params, kernel=kernel, block=pallas_block,
-                interpret=pallas_interpret, wrap_axes=pallas_wrap,
+                interpret=pallas_interpret, wrap_axes=pallas_wrap, soa=True,
             )
         else:
             acc_dense = _accel_blocks(
