@@ -32,14 +32,17 @@ mask 0 and never contribute.
 STATUS (measured on v5e with FORCED completion - block_until_ready is
 unreliable on tunneled runtimes; round-3 numbers include the MXU
 factorization of the pair contractions - see _accel_kernel_packed's
-docstring - on top of round 2's occupancy skip flags, one-DMA-per-window
-mask plane, block 16, and scatter-free / fused-gather cell layout):
+docstring - plus the search-free cell build and the octet-row SoA
+layout in tpgsd.sph.cells, on top of round 2's occupancy skip flags,
+one-DMA-per-window mask plane, block 16, and scatter-free cell layout):
 
 * 100k dam break, `capacity="auto"` (48, ragged f=2 packing):
-  **pallas 38.2 ms/step vs jnp 53.0 - 1.39x** (round 2: 46.5 vs 57.6).
-  1M particles: **430.9 ms/step vs jnp 692.6 - 1.61x** (round 2:
-  507.8).  Standalone kernels at 100k: accel 29.9 -> 22.6 ms (1.32x),
-  density -> 10.1 ms.
+  **pallas 34.9 ms/step vs jnp 50.4 - 1.44x** (round 2: 46.5 vs 57.6).
+  1M particles: **375.4 ms/step vs jnp 638.5 - 1.70x** (round 2:
+  507.8); per-particle scaling efficiency 1M/100k = 93% - the
+  profiled super-linear term was XLA-side layout machinery (thin
+  gathers + a searchsorted while-loop), NOT the kernels, which scale
+  exactly linearly (222 ns and 104 ns per particle at both sizes).
 * MXU matmuls inside the pair kernels MUST use
   ``precision=HIGHEST``: the Mosaic default truncates inputs to bf16,
   which costs ~3 digits (measured 6.6e-2 relative error vs 2.7e-5 at
