@@ -37,6 +37,7 @@ from .scenarios import (  # noqa: F401
     still_box_2d,
     taylor_green,
 )
+from .bigstep import make_slab_step_fn  # noqa: F401
 from .checkpoint import resume, resume_distributed  # noqa: F401
 from .distributed import (  # noqa: F401
     DistAux,

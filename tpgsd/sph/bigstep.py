@@ -1,0 +1,312 @@
+"""Slab-sequential SPH step for particle counts whose dense cell layout
+exceeds single-chip HBM.
+
+The standard step (``tpgsd.sph.step.make_step_fn``) materializes the
+whole domain's dense cell layout at once: ~6.6 slots/particle across up
+to 9 field planes, ~300-450 bytes/particle of peak HBM - a 1e8-particle
+domain needs ~40 GB, far over one v5e's 16 GB even though the state
+itself (x, v = 24 B/particle) fits easily.
+
+This module trades wall time for memory the TPU-native way: the x-major
+cell order makes every x-slab a CONTIGUOUS cell range AND (after the
+global cell sort) a contiguous range of sorted particles, so a
+``lax.scan`` over slabs can
+
+1. build only ONE slab's dense layout (+2 halo cell-planes each side)
+   per iteration via the same octet-row gathers as
+   :func:`tpgsd.sph.cells.scatter_to_cells_soa`,
+2. run the unmodified Pallas (or jnp) density/accel kernels on the
+   slab's extended grid - positions shifted into the slab frame so the
+   kernels' block-local coordinates stay small,
+3. compact the core cells' results through a fixed-size window row
+   gather and ``dynamic_update_slice`` them into a full-length
+   sorted-order output.  Ascending slab order makes each region's last
+   writer its owning slab, so window rows past a slab's true particle
+   count are harmlessly overwritten by the next slab.  A window
+   narrower than some slab's population is COUNTED per step
+   (``aux[3]``, slab window overflow), never silent - re-slab with a
+   wider window (the default is ``3 n / n_slabs``).
+
+Peak memory ~130 B/particle + one slab's dense planes: 1e8 particles
+in ~14 GB with 16+ slabs.  There is no inter-slab communication at all
+- halos are rebuilt from the global sorted array each step, which costs
+~4/nxl extra planes of pair math instead of a ppermute; the multi-chip
+version of the same decomposition (with real ppermute halos and
+migration instead of a global sort) is ``tpgsd.sph.distributed``.
+
+Matches ``make_step_fn`` semantics: same kernels, same wall/gravity/
+n_fixed treatment, same counted cell overflow; ``periodic`` and
+``xsph`` are not supported here (use the distributed step for periodic
+scale-out).  Parity with the global step is exact up to float
+reassociation (``tests/test_bigstep.py``).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .cells import CellGrid, cell_id
+from .kernels import WendlandC2
+from .step import SPHState, tait_pressure
+
+#: halo planes on each side of a slab (2: one so density is valid one
+#: plane into the halo, one more so those densities see their neighbors)
+_PAD = 2
+
+
+def _octet_expand(ov, starts_slice, n_cells_slice, k, f):
+    """Dense SoA ``[f, n_cells_slice, k]`` from the global octet view
+    ``ov`` (``[M/8, 64]``) and a slice of cell run starts - the core of
+    ``scatter_to_cells_soa`` lifted to operate on any cell subrange."""
+    noct = k // 8 + 1
+    oct_idx = (starts_slice >> 3)[:, None] + jnp.arange(
+        noct, dtype=jnp.int32
+    )[None, :]
+    buf = ov[oct_idx].reshape(n_cells_slice, noct * 64)
+    par = (starts_slice & 7).astype(jnp.int32)
+    which = jnp.broadcast_to(par[:, None], (n_cells_slice, k * 8))
+    rot = jax.lax.select_n(
+        which, *[buf[:, 8 * p : 8 * p + 8 * k] for p in range(8)]
+    )
+    return jnp.stack([rot[:, p::8] for p in range(f)])
+
+
+def make_slab_step_fn(
+    grid,
+    params,
+    n_slabs,
+    window=None,
+    kernel=WendlandC2,
+    block=32,
+    use_pallas="auto",
+    pallas_block=None,
+    pallas_interpret=None,
+    n_fixed=0,
+):
+    """Build the memory-bounded slab-sequential step.
+
+    Args:
+        grid: global :class:`CellGrid`; ``dims[0]`` must be a multiple
+            of ``n_slabs``.
+        n_slabs: sequential x-slabs per step.  More slabs = less peak
+            memory, slightly more recomputed halo pair math
+            (``4 / (dims[0] / n_slabs)`` extra cell-planes per slab).
+        window: compaction window rows per slab (default
+            ``ceil(3 n / n_slabs)`` at trace time).  Must be >= the
+            largest per-slab particle population; shortfalls are
+            counted in ``aux[3]``.
+        use_pallas / block / pallas_block / kernel / n_fixed: as in
+            :func:`tpgsd.sph.step.make_step_fn`.
+
+    Returns:
+        ``step(state) -> (state, (rho, p, cell_overflow, window_overflow))``.
+    """
+    from . import pallas_ops as _po
+    from .step import _accel_blocks, _density_blocks
+
+    nx, ny, nz = grid.dims
+    S = int(n_slabs)
+    if nx % S != 0:
+        raise ValueError("grid nx=%d must be a multiple of n_slabs=%d" % (nx, S))
+    nxl = nx // S
+    nynz = ny * nz
+    k = grid.capacity
+    c = grid.n_cells
+    c_ext = (nxl + 2 * _PAD) * nynz
+    cell = grid.cell_size
+
+    ext_grid = CellGrid(
+        lo=(0.0, 0.0, 0.0),
+        cell_size=cell,
+        dims=(nxl + 2 * _PAD, ny, nz),
+        capacity=k,
+    )
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
+    if pallas_block is None:
+        pallas_block = _po.default_block(ext_grid)
+    if use_pallas:
+        from . import pallas_ops
+    else:
+        from .cells import neighbor_table
+
+        nbr_ext = neighbor_table(ext_grid)
+
+    lo_g = np.asarray(grid.lo, np.float32)
+    hi_g = lo_g + cell * np.asarray(grid.dims, np.float32)
+    gravity = np.asarray(params.gravity, np.float32)
+    # slab-frame origin of slab s: global lo shifted to the first halo
+    # plane (kernels see positions relative to their own ext grid)
+    core0 = _PAD * nynz  # first core cell within the ext range
+
+    def step(state):
+        x, v = state.x, state.v
+        n = x.shape[0]
+        w_rows = int(window) if window else -(-3 * n // S)
+        iota = jnp.arange(n, dtype=jnp.int32)
+
+        # ---- global cell sort (the only full-domain pass) ----
+        cid = cell_id(x, grid)
+        cid_s, order = jax.lax.sort((cid, iota), num_keys=1)
+        starts = jnp.searchsorted(
+            cid_s, jnp.arange(c, dtype=cid_s.dtype), method="sort"
+        ).astype(jnp.int32)
+        counts = jnp.diff(
+            jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)])
+        )
+        boundary = jnp.concatenate(
+            [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]]
+        )
+        run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
+        slot = iota - run_start
+        dropped = slot >= k
+        cell_ovf = dropped.sum().astype(jnp.int32)
+
+        # sorted features, octet view (see scatter_to_cells_soa)
+        vs = jnp.concatenate([x, v], axis=-1)[order]
+        mp = -(-(n + k + 64) // 8) * 8
+        ov = jnp.pad(vs, ((0, mp - n), (0, 2))).reshape(mp // 8, 64)
+
+        # ext-range helpers padded with _PAD virtual planes each side
+        starts_ext = jnp.concatenate(
+            [
+                jnp.zeros(_PAD * nynz, jnp.int32),
+                starts,
+                jnp.full(_PAD * nynz, n, jnp.int32),
+            ]
+        )
+        counts_ext = jnp.concatenate(
+            [
+                jnp.zeros(_PAD * nynz, jnp.int32),
+                counts,
+                jnp.zeros(_PAD * nynz, jnp.int32),
+            ]
+        )
+        # window slices of cid/slot can overhang the particle count
+        cid_pad = jnp.concatenate([cid_s, jnp.full(w_rows, c, jnp.int32)])
+        slot_pad = jnp.concatenate([slot, jnp.zeros(w_rows, jnp.int32)])
+
+        kslots = jnp.arange(k, dtype=jnp.int32)
+
+        def body(out, s):
+            c0e = s * nxl * nynz  # ext-range start (starts_ext coords)
+            st = jax.lax.dynamic_slice(starts_ext, (c0e,), (c_ext,))
+            ct = jax.lax.dynamic_slice(counts_ext, (c0e,), (c_ext,))
+            mask = kslots[None, :] < jnp.minimum(ct, k)[:, None]
+
+            soa = _octet_expand(ov, st, c_ext, k, 6)  # [6, c_ext, k]
+            # shift positions into the slab frame (block-local kernel
+            # coordinates must stay ~cell-sized, not domain-sized)
+            origin = jnp.stack(
+                [
+                    lo_g[0] + (s * nxl - _PAD) * cell,
+                    jnp.float32(lo_g[1]),
+                    jnp.float32(lo_g[2]),
+                ]
+            )
+            x_soa = soa[:3] - origin[:, None, None]
+            v_soa = soa[3:]
+
+            if use_pallas:
+                rho_d = pallas_ops.density(
+                    x_soa, mask, ext_grid, params, kernel=kernel,
+                    block=pallas_block, interpret=pallas_interpret, soa=True,
+                )
+            else:
+                dense_x = jnp.concatenate(
+                    [
+                        jnp.moveaxis(x_soa, 0, -1),
+                        jnp.zeros((1, k, 3), jnp.float32),
+                    ]
+                )
+                mask_s = jnp.concatenate([mask, jnp.zeros((1, k), bool)])
+                rho_d = _density_blocks(
+                    dense_x, mask_s, nbr_ext, params, kernel, block
+                )
+            rho_d = jnp.where(
+                mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0
+            )
+            p_d = jnp.where(mask, tait_pressure(rho_d, params), 0.0)
+
+            if use_pallas:
+                acc_d = pallas_ops.accel(
+                    x_soa, v_soa, rho_d, p_d, mask, ext_grid, params,
+                    kernel=kernel, block=pallas_block,
+                    interpret=pallas_interpret, soa=True,
+                )
+            else:
+                dense_v = jnp.concatenate(
+                    [
+                        jnp.moveaxis(v_soa, 0, -1),
+                        jnp.zeros((1, k, 3), jnp.float32),
+                    ]
+                )
+                rho_sd = jnp.concatenate(
+                    [rho_d, jnp.full((1, k), params.rho0, rho_d.dtype)]
+                )
+                p_sd = jnp.concatenate([p_d, jnp.zeros((1, k), p_d.dtype)])
+                acc_d = _accel_blocks(
+                    dense_x, dense_v, rho_sd, p_sd, mask_s, nbr_ext, params,
+                    kernel, block,
+                )
+
+            # ---- compact core results through the window ----
+            p0 = starts_ext[c0e + core0]  # sorted position of slab base
+            cw = jax.lax.dynamic_slice(cid_pad, (p0,), (w_rows,)) - (
+                s * nxl - _PAD
+            ) * nynz
+            sw = jax.lax.dynamic_slice(slot_pad, (p0,), (w_rows,))
+            live = mask.astype(jnp.float32)
+            bundle = jnp.concatenate(
+                [acc_d, rho_d[..., None], p_d[..., None], live[..., None]],
+                axis=-1,
+            )  # [c_ext, k, 6]
+            win = bundle[
+                jnp.clip(cw, 0, c_ext - 1), jnp.clip(sw, 0, k - 1)
+            ]  # [w_rows, 6]
+            # dropped (cell-overflow) particles have slot >= k: the
+            # clamped gather read a LIVE particle's row - zero it so
+            # they fall back to the ballistic defaults (valid=0),
+            # matching the global step's sentinel-row treatment
+            win = jnp.where((sw < k)[:, None], win, 0.0)
+            out = jax.lax.dynamic_update_slice(out, win, (p0, 0))
+            rows_s = starts_ext[c0e + core0 + nxl * nynz] - p0
+            return out, jnp.maximum(rows_s - w_rows, 0)
+
+        out0 = jnp.zeros((n + w_rows, 6), jnp.float32)
+        out_sorted, win_short = jax.lax.scan(
+            body, out0, jnp.arange(S, dtype=jnp.int32)
+        )
+        win_ovf = win_short.sum().astype(jnp.int32)
+
+        inv = jnp.argsort(order)
+        out_p = out_sorted[:n][inv]  # [n, 6] particle order
+        valid = out_p[..., 5] > 0.5
+        acc = jnp.where(valid[:, None], out_p[..., :3], 0.0) + gravity
+        rho = jnp.where(valid, out_p[..., 3], params.rho0)
+        p = jnp.where(valid, out_p[..., 4], 0.0)
+
+        # symplectic Euler + reflective walls (as make_step_fn)
+        v_new = (v + params.dt * acc) * params.velocity_damping
+        x_new = x + params.dt * v_new
+        under = x_new < lo_g
+        over = x_new > hi_g
+        x_new = jnp.where(under, 2.0 * lo_g - x_new, x_new)
+        x_new = jnp.where(over, 2.0 * hi_g - x_new, x_new)
+        x_new = jnp.clip(x_new, lo_g, hi_g)
+        bounce = under | over
+        v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
+
+        if n_fixed > 0:
+            x_new = jnp.concatenate([x[:n_fixed], x_new[n_fixed:]])
+            v_new = jnp.concatenate(
+                [jnp.zeros((n_fixed, 3), v.dtype), v_new[n_fixed:]]
+            )
+
+        return (
+            SPHState(x=x_new, v=v_new),
+            (rho, p, cell_ovf, win_ovf),
+        )
+
+    return step
