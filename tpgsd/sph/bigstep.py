@@ -13,7 +13,7 @@ global cell sort) a contiguous range of sorted particles, so a
 ``lax.scan`` over slabs can
 
 1. build only ONE slab's dense layout (+2 halo cell-planes each side)
-   per iteration via the same octet-row gathers as
+   per iteration via the same row gathers as
    :func:`tpgsd.sph.cells.scatter_to_cells_soa`,
 2. run the unmodified Pallas (or jnp) density/accel kernels on the
    slab's extended grid - positions shifted into the slab frame so the
@@ -46,30 +46,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .cells import CellGrid, cell_id
+from .cells import CellGrid, _expand_rows, _row_view, cell_id
 from .kernels import WendlandC2
 from .step import SPHState, tait_pressure
 
 #: halo planes on each side of a slab (2: one so density is valid one
 #: plane into the halo, one more so those densities see their neighbors)
 _PAD = 2
-
-
-def _octet_expand(ov, starts_slice, n_cells_slice, k, f):
-    """Dense SoA ``[f, n_cells_slice, k]`` from the global octet view
-    ``ov`` (``[M/8, 64]``) and a slice of cell run starts - the core of
-    ``scatter_to_cells_soa`` lifted to operate on any cell subrange."""
-    noct = k // 8 + 1
-    oct_idx = (starts_slice >> 3)[:, None] + jnp.arange(
-        noct, dtype=jnp.int32
-    )[None, :]
-    buf = ov[oct_idx].reshape(n_cells_slice, noct * 64)
-    par = (starts_slice & 7).astype(jnp.int32)
-    which = jnp.broadcast_to(par[:, None], (n_cells_slice, k * 8))
-    rot = jax.lax.select_n(
-        which, *[buf[:, 8 * p : 8 * p + 8 * k] for p in range(8)]
-    )
-    return jnp.stack([rot[:, p::8] for p in range(f)])
 
 
 def make_slab_step_fn(
@@ -165,8 +148,7 @@ def make_slab_step_fn(
 
         # sorted features, octet view (see scatter_to_cells_soa)
         vs = jnp.concatenate([x, v], axis=-1)[order]
-        mp = -(-(n + k + 64) // 8) * 8
-        ov = jnp.pad(vs, ((0, mp - n), (0, 2))).reshape(mp // 8, 64)
+        ov = _row_view(vs, n, k, 6)  # 16-particle 128-lane rows
 
         # ext-range helpers padded with _PAD virtual planes each side
         starts_ext = jnp.concatenate(
@@ -195,7 +177,7 @@ def make_slab_step_fn(
             ct = jax.lax.dynamic_slice(counts_ext, (c0e,), (c_ext,))
             mask = kslots[None, :] < jnp.minimum(ct, k)[:, None]
 
-            soa = _octet_expand(ov, st, c_ext, k, 6)  # [6, c_ext, k]
+            soa = _expand_rows(ov, st, c_ext, k, 6)  # [6, c_ext, k]
             # shift positions into the slab frame (block-local kernel
             # coordinates must stay ~cell-sized, not domain-sized)
             origin = jnp.stack(

@@ -248,19 +248,58 @@ def scatter_to_cells(values, cells, grid, fill=0.0):
     return vs[cells.gidx]
 
 
-def scatter_to_cells_soa(values, cells, grid):
-    """Cell-dense SoA layout ``[F, n_cells, K]`` of 2-D per-particle
-    ``values`` (``[N, F]``, F <= 8) via octet-row gathers - 3.5x the
-    AoS :func:`scatter_to_cells` + transpose at 1M particles on v5e.
+#: particles per gathered row of the SoA fast path.  16 particles x 8
+#: feature lanes = 128-lane rows: zero tile padding on the row view
+#: (the 8-particle/64-lane variant carried a 2x pad - 6 GB dead weight
+#: at 1e8 particles) and ~1.75x fewer gather rows per cell.
+_GRAN = 16
+
+
+def _row_view(values_sorted, n, k, f):
+    """Pad ``[n, F<=8]`` sorted values and build the ``[M/16, 128]``
+    16-particle row view ``ov[m, 8a + g] = vs8[16m + a, g]``.
+
+    Built with a strided-slice lane concat, NOT a reshape: a
+    ``[M, 8] -> [M/16, 128]`` reshape forces a row-major tiled copy
+    whose (8, 128) tiles pad the 8-wide minor dim 16x - 51 GB at 1e8
+    particles.  The concat form is one fused copy pass to an unpadded
+    128-lane layout.
+    """
+    mp = -(-(n + k + 4 * _GRAN) // _GRAN) * _GRAN
+    vs8 = jnp.pad(values_sorted, ((0, mp - n), (0, 8 - f)))
+    return jnp.concatenate([vs8[a::_GRAN, :] for a in range(_GRAN)], axis=1)
+
+
+def _expand_rows(ov, starts_slice, n_rows, k, f):
+    """Dense SoA ``[f, n_rows, k]`` from the 16-particle row view.
 
     TPU row gathers are index-rate-bound (~4.3 cycles per gathered row
     regardless of row width), so instead of one thin ``[F]`` row per
-    dense slot (``n_cells * K`` rows), this gathers ROWS OF 8 SORTED
-    PARTICLES: the sorted values are viewed ``[N/8, 64]`` (8 particles
-    x 8 feature lanes), each cell's run is covered by ``K/8 + 1``
-    consecutive octet rows from its 8-aligned run start, and the
-    residual misalignment (``starts & 7``) is fixed with one 8-way
-    ``lax.select_n`` over static lane slices - 8x fewer gather rows.
+    dense slot (``n_rows * K`` rows) this gathers ROWS OF 16 SORTED
+    PARTICLES: each cell's run is covered by ``ceil(K/16) + 1``
+    consecutive view rows from its 16-aligned run start, and the
+    residual misalignment (``starts & 15``) is fixed with one 16-way
+    ``lax.select_n`` over static lane slices - 16x fewer gather rows.
+    """
+    nrow = -(-k // _GRAN) + 1
+    row_idx = (starts_slice // _GRAN)[:, None] + jnp.arange(
+        nrow, dtype=jnp.int32
+    )[None, :]
+    buf = ov[row_idx].reshape(n_rows, nrow * _GRAN * 8)
+    par = (starts_slice % _GRAN).astype(jnp.int32)
+    which = jnp.broadcast_to(par[:, None], (n_rows, k * 8))
+    rot = jax.lax.select_n(
+        which, *[buf[:, 8 * p : 8 * p + 8 * k] for p in range(_GRAN)]
+    )  # [n_rows, K*8], (slot, feature) lane-minor
+    return jnp.stack([rot[:, p::8] for p in range(f)])
+
+
+def scatter_to_cells_soa(values, cells, grid):
+    """Cell-dense SoA layout ``[F, n_cells, K]`` of 2-D per-particle
+    ``values`` (``[N, F]``, F <= 8) via 16-particle row gathers - 3.5x
+    the AoS :func:`scatter_to_cells` + transpose at 1M particles on
+    v5e (see :func:`_row_view` / :func:`_expand_rows` for the two-level
+    trick and its layout rationale).
 
     Live slots are bit-identical to :func:`scatter_to_cells`; DEAD
     slots carry (masked) neighbor-run values instead of zeros, so
@@ -271,22 +310,9 @@ def scatter_to_cells_soa(values, cells, grid):
     k = grid.capacity
     if f > 8 or k % 8 != 0:
         raise ValueError("scatter_to_cells_soa needs F <= 8, K % 8 == 0")
-    c = grid.n_cells
-    noct = k // 8 + 1
     vs = values[cells.order].astype(jnp.float32)
-    mp = -(-(n + k + 64) // 8) * 8
-    vs8 = jnp.pad(vs, ((0, mp - n), (0, 8 - f)))
-    ov = vs8.reshape(mp // 8, 64)
-    oct_idx = (cells.starts >> 3)[:, None] + jnp.arange(
-        noct, dtype=jnp.int32
-    )[None, :]
-    buf = ov[oct_idx].reshape(c, noct * 64)
-    par = (cells.starts & 7).astype(jnp.int32)
-    which = jnp.broadcast_to(par[:, None], (c, k * 8))
-    rot = jax.lax.select_n(
-        which, *[buf[:, 8 * p : 8 * p + 8 * k] for p in range(8)]
-    )  # [C, K*8], (slot, feature) lane-minor
-    return jnp.stack([rot[:, p::8] for p in range(f)])
+    ov = _row_view(vs, n, k, f)
+    return _expand_rows(ov, cells.starts, grid.n_cells, k, f)
 
 
 def gather_from_cells(dense, cells, grid):
