@@ -48,7 +48,7 @@ def main(argv=None):
     from tpgsd.sph import SPHState, dam_break, make_slab_step_fn, resume
 
     t0 = time.perf_counter()
-    db = dam_break(n_side=args.n_side, capacity="auto")
+    db = dam_break(n_side=args.n_side, capacity="auto", on_device=True)
     print(
         "n=%.3e dims=%s capacity=%d slabs=%d (built %.0f s)"
         % (db.n, db.grid.dims, db.grid.capacity, args.slabs,
