@@ -28,13 +28,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n-side", type=int, default=400)
     p.add_argument("--slabs", type=int, default=32)
-    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--steps", type=int, default=4)
     p.add_argument("--dump-every", type=int, default=3)
-    p.add_argument("--resume-steps", type=int, default=2)
+    p.add_argument("--resume-steps", type=int, default=1)
     p.add_argument("--file", default="bigcycle.gsd")
     p.add_argument("--keep", action="store_true")
     p.add_argument(
-        "--dump-keys", default="position,density",
+        "--dump-keys", default="position,velocity,density",
         help="comma list of position,velocity,density,pressure",
     )
     args = p.parse_args(argv)
@@ -55,22 +55,29 @@ def main(argv=None):
            time.perf_counter() - t0),
         flush=True,
     )
+    # donate the state: without donation two full states plus the
+    # step's working set exceed HBM at 1e8.  Donation means dumped
+    # arrays must be fetched to host numpy BEFORE the next step call
+    # (the donated buffer is reused) - sync D2H below.
     step = jax.jit(
-        make_slab_step_fn(db.grid, db.params, n_slabs=args.slabs)
+        make_slab_step_fn(db.grid, db.params, n_slabs=args.slabs),
+        donate_argnums=0,
     )
 
     keys = args.dump_keys.split(",")
 
     def frame_of(state, rho, pres):
+        # synchronous D2H: the state buffers are donated to the next
+        # step call, so they must be safely on the host first
         f = {}
         if "position" in keys:
-            f["particles/position"] = state.x
+            f["particles/position"] = numpy.asarray(state.x)
         if "velocity" in keys:
-            f["particles/velocity"] = state.v
+            f["particles/velocity"] = numpy.asarray(state.v)
         if "density" in keys:
-            f["particles/density"] = rho
+            f["particles/density"] = numpy.asarray(rho)
         if "pressure" in keys:
-            f["particles/pressure"] = pres
+            f["particles/pressure"] = numpy.asarray(pres)
         return f
 
     t0 = time.perf_counter()
@@ -89,9 +96,14 @@ def main(argv=None):
         for i in range(1, args.steps):
             ts = time.perf_counter()
             state, (rho, pres, covf, wovf) = step(state)
-            if i % args.dump_every == 0:
-                dump.submit(frame_of(state, rho, pres), step=i)
             jax.block_until_ready(state.x)
+            if i % args.dump_every == 0:
+                td = time.perf_counter()
+                dump.submit(frame_of(state, rho, pres), step=i)
+                print(
+                    "    D2H+enqueue %.0f s" % (time.perf_counter() - td),
+                    flush=True,
+                )
             step_s += time.perf_counter() - ts
             print(
                 "  step %d: %.1f s (ovf %d/%d)"
@@ -131,12 +143,16 @@ def main(argv=None):
     # ---- phase 3: fsck ----
     import tpgsd.pypgsd
 
-    with tpgsd.pypgsd.PGSDFile(open(args.file, "rb")) as f:
-        problems = f.verify()
-        nframes = f.nframes
+    with open(args.file, "rb") as fh:
+        report = tpgsd.pypgsd.verify(fh, deep=True)
     print(
-        "fsck: %d frames, %s"
-        % (nframes, "CLEAN" if not problems else problems),
+        "fsck: %d frames %d chunks %.2f GB, %s"
+        % (
+            report["frames"],
+            report["chunks"],
+            report["data_bytes"] / 1e9,
+            "CLEAN" if report["ok"] else report["errors"],
+        ),
         flush=True,
     )
 
@@ -145,7 +161,7 @@ def main(argv=None):
             os.unlink(args.file)
         except OSError:
             pass
-    return 0 if not problems else 1
+    return 0 if report["ok"] else 1
 
 
 if __name__ == "__main__":
