@@ -128,6 +128,9 @@ def main(argv=None):
     )
 
     # ---- phase 2: resume and continue ----
+    # free phase 1's device references first: state + rho + pres are
+    # ~3.2 GB at 1e8 and the resumed state needs that room
+    del state, rho, pres
     state2, last_step, writer, _ = resume(args.file)
     print(
         "resumed at step %d (%d frames)" % (last_step, writer.file.nframes),

@@ -304,3 +304,24 @@ def test_dam_break_2d_stays_planar():
     assert x[:, 1].mean() < x0[:, 1].mean()
     assert x[:, 1].max() <= x0[:, 1].max() + 0.5 * sc.params.h
     assert x[:, 0].max() > x0[:, 0].max()
+
+
+def test_dam_break_on_device_matches_host_builder():
+    """The jitted-iota lattice and the analytic capacity must reproduce
+    the host (numpy meshgrid + measured-occupancy) builder exactly:
+    same particle count, same grid, same auto capacity, positions equal
+    to f32 rounding."""
+    import numpy
+
+    from tpgsd.sph import dam_break
+
+    for ns in (8, 12, 20):
+        a = dam_break(n_side=ns, capacity="auto")
+        b = dam_break(n_side=ns, capacity="auto", on_device=True)
+        assert a.n == b.n
+        assert a.grid.dims == b.grid.dims
+        assert a.grid.capacity == b.grid.capacity
+        numpy.testing.assert_allclose(
+            numpy.asarray(a.state.x), numpy.asarray(b.state.x), atol=1e-6
+        )
+        assert not numpy.asarray(b.state.v).any()
