@@ -386,3 +386,41 @@ def test_xsph_step_stable_and_momentum_neutral():
     numpy.testing.assert_array_equal(
         numpy.asarray(s_0.x), numpy.asarray(s_p.x)
     )
+
+
+def test_scatter_soa_matches_aos_on_live_slots():
+    """The 16-particle row-gather SoA layout must agree with the AoS
+    gidx gather EXACTLY on live slots, across ragged particle counts
+    (row-view slack, parity rotation) and capacities."""
+    import numpy
+
+    from tpgsd.sph import dam_break
+    from tpgsd.sph.cells import (
+        build_cells,
+        scatter_to_cells,
+        scatter_to_cells_soa,
+    )
+
+    for ns, cap in ((7, 24), (9, 48), (11, 8)):
+        db = dam_break(n_side=ns, capacity=cap)
+        cells = build_cells(db.state.x, db.grid)
+        vals = jnp.concatenate([db.state.x, db.state.v + 1.5], axis=-1)
+        aos = numpy.asarray(scatter_to_cells(vals, cells, db.grid))
+        soa = numpy.asarray(scatter_to_cells_soa(vals, cells, db.grid))
+        mask = numpy.asarray(cells.mask)[: db.grid.n_cells]
+        for p in range(6):
+            a = aos[: db.grid.n_cells, :, p]
+            b = soa[p]
+            numpy.testing.assert_array_equal(a[mask], b[mask])
+
+
+def test_scatter_soa_rejects_unsupported_shapes():
+    import pytest as _pytest
+
+    from tpgsd.sph import dam_break
+    from tpgsd.sph.cells import build_cells, scatter_to_cells_soa
+
+    db = dam_break(n_side=6, capacity=8)
+    cells = build_cells(db.state.x, db.grid)
+    with _pytest.raises(ValueError):
+        scatter_to_cells_soa(jnp.zeros((db.n, 9)), cells, db.grid)
