@@ -60,6 +60,9 @@ def main(argv=None):
     p.add_argument("--capacity", default="auto",
                    help='cell slot capacity (int or "auto", the default: '
                         "sized to the initial lattice occupancy)")
+    p.add_argument("--slabs", type=int, default=0, metavar="S",
+                   help="also benchmark the slab-sequential big step "
+                        "with S slabs (0 = skip)")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices")
     args = p.parse_args(argv)
@@ -97,6 +100,18 @@ def main(argv=None):
         print(
             "pallas : %8.2f ms/step  %12.3g particle-steps/s  (%.2fx)"
             % (dt_p * 1e3, db.n / dt_p, dt / dt_p)
+        )
+
+    if args.slabs:
+        from tpgsd.sph import make_slab_step_fn
+
+        step_s = jax.jit(
+            make_slab_step_fn(db.grid, db.params, n_slabs=args.slabs)
+        )
+        dt_s, _ = bench_step(step_s, db.state, args.steps)
+        print(
+            "slab%-3d: %8.2f ms/step  %12.3g particle-steps/s"
+            % (args.slabs, dt_s * 1e3, db.n / dt_s)
         )
 
 
