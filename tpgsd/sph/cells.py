@@ -160,10 +160,11 @@ def _sorted_slot_map(cid, n_query, capacity, live_rows=None):
             slots (rows past it - sentinel cells - map to empty).
 
     Returns:
-        ``(order, cid_s, valid, gidx, slot)`` where ``gidx[q, k]`` is
-        the sorted position filling slot ``(q, k)`` (``n`` = empty) and
-        ``slot`` is each SORTED particle's slot within its cell
-        (unclamped - callers apply their own overflow rule).
+        ``(order, cid_s, valid, gidx, slot, starts)`` where
+        ``gidx[q, k]`` is the sorted position filling slot ``(q, k)``
+        (``n`` = empty), ``slot`` is each SORTED particle's slot within
+        its cell (unclamped - callers apply their own overflow rule),
+        and ``starts[q]`` is cell q's first sorted position.
     """
     n = cid.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
