@@ -40,12 +40,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     import numpy
 
     from tpgsd.io_runtime import AsyncDumpRunner
     from tpgsd.parallel import ShardedFrameWriter
-    from tpgsd.sph import SPHState, dam_break, make_slab_step_fn, resume
+    from tpgsd.sph import dam_break, make_slab_step_fn, resume
 
     t0 = time.perf_counter()
     db = dam_break(n_side=args.n_side, capacity="auto", on_device=True)

@@ -11,7 +11,6 @@ import numpy
 import pytest
 
 from tpgsd.sph import SPHState, dam_break, make_slab_step_fn, make_step_fn
-from tpgsd.sph.bigstep import _PAD
 
 
 def _scenario(n_side=10, capacity=48):
