@@ -65,6 +65,31 @@ def _verify(path, frames, n_keys):
         assert f.nnames == n_keys, f.nnames
 
 
+def _accelerator_alive():
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.
+
+    On tunneled runtimes a wedged terminal hangs ``jax.devices()``
+    forever (no exception to catch) - and the write path's communicator
+    setup touches jax too, so a dead tunnel would stall the WHOLE bench
+    before the headline JSON.  A killed subprocess probe is the only
+    reliable detection.
+    """
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=int(os.environ.get("TPGSD_BENCH_PROBE_S", 180)),
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return True
+    except Exception as e:
+        print("# accelerator probe failed: %r" % (e,), file=sys.stderr)
+        return False
+
+
 def run():
     frames = int(os.environ.get("TPGSD_BENCH_FRAMES", 100))
     n_keys = int(os.environ.get("TPGSD_BENCH_KEYS", 17))
@@ -74,6 +99,20 @@ def run():
     n_elems = chunk_bytes // 4  # float32
 
     import numpy
+
+    if not _accelerator_alive():
+        # run the host-side headline on the CPU backend so the writer's
+        # communicator setup cannot hang on the dead tunnel; the
+        # device-resident section is skipped below
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        device_frames = 0
+        print(
+            "# accelerator unreachable - headline on CPU backend, "
+            "device-resident path skipped",
+            file=sys.stderr,
+        )
 
     names = ["data/k%02d" % i for i in range(n_keys)]
     path = os.path.join(bench_dir, "tpgsd_bench_write.gsd")
