@@ -122,3 +122,19 @@ def test_bad_slab_count_raises():
     db = _scenario()
     with pytest.raises(ValueError):
         make_slab_step_fn(db.grid, db.params, n_slabs=db.grid.dims[0] + 1)
+
+
+def test_density_renorm_parity_with_global_step():
+    from tpgsd.sph import hydrostatic_tank
+
+    sc = hydrostatic_tank(n_side=6)
+    slabs = _divisor(sc.grid.dims[0], 3)
+    kw = dict(n_fixed=sc.n_fixed, density_renorm=True, use_pallas=False)
+    step_g = jax.jit(make_step_fn(sc.grid, sc.params, **kw))
+    step_s = jax.jit(make_slab_step_fn(sc.grid, sc.params, n_slabs=slabs, **kw))
+    sg, (rg, _, _) = step_g(sc.state)
+    ss, (rs, _, _, w) = step_s(sc.state)
+    assert int(w) == 0
+    assert float(jnp.min(rs)) >= sc.params.rho0  # the floor holds
+    numpy.testing.assert_allclose(rs, rg, rtol=2e-5, atol=1e-2)
+    numpy.testing.assert_allclose(ss.x, sg.x, rtol=1e-5, atol=1e-7)

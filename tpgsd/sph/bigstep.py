@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from .cells import CellGrid, _expand_rows, _row_view, cell_id
 from .kernels import WendlandC2
-from .step import SPHState, tait_pressure
+from .step import SPHState, _renormalize_density, tait_pressure
 
 #: halo planes on each side of a slab (2: one so density is valid one
 #: plane into the halo, one more so those densities see their neighbors)
@@ -66,6 +66,7 @@ def make_slab_step_fn(
     pallas_block=None,
     pallas_interpret=None,
     n_fixed=0,
+    density_renorm=False,
 ):
     """Build the memory-bounded slab-sequential step.
 
@@ -79,8 +80,8 @@ def make_slab_step_fn(
             ``ceil(3 n / n_slabs)`` at trace time).  Must be >= the
             largest per-slab particle population; shortfalls are
             counted in ``aux[3]``.
-        use_pallas / block / pallas_block / kernel / n_fixed: as in
-            :func:`tpgsd.sph.step.make_step_fn`.
+        use_pallas / block / pallas_block / kernel / n_fixed /
+            density_renorm: as in :func:`tpgsd.sph.step.make_step_fn`.
 
     Returns:
         ``step(state) -> (state, (rho, p, cell_overflow, window_overflow))``.
@@ -209,6 +210,8 @@ def make_slab_step_fn(
             rho_d = jnp.where(
                 mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0
             )
+            if density_renorm:
+                rho_d = _renormalize_density(rho_d, params)
             p_d = jnp.where(mask, tait_pressure(rho_d, params), 0.0)
 
             if use_pallas:
