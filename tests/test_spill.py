@@ -1,0 +1,193 @@
+"""Two-tier spill cell layout: builder, kernels, and step parity.
+
+The spill layout (tpgsd.sph.cells.build_cells_spill + the cross-tier
+Pallas kernels in tpgsd.sph.pallas_ops) sizes the main tier to the
+TYPICAL cell occupancy and spills the rare dense cells' excess into an
+equal-capacity second tier; these tests pin that the physics is
+identical (up to reduction order) to a single-tier layout of capacity
+2K.  The reference has no counterpart (its I/O layer has no compute);
+this exercises the SPH frame-producer the BASELINE north star times.
+"""
+
+import numpy
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpgsd.sph import SPHState, dam_break, make_step_fn
+from tpgsd.sph.cells import (
+    build_cells,
+    build_cells_spill,
+    gather_from_cells,
+    make_grid,
+    scatter_to_cells,
+    scatter_to_cells_soa,
+)
+
+
+@pytest.fixture(scope="module")
+def dense_cloud():
+    """Random cloud with a densified corner so cells exceed K=24."""
+    rng = numpy.random.default_rng(7)
+    x = rng.uniform(0.05, 0.95, (2000, 3)).astype(numpy.float32)
+    x[:500] = 0.05 + 0.22 * rng.uniform(0, 1, (500, 3)).astype(numpy.float32)
+    return x
+
+
+def test_build_cells_spill_partitions_slots(dense_cloud):
+    grid = make_grid((0, 0, 0), (1, 1, 1), 0.12, 24)
+    k = grid.capacity
+    cells, sp = build_cells_spill(jnp.asarray(dense_cloud), grid, k)
+    ref = build_cells(jnp.asarray(dense_cloud), grid._replace(capacity=2 * k))
+
+    # the two tiers' gather maps concatenated == the single 2K-tier map
+    gidx_cat = numpy.concatenate(
+        [numpy.asarray(cells.gidx), numpy.asarray(sp.gidx)], axis=1
+    )
+    numpy.testing.assert_array_equal(gidx_cat, numpy.asarray(ref.gidx))
+    mask_cat = numpy.concatenate(
+        [numpy.asarray(cells.mask), numpy.asarray(sp.mask)], axis=1
+    )
+    numpy.testing.assert_array_equal(mask_cat, numpy.asarray(ref.mask))
+
+    # spill tier is actually populated in this workload
+    assert bool(sp.mask.any())
+    # overflow counts past 2K, matching the single-tier reference
+    assert int(cells.overflow) == int(ref.overflow)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(cells.slot), numpy.asarray(ref.slot)
+    )
+
+
+def test_spill_scatter_gather_roundtrip(dense_cloud):
+    grid = make_grid((0, 0, 0), (1, 1, 1), 0.12, 24)
+    k = grid.capacity
+    x = jnp.asarray(dense_cloud)
+    cells, sp = build_cells_spill(x, grid, k)
+
+    vals = jnp.arange(x.shape[0], dtype=jnp.float32)[:, None] * jnp.ones(
+        (1, 3)
+    )
+    dense_a = scatter_to_cells(vals, cells, grid)
+    dense_b = scatter_to_cells(vals, cells, grid, gidx=sp.gidx)
+    cat = jnp.concatenate([dense_a, dense_b], axis=1)
+    back = gather_from_cells(cat, cells, grid, capacity=2 * k)
+    # retained particles round-trip exactly; dropped (past 2K) read the
+    # sentinel row's fill
+    kept = numpy.asarray(cells.slot < 2 * k)[
+        numpy.argsort(numpy.asarray(cells.order))
+    ]
+    assert kept.sum() > 0 and (~kept).sum() > 0
+    numpy.testing.assert_array_equal(
+        numpy.asarray(back)[kept], numpy.asarray(vals)[kept]
+    )
+    numpy.testing.assert_array_equal(numpy.asarray(back)[~kept], 0.0)
+
+
+def test_spill_soa_scatter_matches_aos(dense_cloud):
+    grid = make_grid((0, 0, 0), (1, 1, 1), 0.12, 24)
+    k = grid.capacity
+    x = jnp.asarray(dense_cloud)
+    cells, sp = build_cells_spill(x, grid, k)
+    vals = jnp.asarray(
+        numpy.random.default_rng(1).normal(size=(x.shape[0], 6)),
+        dtype=jnp.float32,
+    )
+    soa_b = scatter_to_cells_soa(vals, cells, grid, slot_base=k, capacity=k)
+    aos_b = scatter_to_cells(vals, cells, grid, gidx=sp.gidx)[: grid.n_cells]
+    m = numpy.asarray(sp.mask)[: grid.n_cells]
+    got = numpy.moveaxis(numpy.asarray(soa_b), 0, -1)[m]
+    numpy.testing.assert_array_equal(got, numpy.asarray(aos_b)[m])
+
+
+def _spill_vs_single_tier(n_side, k):
+    """One spill step vs the single-tier step at capacity 2K."""
+    db = dam_break(n_side=n_side, capacity=2 * k)
+    grid_a = db.grid._replace(capacity=k)
+
+    occ = numpy.bincount(
+        numpy.asarray(build_cells(jnp.asarray(db.state.x), db.grid).cid),
+        minlength=db.grid.n_cells,
+    )
+    assert (occ > k).sum() > 0, "workload must exercise the spill tier"
+
+    step_ref = jax.jit(
+        make_step_fn(db.grid, db.params, use_pallas=True,
+                     pallas_interpret=True)
+    )
+    state = db.state
+    for _ in range(3):
+        state, _ = step_ref(state)
+
+    step_sp = jax.jit(
+        make_step_fn(grid_a, db.params, use_pallas=True,
+                     pallas_interpret=True, spill=True)
+    )
+    s1, (rho1, p1, ov1) = step_ref(state)
+    s2, (rho2, p2, ov2) = step_sp(state)
+    return (s1, rho1, p1, int(ov1)), (s2, rho2, p2, int(ov2))
+
+
+def test_spill_step_matches_single_tier():
+    (s1, rho1, p1, ov1), (s2, rho2, p2, ov2) = _spill_vs_single_tier(10, 24)
+    assert ov1 == 0 and ov2 == 0
+    rsc = float(jnp.abs(rho1).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho2) / rsc, numpy.asarray(rho1) / rsc,
+        rtol=1e-5, atol=1e-6,
+    )
+    vsc = float(jnp.abs(s1.v).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.v) / vsc, numpy.asarray(s1.v) / vsc,
+        rtol=1e-4, atol=1e-5,
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.x), numpy.asarray(s1.x), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_spill_overflow_counts_past_both_tiers(dense_cloud):
+    grid = make_grid((0, 0, 0), (1, 1, 1), 0.12, 8)
+    cells, sp = build_cells_spill(jnp.asarray(dense_cloud), grid, 8)
+    ref = build_cells(jnp.asarray(dense_cloud), grid._replace(capacity=16))
+    assert int(cells.overflow) == int(ref.overflow) > 0
+
+
+def test_spill_build_time_validation():
+    db = dam_break(n_side=6, capacity=32)
+    with pytest.raises(ValueError, match="use_pallas"):
+        make_step_fn(db.grid, db.params, spill=True)
+    with pytest.raises(NotImplementedError, match="periodic"):
+        make_step_fn(db.grid, db.params, use_pallas=True,
+                     pallas_interpret=True, periodic=True, spill=True)
+    with pytest.raises(NotImplementedError, match="xsph"):
+        make_step_fn(db.grid, db.params, use_pallas=True,
+                     pallas_interpret=True, xsph=0.5, spill=True)
+    bad = db.grid._replace(capacity=128)
+    with pytest.raises(ValueError, match="packed capacity"):
+        make_step_fn(bad, db.params, use_pallas=True,
+                     pallas_interpret=True, spill=True)
+
+
+def test_spill_step_under_scan():
+    """The spill step composes with lax.scan (static shapes, no host)."""
+    # n_side=8 stretches cells to 1/3 box height: the densest cell holds
+    # 64 lattice particles, so the two tiers need 2K = 64
+    db = dam_break(n_side=8, capacity=64)
+    grid_a = db.grid._replace(capacity=32)
+    step = make_step_fn(grid_a, db.params, use_pallas=True,
+                        pallas_interpret=True, spill=True)
+
+    @jax.jit
+    def roll(state):
+        def body(st, _):
+            st, (rho, p, ov) = step(st)
+            return st, ov
+
+        return jax.lax.scan(body, state, None, length=3)
+
+    state, ovs = roll(db.state)
+    assert state.x.shape == db.state.x.shape
+    assert bool(jnp.all(jnp.isfinite(state.x)))
+    assert int(ovs.max()) == 0

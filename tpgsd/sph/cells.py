@@ -196,6 +196,64 @@ def _sorted_slot_map(cid, n_query, capacity, live_rows=None):
     return order, cid_s, valid, gidx, slot, starts
 
 
+class SpillCells(NamedTuple):
+    """Second-tier dense layout: slots ``[K, K + k_spill)`` of each cell.
+
+    Companion to :class:`CellList` from :func:`build_cells_spill` — holds
+    the *excess* particles of cells denser than ``grid.capacity`` so the
+    main layout can be sized to the TYPICAL occupancy instead of the
+    worst cell (pair math scales with rows ~ 1/f = K/128 in the packed
+    Pallas layout, and the spill tier is almost everywhere empty, so its
+    pair passes are skipped by the occupancy flags).  Same dense
+    ``[n_cells + 1, k_spill]`` shape conventions as the main layout
+    (sentinel last row, ``n`` = empty in ``gidx``).
+    """
+
+    gidx: jax.Array  # [n_cells+1, k_spill] sorted-order gather map
+    mask: jax.Array  # [n_cells+1, k_spill]
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def build_cells_spill(x, grid, k_spill):
+    """Two-tier cell assignment: main layout (slots ``< K``) plus a
+    spill layout (slots ``[K, K + k_spill)``).
+
+    One sort + the same elementwise maps as :func:`build_cells`; the
+    spill tier costs one extra comparison pass, no extra sort.  The
+    returned :class:`CellList` counts overflow past ``K + k_spill`` and
+    clamps dropped slots there, so :func:`gather_from_cells_spill` (or
+    :func:`gather_from_cells` with ``capacity=K + k_spill``) routes
+    every retained particle to its tier.
+    """
+    n = x.shape[0]
+    c = grid.n_cells
+    k = grid.capacity
+    cid = cell_id(x, grid)
+    order, cid_s, valid, gidx, slot, starts = _sorted_slot_map(cid, c, k)
+    gidx = jnp.concatenate([gidx, jnp.full((1, k), n, jnp.int32)])
+    mask = jnp.concatenate([valid, jnp.zeros((1, k), bool)])
+
+    counts = jnp.diff(jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)]))
+    ks2 = k + jnp.arange(k_spill, dtype=jnp.int32)
+    valid2 = ks2[None, :] < jnp.minimum(counts, k + k_spill)[:, None]
+    gidx2 = jnp.where(valid2, starts[:, None] + ks2[None, :], n)
+    gidx2 = jnp.concatenate([gidx2, jnp.full((1, k_spill), n, jnp.int32)])
+    mask2 = jnp.concatenate([valid2, jnp.zeros((1, k_spill), bool)])
+
+    dropped = slot >= k + k_spill
+    slot = jnp.where(dropped, k + k_spill, slot)
+    cells = CellList(
+        order=order,
+        cid=cid_s,
+        slot=slot,
+        gidx=gidx,
+        mask=mask,
+        overflow=dropped.sum().astype(jnp.int32),
+        starts=starts,
+    )
+    return cells, SpillCells(gidx=gidx2, mask=mask2)
+
+
 @partial(jax.jit, static_argnums=1)
 def build_cells(x, grid):
     """Assign particles to cells, scatter-free: one sort, one binary
@@ -235,18 +293,19 @@ def build_cells(x, grid):
     )
 
 
-def scatter_to_cells(values, cells, grid, fill=0.0):
+def scatter_to_cells(values, cells, grid, fill=0.0, gidx=None):
     """Lay per-particle ``values`` (particle order) out in the dense
     ``[n_cells+1, capacity, ...]`` layout (sentinel row stays ``fill``).
 
     Despite the name this is gathers, not scatters: one N-row gather
     into sorted order, then one dense gather through the elementwise
     ``cells.gidx`` map - see :func:`build_cells` for why scatters are
-    avoided on TPU."""
+    avoided on TPU.  Pass ``gidx=spill.gidx`` to lay out the spill tier
+    of :func:`build_cells_spill` instead."""
     trailing = values.shape[1:]
     pad = jnp.full((1,) + trailing, fill, values.dtype)
     vs = jnp.concatenate([values[cells.order], pad])
-    return vs[cells.gidx]
+    return vs[cells.gidx if gidx is None else gidx]
 
 
 #: particles per gathered row of the SoA fast path.  16 particles x 8
@@ -256,7 +315,7 @@ def scatter_to_cells(values, cells, grid, fill=0.0):
 _GRAN = 16
 
 
-def _row_view(values_sorted, n, k, f):
+def _row_view(values_sorted, n, k, f, slot_base=0):
     """Pad ``[n, F<=8]`` sorted values and build the ``[M/16, 128]``
     16-particle row view ``ov[m, 8a + g] = vs8[16m + a, g]``.
 
@@ -266,7 +325,7 @@ def _row_view(values_sorted, n, k, f):
     particles.  The concat form is one fused copy pass to an unpadded
     128-lane layout.
     """
-    mp = -(-(n + k + 4 * _GRAN) // _GRAN) * _GRAN
+    mp = -(-(n + slot_base + k + 4 * _GRAN) // _GRAN) * _GRAN
     vs8 = jnp.pad(values_sorted, ((0, mp - n), (0, 8 - f)))
     return jnp.concatenate([vs8[a::_GRAN, :] for a in range(_GRAN)], axis=1)
 
@@ -295,7 +354,7 @@ def _expand_rows(ov, starts_slice, n_rows, k, f):
     return jnp.stack([rot[:, p::8] for p in range(f)])
 
 
-def scatter_to_cells_soa(values, cells, grid):
+def scatter_to_cells_soa(values, cells, grid, slot_base=0, capacity=None):
     """Cell-dense SoA layout ``[F, n_cells, K]`` of 2-D per-particle
     ``values`` (``[N, F]``, F <= 8) via 16-particle row gathers - 3.5x
     the AoS :func:`scatter_to_cells` + transpose at 1M particles on
@@ -306,23 +365,31 @@ def scatter_to_cells_soa(values, cells, grid):
     slots carry (masked) neighbor-run values instead of zeros, so
     consumers must mask - every pair path already does.  No sentinel
     row is appended (the Pallas kernels never read one).
+
+    ``slot_base``/``capacity`` select a slot window ``[slot_base,
+    slot_base + capacity)`` of each cell's sorted run - the spill tier
+    of :func:`build_cells_spill` is ``slot_base=K, capacity=k_spill``.
     """
     n, f = values.shape
-    k = grid.capacity
+    k = grid.capacity if capacity is None else capacity
     if f > 8 or k % 8 != 0:
         raise ValueError("scatter_to_cells_soa needs F <= 8, K % 8 == 0")
     vs = values[cells.order].astype(jnp.float32)
-    ov = _row_view(vs, n, k, f)
-    return _expand_rows(ov, cells.starts, grid.n_cells, k, f)
+    ov = _row_view(vs, n, k, f, slot_base=slot_base)
+    return _expand_rows(ov, cells.starts + slot_base, grid.n_cells, k, f)
 
 
-def gather_from_cells(dense, cells, grid):
+def gather_from_cells(dense, cells, grid, capacity=None):
     """Gather per-slot ``dense`` values back to particle order.
 
-    Dropped (overflow) particles read the sentinel row.
+    Dropped (overflow) particles read the sentinel row.  For the
+    two-tier spill layout pass the concatenated ``[n_cells+1, K +
+    k_spill, ...]`` dense array with ``capacity=K + k_spill`` - slots
+    route to their tier automatically (spill slots index past ``K``).
     """
-    slot = jnp.minimum(cells.slot, grid.capacity - 1)
-    cid = jnp.where(cells.slot >= grid.capacity, grid.n_cells, cells.cid)
+    kc = grid.capacity if capacity is None else capacity
+    slot = jnp.minimum(cells.slot, kc - 1)
+    cid = jnp.where(cells.slot >= kc, grid.n_cells, cells.cid)
     sorted_vals = dense[cid, slot]
     # inverse permutation by sorting the permutation (one ~1.3 ms sort
     # at 1M) - the scatter `zeros.at[order].set(iota)` serializes on TPU

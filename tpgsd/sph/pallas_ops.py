@@ -808,6 +808,240 @@ def _accel_kernel_packed(
         az_ref[:] = az_ref[:] * mc
 
 
+def _density_kernel_packed_cross(
+    flags_ref, xm_self, xm_other, rho_ref, xw, cw, sems,
+    *, grid, params, kernel, block, f, nzp
+):
+    """Cross-tier density: centers from ``xm_self``, neighbors from
+    ``xm_other`` (the two-tier spill layout - see ``density_spill``).
+
+    Identical math to :func:`_density_kernel_packed`; the only
+    structural change is a 10th DMA bringing the center row-block from
+    the self buffer (window-4 geometry) while all 9 neighbor windows
+    come from the other buffer.  Flag bit 0 is pre-ANDed with "any
+    other-tier window occupied" at prep time, so blocks with no
+    cross-tier work skip everything.
+    """
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+    inv2h = 0.5 / params.h
+    invh2 = 2.0 / params.h
+    mfold = params.mass * (
+        kernel._sigma(params.h, params.dim) if kernel is WendlandC2 else 1.0
+    )
+
+    i = pl.program_id(0)
+    base = i * block
+
+    @pl.when(flags_ref[i] & 1 == 0)
+    def _empty():
+        rho_ref[:] = jnp.zeros((block, 128), jnp.float32)
+
+    @pl.when(flags_ref[i] & 1 != 0)
+    def _occupied():
+        copies = _start_window_dmas(xm_other, xw, sems, 0, base, astarts, wlen)
+        ccopy = pltpu.make_async_copy(
+            xm_self.at[:, pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
+            cw,
+            sems.at[9],
+        )
+        ccopy.start()
+        for c_ in copies:
+            c_.wait()
+        ccopy.wait()
+
+        row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        cell0 = f * row
+        ix = cell0 // (ny * nzp)
+        rem = cell0 - ix * (ny * nzp)
+        iy = rem // nzp
+        izb = rem - iy * nzp
+
+        a_n, dh = _lane_half_vectors(k)
+
+        e4 = extras[4]
+        xc = cw[:3, e4 + 1 : e4 + 1 + block]  # [3, B, 128] self centers
+        mc = cw[3, e4 + 1 : e4 + 1 + block]  # [B, 128]
+
+        rho_ref[:] = jnp.zeros((block, 128), jnp.float32)
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
+
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                xy_ok = (
+                    (ix + dx >= 0)
+                    & (ix + dx < nx)
+                    & (iy + dy >= 0)
+                    & (iy + dy < ny)
+                ).astype(jnp.float32)
+                acc = jnp.zeros((block, 1, 128), jnp.float32)
+                for yb, ym, D, zn in _packed_slices(
+                    xw, w, e, block, f, k, izb, a_n, dh, nzp
+                ):
+                    z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+                    pm = ym * z_ok * xy_ok
+                    ddx = xc[0][:, :, None] - yb[0][:, None, :]
+                    ddy = xc[1][:, :, None] - yb[1][:, None, :]
+                    ddz = xc[2][:, :, None] - yb[2][:, None, :]
+                    r = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t2 = t * t
+                        wv = (t2 * t2) * (invh2 * r + 1.0)
+                    else:
+                        wv = kernel.w(r, params.h, dim=params.dim)
+                    if D is not None:
+                        wv = wv * D[None, :, :]
+                    acc = acc + jax.lax.dot_general(
+                        pm[:, None, :], wv, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                rho_ref[:] += acc[:, 0]
+
+        rho_ref[:] = mfold * rho_ref[:] * mc
+
+
+def _accel_kernel_packed_cross(
+    flags_ref, f_self, f_other, ax_ref, ay_ref, az_ref, fw, cw, sems,
+    *, grid, params, kernel, block, f, nzp
+):
+    """Cross-tier acceleration: centers from ``f_self``, neighbors from
+    ``f_other`` - the accel counterpart of
+    :func:`_density_kernel_packed_cross`; math identical to
+    :func:`_accel_kernel_packed`."""
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+    h2eps = params.eps * params.h * params.h
+    cfold, cv = _accel_folds(params, kernel)
+    inv2h = 0.5 / params.h
+
+    i = pl.program_id(0)
+    base = i * block
+
+    @pl.when(flags_ref[i] & 1 == 0)
+    def _empty():
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+
+    @pl.when(flags_ref[i] & 1 != 0)
+    def _occupied():
+        copies = _start_window_dmas(f_other, fw, sems, 0, base, astarts, wlen)
+        ccopy = pltpu.make_async_copy(
+            f_self.at[:, pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
+            cw,
+            sems.at[9],
+        )
+        ccopy.start()
+        for c_ in copies:
+            c_.wait()
+        ccopy.wait()
+
+        row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        cell0 = f * row
+        ix = cell0 // (ny * nzp)
+        rem = cell0 - ix * (ny * nzp)
+        iy = rem // nzp
+        izb = rem - iy * nzp
+
+        a_n, dh = _lane_half_vectors(k)
+
+        c00 = f * (i * block)
+        ix0 = c00 // (ny * nzp)
+        rem0 = c00 - ix0 * (ny * nzp)
+        tx = grid.lo[0] + grid.cell_size * ix0.astype(jnp.float32)
+        ty = grid.lo[1] + grid.cell_size * (rem0 // nzp).astype(jnp.float32)
+        tz = grid.lo[2] + grid.cell_size * (0.5 * nzp)
+
+        e4 = extras[4]
+        cen = cw[:8, e4 + 1 : e4 + 1 + block]  # [8, B, 128] self centers
+        mc = cw[8, e4 + 1 : e4 + 1 + block]
+
+        xcl = (cen[0] - tx, cen[1] - ty, cen[2] - tz)
+        rho_c = cen[6]
+        ptc = cen[7]
+        ccc = cen[3] * xcl[0] + cen[4] * xcl[1] + cen[5] * xcl[2]
+        a6 = jnp.stack(
+            [xcl[0], xcl[1], xcl[2], cen[3], cen[4], cen[5]], axis=1
+        )
+
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
+
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                xy_ok = (
+                    (ix + dx >= 0)
+                    & (ix + dx < nx)
+                    & (iy + dy >= 0)
+                    & (iy + dy < ny)
+                ).astype(jnp.float32)
+                sacc = jnp.zeros((block, 4, 128), jnp.float32)
+                for nb, ym, D, zn in _packed_slices(
+                    fw, w, e, block, f, k, izb, a_n, dh, nzp
+                ):
+                    z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+                    pm = ym * z_ok * xy_ok
+
+                    xnl0 = nb[0] - tx
+                    xnl1 = nb[1] - ty
+                    xnl2 = nb[2] - tz
+                    ccn = nb[3] * xnl0 + nb[4] * xnl1 + nb[5] * xnl2
+                    b6 = jnp.stack(
+                        [nb[3], nb[4], nb[5], xnl0, xnl1, xnl2], axis=1
+                    )
+                    cross = jax.lax.dot_general(
+                        a6, b6, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                    ddx = xcl[0][:, :, None] - xnl0[:, None, :]
+                    ddy = xcl[1][:, :, None] - xnl1[:, None, :]
+                    ddz = xcl[2][:, :, None] - xnl2[:, None, :]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t3 = t * t * t
+                    else:
+                        t3 = -kernel.dw_over_r(r, params.h, dim=params.dim)
+
+                    vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
+                    press = ptc[:, :, None] + nb[7][:, None, :]
+                    den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
+                    scale = (press + cv * jnp.minimum(vdotx, 0.0) / den) * t3
+                    if D is not None:
+                        scale = scale * D[None, :, :]
+
+                    n4 = jnp.stack(
+                        [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
+                    )
+                    sacc = sacc + jax.lax.dot_general(
+                        n4, scale, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
+                ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
+                az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
+
+        ax_ref[:] = ax_ref[:] * mc
+        ay_ref[:] = ay_ref[:] * mc
+        az_ref[:] = az_ref[:] * mc
+
+
 def _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen):
     """``[nblocks]`` int32 occupancy BITMASKS for the kernels.
 
@@ -846,12 +1080,8 @@ def _block_flags(m_pk, pad_r, nblocks, block, astarts, wlen):
     return jnp.sum(bits << jnp.arange(10, dtype=jnp.int32)[None, :], axis=-1)
 
 
-def _density_packed(dense_x, mask, grid, params, kernel, block, interpret,
-                    soa=False):
-    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
-        grid, block
-    )
-    # mask rides as the 4th field plane so each window is ONE DMA
+def _pack_density_fields(dense_x, mask, grid, soa, f, nzp, pad_r, cp_r):
+    """Packed ``[4, cp_r, 128]`` density-kernel buffer (x + mask plane)."""
     x_soa = (
         dense_x[:, : grid.n_cells].astype(jnp.float32)
         if soa
@@ -861,7 +1091,57 @@ def _density_packed(dense_x, mask, grid, params, kernel, block, interpret,
         [x_soa, mask[: grid.n_cells].astype(jnp.float32)[None]],
         axis=0,
     )  # [4, C, K]
-    xm_pk = _pack_dense(xm, grid, f, nzp, pad_r, cp_r)  # [4, cp_r, 128]
+    return _pack_dense(xm, grid, f, nzp, pad_r, cp_r)
+
+
+def _pack_accel_fields(
+    dense_x, dense_v, dense_rho, dense_p, mask, grid, soa, params, kernel,
+    f, nzp, pad_r, cp_r,
+):
+    """Packed ``[9, cp_r, 128]`` accel-kernel buffer (x, v, rho,
+    pre-scaled pressure term, mask plane)."""
+    c = grid.n_cells
+    cfold, _ = _accel_folds(params, kernel)
+    rho_f = dense_rho[:c].astype(jnp.float32)
+    pt = cfold * dense_p[:c].astype(jnp.float32) / (rho_f * rho_f + 1e-30)
+    if soa:
+        x_soa = dense_x[:, :c].astype(jnp.float32)
+        v_soa = dense_v[:, :c].astype(jnp.float32)
+    else:
+        x_soa = jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0)
+        v_soa = jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0)
+    fields = jnp.concatenate(
+        [
+            x_soa,
+            v_soa,
+            rho_f[None],
+            pt[None],
+            mask[:c].astype(jnp.float32)[None],
+        ],
+        axis=0,
+    )  # [9, C, K]
+    return _pack_dense(fields, grid, f, nzp, pad_r, cp_r)
+
+
+def _cross_flags(flags_self, flags_other):
+    """Flags for a cross-tier pass: centers live in self, neighbor
+    windows in other.  Bit 0 requires BOTH a live center block and at
+    least one live other-tier window (otherwise the block's cross
+    contribution is identically zero and everything is skipped)."""
+    windows = flags_other & 0x3FE
+    center = flags_self & 1 & (windows != 0).astype(flags_self.dtype)
+    return center | windows
+
+
+def _density_packed(dense_x, mask, grid, params, kernel, block, interpret,
+                    soa=False):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
+        grid, block
+    )
+    # mask rides as the 4th field plane so each window is ONE DMA
+    xm_pk = _pack_density_fields(
+        dense_x, mask, grid, soa, f, nzp, pad_r, cp_r
+    )  # [4, cp_r, 128]
     flags = _block_flags(xm_pk[3], pad_r, nblocks, block, astarts, wlen)
 
     kern = functools.partial(
@@ -898,30 +1178,13 @@ def _accel_packed(
     f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
         grid, block
     )
-    c = grid.n_cells
     # plane 7 carries the PRE-SCALED pressure term cfold*p/rho^2 (one
     # [C, K] pass here saves a per-pair divide + two constant multiplies
     # in-kernel); mask rides as the 9th plane so each window is ONE DMA
-    cfold, _ = _accel_folds(params, kernel)
-    rho_f = dense_rho[:c].astype(jnp.float32)
-    pt = cfold * dense_p[:c].astype(jnp.float32) / (rho_f * rho_f + 1e-30)
-    if soa:
-        x_soa = dense_x[:, :c].astype(jnp.float32)
-        v_soa = dense_v[:, :c].astype(jnp.float32)
-    else:
-        x_soa = jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0)
-        v_soa = jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0)
-    fields = jnp.concatenate(
-        [
-            x_soa,
-            v_soa,
-            rho_f[None],
-            pt[None],
-            mask[:c].astype(jnp.float32)[None],
-        ],
-        axis=0,
-    )  # [9, C, K]
-    f_pk = _pack_dense(fields, grid, f, nzp, pad_r, cp_r)
+    f_pk = _pack_accel_fields(
+        dense_x, dense_v, dense_rho, dense_p, mask, grid, soa, params,
+        kernel, f, nzp, pad_r, cp_r,
+    )
 
     flags = _block_flags(f_pk[8], pad_r, nblocks, block, astarts, wlen)
 
@@ -963,6 +1226,265 @@ def _accel_packed(
         ],
         axis=-1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-tier spill layout: main tier sized to the TYPICAL cell occupancy
+#
+# Pair math in the packed layout scales with the number of packed rows
+# ~ C/f = C*K/128: halving K halves the kernel cost.  But K must hold the
+# WORST cell, and real SPH worst cells run ~2.5x the mean (dam-break
+# sloshing: mean 17-19, p95 25-27, max 44 - measured over 3000 steps).
+# The spill layout splits each cell's slots into a main tier [0, K) and a
+# spill tier [K, 2K) (tpgsd.sph.cells.build_cells_spill): the main tier is
+# sized just above the p95 occupancy, and the rare excess particles live in
+# the almost-everywhere-empty spill tier whose pair passes the occupancy
+# flags skip.  Four flag-gated passes per quantity (AA, AB, BA, BB; the
+# B-side passes cost ~nothing when no cell spills), all with the SAME
+# packed geometry (both tiers share K), so the self passes reuse the
+# existing kernels and the cross passes add only a 10th center DMA.
+# Measured (v5e, 100k dam break): K=32+32 spill vs the single-tier auto
+# K=48 - see the STATUS block.
+# ---------------------------------------------------------------------------
+
+
+def _density_call_self(flags, xm_pk, grid, params, kernel, block, interpret):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    kern = functools.partial(
+        _density_kernel_packed, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 4, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, xm_pk)
+
+
+def _density_call_cross(
+    flags, xm_self, xm_other, grid, params, kernel, block, interpret
+):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    kern = functools.partial(
+        _density_kernel_packed_cross, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 4, wlen, 128), jnp.float32),
+                pltpu.VMEM((4, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((10,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, xm_self, xm_other)
+
+
+def _accel_call_self(flags, f_pk, grid, params, kernel, block, interpret):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    kern = functools.partial(
+        _accel_kernel_packed, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(3)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32)
+            for _ in range(3)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, f_pk)
+
+
+def _accel_call_cross(
+    flags, f_self, f_other, grid, params, kernel, block, interpret
+):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    kern = functools.partial(
+        _accel_kernel_packed_cross, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(3)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 9, wlen, 128), jnp.float32),
+                pltpu.VMEM((9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((10,)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32)
+            for _ in range(3)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, f_self, f_other)
+
+
+def spill_supported(grid):
+    """True when the two-tier spill path applies: packed-capacity grids
+    only (both tiers share the packed row geometry)."""
+    k = grid.capacity
+    return 24 <= k <= 64 and k % 8 == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "params", "kernel", "block", "interpret", "soa"),
+)
+def density_spill(
+    dense_x_a, mask_a, dense_x_b, mask_b, grid, params,
+    kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None, soa=False,
+):
+    """Two-tier SPH density: main tier A (slots < K) + spill tier B.
+
+    Both tiers use ``grid.capacity`` slots (same packed geometry).
+    Returns ``(rho_a, rho_b)``, each ``[n_cells, K]`` float32 - the sum
+    of same-tier and cross-tier neighbor contributions, equal (up to
+    reduction order) to the single-tier density at capacity ``2K``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    xa = _pack_density_fields(dense_x_a, mask_a, grid, soa, f, nzp, pad_r, cp_r)
+    xb = _pack_density_fields(dense_x_b, mask_b, grid, soa, f, nzp, pad_r, cp_r)
+    fa = _block_flags(xa[3], pad_r, nblocks, block, astarts, wlen)
+    fb = _block_flags(xb[3], pad_r, nblocks, block, astarts, wlen)
+
+    args = (grid, params, kernel, block, interpret)
+    rho_a = _density_call_self(fa, xa, *args) + _density_call_cross(
+        _cross_flags(fa, fb), xa, xb, *args
+    )
+    rho_b = _density_call_self(fb, xb, *args) + _density_call_cross(
+        _cross_flags(fb, fa), xb, xa, *args
+    )
+    return (
+        _unpack_rows(rho_a, grid, f, nzp, rows),
+        _unpack_rows(rho_b, grid, f, nzp, rows),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "params", "kernel", "block", "interpret", "soa"),
+)
+def accel_spill(
+    dense_x_a, dense_v_a, dense_rho_a, dense_p_a, mask_a,
+    dense_x_b, dense_v_b, dense_rho_b, dense_p_b, mask_b,
+    grid, params,
+    kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None, soa=False,
+):
+    """Two-tier SPH acceleration; the accel counterpart of
+    :func:`density_spill`.  Returns ``(acc_a, acc_b)``, each
+    ``[n_cells, K, 3]`` float32."""
+    if interpret is None:
+        interpret = _interpret_default()
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    pa = _pack_accel_fields(
+        dense_x_a, dense_v_a, dense_rho_a, dense_p_a, mask_a, grid, soa,
+        params, kernel, f, nzp, pad_r, cp_r,
+    )
+    pb = _pack_accel_fields(
+        dense_x_b, dense_v_b, dense_rho_b, dense_p_b, mask_b, grid, soa,
+        params, kernel, f, nzp, pad_r, cp_r,
+    )
+    fa = _block_flags(pa[8], pad_r, nblocks, block, astarts, wlen)
+    fb = _block_flags(pb[8], pad_r, nblocks, block, astarts, wlen)
+
+    args = (grid, params, kernel, block, interpret)
+    aa = _accel_call_self(fa, pa, *args)
+    ab = _accel_call_cross(_cross_flags(fa, fb), pa, pb, *args)
+    ba = _accel_call_cross(_cross_flags(fb, fa), pb, pa, *args)
+    bb = _accel_call_self(fb, pb, *args)
+
+    def unpack3(parts):
+        return jnp.stack(
+            [
+                _unpack_rows(parts[0], grid, f, nzp, rows),
+                _unpack_rows(parts[1], grid, f, nzp, rows),
+                _unpack_rows(parts[2], grid, f, nzp, rows),
+            ],
+            axis=-1,
+        )
+
+    acc_a = unpack3([aa[i] + ab[i] for i in range(3)])
+    acc_b = unpack3([bb[i] + ba[i] for i in range(3)])
+    return acc_a, acc_b
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .cells import (
     build_cells,
+    build_cells_spill,
     gather_from_cells,
     neighbor_table,
     scatter_to_cells,
@@ -410,6 +411,7 @@ def make_step_fn(
     periodic=False,
     density_renorm=False,
     xsph=0.0,
+    spill=False,
 ):
     """Build the jittable SPH step.
 
@@ -463,6 +465,18 @@ def make_step_fn(
             NEUTRAL on the quasi-static hydrostatic settle, where
             viscous damping already governs (v_rms 0.071 -> 0.084).
             See :func:`_xsph_blocks`.
+        spill: two-tier cell layout (Pallas path only).  ``grid.capacity``
+            sizes the MAIN tier - set it just above the typical cell
+            occupancy instead of the worst cell (e.g.
+            ``auto_capacity(x, ..., headroom=1.15)``) - and cells denser
+            than that overflow into an equal-capacity spill tier whose
+            pair passes are almost always skipped by the occupancy
+            flags.  Packed-row pair math scales with ``capacity/128``,
+            so main-tier 32 runs ~2x the pair math rate of the
+            single-tier worst-case 48+ while keeping every particle in
+            the sums (overflow only past ``2 * capacity``).  Requires
+            ``use_pallas``, a packed capacity (24-64, multiple of 8),
+            and is not yet composed with ``periodic`` or ``xsph``.
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -488,6 +502,119 @@ def make_step_fn(
 
     if use_pallas:
         from . import pallas_ops
+
+    def _finish(x, v, out, overflow):
+        """Shared integrate/boundary tail: ``out`` is the per-particle
+        gathered bundle [acc3 | rho | p | (xsph dv3)]."""
+        acc = out[..., :3] + gravity
+
+        # symplectic Euler: kick then drift (XSPH smooths the DRIFT
+        # velocity only - the kick is untouched)
+        v_new = (v + params.dt * acc) * params.velocity_damping
+        v_drift = v_new + xsph * out[..., 5:8] if xsph > 0 else v_new
+        x_new = x + params.dt * v_drift
+
+        # boundaries: reflective walls with damping, except modular
+        # wrap on periodic axes (static per-axis selection)
+        under = x_new < lo
+        over = x_new > hi
+        reflected = jnp.where(under, 2.0 * lo - x_new, x_new)
+        reflected = jnp.where(over, 2.0 * hi - reflected, reflected)
+        reflected = jnp.clip(reflected, lo, hi)
+        if periodic:
+            wrapped = lo + jnp.mod(x_new - lo, hi - lo)
+            x_new = jnp.where(wrap_axes, wrapped, reflected)
+            bounce = (under | over) & ~wrap_axes
+        else:
+            x_new = reflected
+            bounce = under | over
+        v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
+
+        if n_fixed > 0:
+            # boundary particles: full SPH sources, zero motion
+            x_new = jnp.concatenate([x[:n_fixed], x_new[n_fixed:]])
+            v_new = jnp.concatenate(
+                [jnp.zeros((n_fixed, 3), v.dtype), v_new[n_fixed:]]
+            )
+
+        rho = out[..., 3]
+        p = out[..., 4]
+        return SPHState(x=x_new, v=v_new), (rho, p, overflow)
+
+    if spill:
+        if not use_pallas:
+            raise ValueError(
+                "spill=True requires use_pallas - the two-tier layout "
+                "exists for the packed Pallas kernels"
+            )
+        if periodic or xsph > 0:
+            raise NotImplementedError(
+                "spill mode does not yet compose with periodic or xsph"
+            )
+        if not _po.spill_supported(grid):
+            raise ValueError(
+                "spill needs a packed capacity (24 <= K <= 64, multiple "
+                "of 8); got %d" % grid.capacity
+            )
+        k = grid.capacity
+
+        def step_spill(state):
+            x, v = state.x, state.v
+            cells, sp = build_cells_spill(x, grid, k)
+            xv = jnp.concatenate([x, v], axis=-1)
+            soa_a = scatter_to_cells_soa(xv, cells, grid)
+            soa_b = scatter_to_cells_soa(
+                xv, cells, grid, slot_base=k, capacity=k
+            )
+            rho_a, rho_b = pallas_ops.density_spill(
+                soa_a[:3], cells.mask, soa_b[:3], sp.mask, grid, params,
+                kernel=kernel, block=pallas_block,
+                interpret=pallas_interpret, soa=True,
+            )
+
+            def finish_rho(rho, mask):
+                rho = jnp.where(
+                    mask[: grid.n_cells],
+                    jnp.maximum(rho, 0.1 * params.rho0),
+                    params.rho0,
+                )
+                if density_renorm:
+                    rho = _renormalize_density(rho, params)
+                p = jnp.where(
+                    mask[: grid.n_cells], tait_pressure(rho, params), 0.0
+                )
+                return rho, p
+
+            rho_a, p_a = finish_rho(rho_a, cells.mask)
+            rho_b, p_b = finish_rho(rho_b, sp.mask)
+            acc_a, acc_b = pallas_ops.accel_spill(
+                soa_a[:3], soa_a[3:], rho_a, p_a, cells.mask,
+                soa_b[:3], soa_b[3:], rho_b, p_b, sp.mask,
+                grid, params, kernel=kernel, block=pallas_block,
+                interpret=pallas_interpret, soa=True,
+            )
+
+            def tier(acc, rho, p):
+                return jnp.concatenate(
+                    [acc, rho[..., None], p[..., None]], axis=-1
+                )
+
+            bundle = jnp.concatenate(
+                [tier(acc_a, rho_a, p_a), tier(acc_b, rho_b, p_b)], axis=1
+            )  # [C, 2K, 5]
+            # sentinel row for dropped particles: rho0, zero p/acc
+            # (matches the single-tier path's sentinel semantics)
+            sent = (
+                jnp.zeros((1, 2 * k, 5), bundle.dtype)
+                .at[..., 3]
+                .set(params.rho0)
+            )
+            out = gather_from_cells(
+                jnp.concatenate([bundle, sent]), cells, grid, capacity=2 * k
+            )
+            return _finish(x, v, out, cells.overflow)
+
+        return step_spill
 
     def step(state):
         x, v = state.x, state.v
@@ -571,39 +698,6 @@ def make_step_fn(
             )
         bundle = jnp.concatenate(cols, axis=-1)
         out = gather_from_cells(bundle, cells, grid)
-        acc = out[..., :3] + gravity
-
-        # symplectic Euler: kick then drift (XSPH smooths the DRIFT
-        # velocity only - the kick is untouched)
-        v_new = (v + params.dt * acc) * params.velocity_damping
-        v_drift = v_new + xsph * out[..., 5:8] if xsph > 0 else v_new
-        x_new = x + params.dt * v_drift
-
-        # boundaries: reflective walls with damping, except modular
-        # wrap on periodic axes (static per-axis selection)
-        under = x_new < lo
-        over = x_new > hi
-        reflected = jnp.where(under, 2.0 * lo - x_new, x_new)
-        reflected = jnp.where(over, 2.0 * hi - reflected, reflected)
-        reflected = jnp.clip(reflected, lo, hi)
-        if periodic:
-            wrapped = lo + jnp.mod(x_new - lo, hi - lo)
-            x_new = jnp.where(wrap_axes, wrapped, reflected)
-            bounce = (under | over) & ~wrap_axes
-        else:
-            x_new = reflected
-            bounce = under | over
-        v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
-
-        if n_fixed > 0:
-            # boundary particles: full SPH sources, zero motion
-            x_new = jnp.concatenate([x[:n_fixed], x_new[n_fixed:]])
-            v_new = jnp.concatenate(
-                [jnp.zeros((n_fixed, 3), v.dtype), v_new[n_fixed:]]
-            )
-
-        rho = out[..., 3]
-        p = out[..., 4]
-        return SPHState(x=x_new, v=v_new), (rho, p, cells.overflow)
+        return _finish(x, v, out, cells.overflow)
 
     return step
