@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--slabs", type=int, default=0, metavar="S",
                    help="also benchmark the slab-sequential big step "
                         "with S slabs (0 = skip)")
+    p.add_argument("--spill", action="store_true",
+                   help="also benchmark the two-tier spill layout "
+                        "(main tier sized at 1.15x the densest initial "
+                        "cell instead of the single-tier 1.5x)")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices")
     args = p.parse_args(argv)
@@ -100,6 +104,27 @@ def main(argv=None):
         print(
             "pallas : %8.2f ms/step  %12.3g particle-steps/s  (%.2fx)"
             % (dt_p * 1e3, db.n / dt_p, dt / dt_p)
+        )
+
+    if args.spill:
+        import numpy
+        from tpgsd.sph.cells import auto_capacity
+
+        ka = auto_capacity(
+            numpy.asarray(db.state.x), (0.0, 0.0, 0.0), db.box,
+            2.0 * db.params.h, headroom=1.15,
+        )
+        ka = min(max(ka, 24), 64)  # the packed-tier supported range
+        step_sp = jax.jit(
+            make_step_fn(
+                db.grid._replace(capacity=ka), db.params,
+                use_pallas=True, spill=True,
+            )
+        )
+        dt_sp, _ = bench_step(step_sp, db.state, args.steps)
+        print(
+            "spill%-3d: %7.2f ms/step  %12.3g particle-steps/s  (%.2fx)"
+            % (ka, dt_sp * 1e3, db.n / dt_sp, dt / dt_sp)
         )
 
     if args.slabs:

@@ -56,6 +56,15 @@ one-DMA-per-window mask plane, block 16, and scatter-free cell layout):
   kernels (1.46x at K=32/100k, 1.89x at K=24/6.4k, parity 1e-5);
   `supported()` admits 24 <= K <= 64.  K=16 (f=8) stalls the compile
   and sits below any realistic 3-D occupancy, so it stays off.
+* the TWO-TIER SPILL layout (main tier K=32 sized to the typical
+  occupancy + equal spill tier for the rare dense cells, see
+  ``density_spill``/``accel_spill``) beats the single-tier auto K=48:
+  100k dam break **21.5 ms/step (1.68x)**, 1M **261.6 ms (1.50x)**,
+  12.5k 2.96 ms (1.36x) from the lattice start (spill tier empty);
+  at the late-run sloshing state (spill occupied, ~20% of windows
+  dirty, fluid spread over the whole domain so both paths lose their
+  empty-block skips) still 68.1 -> 46.8 ms (1.45x).  Parity vs
+  single-tier 2K: 2e-7 rho / 3e-6 v.
 
 Both kernels are fully unrolled with static window slices - fori_loop /
 dynamic-slice variants measured 3-5x slower.  The accel body needs
