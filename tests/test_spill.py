@@ -147,6 +147,65 @@ def test_spill_step_matches_single_tier():
     )
 
 
+def test_spill_step_periodic_matches_single_tier():
+    """Spill + periodic: both tiers ride the same pre-shifted ghost
+    halo; parity against the single-tier periodic step at 2K."""
+    from tpgsd.sph.step import SPHParams
+
+    n_side = 12
+    dx = 1.0 / n_side
+    ax = (numpy.arange(n_side) + 0.5) * dx
+    gx, gy, gz = numpy.meshgrid(ax, ax, ax, indexing="ij")
+    x0 = numpy.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(
+        numpy.float32
+    )
+    # smooth periodic velocity field so the step is well-conditioned
+    two_pi = 2.0 * numpy.pi
+    v0 = numpy.stack(
+        [
+            numpy.sin(two_pi * x0[:, 0]),
+            numpy.cos(two_pi * x0[:, 1]),
+            numpy.sin(two_pi * x0[:, 2]),
+        ],
+        axis=1,
+    ).astype(numpy.float32)
+
+    support = 1.0 / 3.0  # 3x3x3 periodic grid; occupancy 64/cell
+    params = SPHParams(
+        mass=1000.0 * dx**3, h=support / 2, dt=1e-4, gravity=(0.0, 0.0, 0.0)
+    )
+    grid_ref = make_grid((0, 0, 0), (1, 1, 1), support, 64)
+    grid_sp = grid_ref._replace(capacity=32)
+    occ = numpy.bincount(
+        numpy.asarray(build_cells(jnp.asarray(x0), grid_sp).cid),
+        minlength=grid_sp.n_cells,
+    )
+    assert occ.max() > 32, "every cell must spill"
+
+    state = SPHState(x=jnp.asarray(x0), v=jnp.asarray(v0))
+    step_ref = jax.jit(
+        make_step_fn(grid_ref, params, use_pallas=True,
+                     pallas_interpret=True, periodic=True)
+    )
+    step_sp = jax.jit(
+        make_step_fn(grid_sp, params, use_pallas=True,
+                     pallas_interpret=True, periodic=True, spill=True)
+    )
+    s1, (rho1, p1, ov1) = step_ref(state)
+    s2, (rho2, p2, ov2) = step_sp(state)
+    assert int(ov1) == 0 and int(ov2) == 0
+    rsc = float(jnp.abs(rho1).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho2) / rsc, numpy.asarray(rho1) / rsc,
+        rtol=1e-5, atol=1e-6,
+    )
+    vsc = float(jnp.abs(s1.v).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.v) / vsc, numpy.asarray(s1.v) / vsc,
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_spill_overflow_counts_past_both_tiers(dense_cloud):
     grid = make_grid((0, 0, 0), (1, 1, 1), 0.12, 8)
     cells, sp = build_cells_spill(jnp.asarray(dense_cloud), grid, 8)
@@ -158,9 +217,6 @@ def test_spill_build_time_validation():
     db = dam_break(n_side=6, capacity=32)
     with pytest.raises(ValueError, match="use_pallas"):
         make_step_fn(db.grid, db.params, spill=True)
-    with pytest.raises(NotImplementedError, match="periodic"):
-        make_step_fn(db.grid, db.params, use_pallas=True,
-                     pallas_interpret=True, periodic=True, spill=True)
     with pytest.raises(NotImplementedError, match="xsph"):
         make_step_fn(db.grid, db.params, use_pallas=True,
                      pallas_interpret=True, xsph=0.5, spill=True)

@@ -64,7 +64,13 @@ one-DMA-per-window mask plane, block 16, and scatter-free cell layout):
   at the late-run sloshing state (spill occupied, ~20% of windows
   dirty, fluid spread over the whole domain so both paths lose their
   empty-block skips) still 68.1 -> 46.8 ms (1.45x).  Parity vs
-  single-tier 2K: 2e-7 rho / 3e-6 v.
+  single-tier 2K: 2e-7 rho / 3e-6 v.  Composes with ``wrap_axes``
+  (both tiers ride the same pre-shifted ghost halo).
+* the viscosity divide runs as the VPU's APPROXIMATE reciprocal
+  (``pl.reciprocal(den, approx=True)``, ~1e-5 rel err on the
+  eps-regularized O(alpha) artificial term): 1M single-tier 391.3 ->
+  **371.7 ms** (-5%), 1M spill 261.6 -> **249.9 ms**, 100k spill
+  21.5 -> 21.0; step-level parity vs the jnp path 9e-6 relative (v).
 
 Both kernels are fully unrolled with static window slices - fori_loop /
 dynamic-slice variants measured 3-5x slower.  The accel body needs
@@ -354,7 +360,16 @@ def _accel_kernel(
                     vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
                     press = ptc[:, :, None] + nb[7][:, None, :]
                     den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
-                    scale = (press + cv * jnp.minimum(vdotx, 0.0) / den) * t3
+                    # the viscosity divide runs as the VPU's approximate reciprocal
+                    # (~1e-5 rel err on an O(alpha) artificial term whose
+                    # denominator is itself eps-regularized; den > 0 always).
+                    # Skipping the Newton refinement measures on the
+                    # pair-math critical path - see the STATUS block.
+                    scale = (
+                        press
+                        + cv * jnp.minimum(vdotx, 0.0)
+                        * pl.reciprocal(den, approx=True)
+                    ) * t3
 
                     n4 = jnp.stack(
                         [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
@@ -794,7 +809,16 @@ def _accel_kernel_packed(
                     vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
                     press = ptc[:, :, None] + nb[7][:, None, :]
                     den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
-                    scale = (press + cv * jnp.minimum(vdotx, 0.0) / den) * t3
+                    # the viscosity divide runs as the VPU's approximate reciprocal
+                    # (~1e-5 rel err on an O(alpha) artificial term whose
+                    # denominator is itself eps-regularized; den > 0 always).
+                    # Skipping the Newton refinement measures on the
+                    # pair-math critical path - see the STATUS block.
+                    scale = (
+                        press
+                        + cv * jnp.minimum(vdotx, 0.0)
+                        * pl.reciprocal(den, approx=True)
+                    ) * t3
                     if D is not None:
                         scale = scale * D[None, :, :]
 
@@ -1030,7 +1054,16 @@ def _accel_kernel_packed_cross(
                     vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
                     press = ptc[:, :, None] + nb[7][:, None, :]
                     den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
-                    scale = (press + cv * jnp.minimum(vdotx, 0.0) / den) * t3
+                    # the viscosity divide runs as the VPU's approximate reciprocal
+                    # (~1e-5 rel err on an O(alpha) artificial term whose
+                    # denominator is itself eps-regularized; den > 0 always).
+                    # Skipping the Newton refinement measures on the
+                    # pair-math critical path - see the STATUS block.
+                    scale = (
+                        press
+                        + cv * jnp.minimum(vdotx, 0.0)
+                        * pl.reciprocal(den, approx=True)
+                    ) * t3
                     if D is not None:
                         scale = scale * D[None, :, :]
 
@@ -1408,13 +1441,26 @@ def spill_supported(grid):
     return 24 <= k <= 64 and k % 8 == 0
 
 
+def _ghost_tier(dense_x, mask, src, shift, soa):
+    """Periodic ghost-halo expansion of one tier's layout (see
+    :func:`_ghost_maps`); positions pre-shifted by the image offset."""
+    if soa:
+        gx = dense_x[:, src] + jnp.moveaxis(jnp.asarray(shift), -1, 0)[:, :, None]
+    else:
+        gx = dense_x[src] + shift[:, None, :]
+    return gx, mask[src]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "params", "kernel", "block", "interpret", "soa"),
+    static_argnames=(
+        "grid", "params", "kernel", "block", "interpret", "wrap_axes", "soa"
+    ),
 )
 def density_spill(
     dense_x_a, mask_a, dense_x_b, mask_b, grid, params,
-    kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None, soa=False,
+    kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None,
+    wrap_axes=None, soa=False,
 ):
     """Two-tier SPH density: main tier A (slots < K) + spill tier B.
 
@@ -1422,9 +1468,20 @@ def density_spill(
     Returns ``(rho_a, rho_b)``, each ``[n_cells, K]`` float32 - the sum
     of same-tier and cross-tier neighbor contributions, equal (up to
     reduction order) to the single-tier density at capacity ``2K``.
+    ``wrap_axes`` as in :func:`density`: periodic axes arrive as a
+    pre-shifted ghost-cell halo applied to BOTH tiers.
     """
     if interpret is None:
         interpret = _interpret_default()
+    if wrap_axes is not None and any(wrap_axes):
+        g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
+        xa, ma = _ghost_tier(dense_x_a, mask_a, src, shift, soa)
+        xb, mb = _ghost_tier(dense_x_b, mask_b, src, shift, soa)
+        ra, rb = density_spill(
+            xa, ma, xb, mb, g, params, kernel=kernel, block=block,
+            interpret=interpret, soa=soa,
+        )
+        return ra[interior], rb[interior]
     f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
         _packed_geometry(grid, block)
     )
@@ -1448,19 +1505,35 @@ def density_spill(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "params", "kernel", "block", "interpret", "soa"),
+    static_argnames=(
+        "grid", "params", "kernel", "block", "interpret", "wrap_axes", "soa"
+    ),
 )
 def accel_spill(
     dense_x_a, dense_v_a, dense_rho_a, dense_p_a, mask_a,
     dense_x_b, dense_v_b, dense_rho_b, dense_p_b, mask_b,
     grid, params,
-    kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None, soa=False,
+    kernel=WendlandC2, block=DEFAULT_BLOCK, interpret=None,
+    wrap_axes=None, soa=False,
 ):
     """Two-tier SPH acceleration; the accel counterpart of
     :func:`density_spill`.  Returns ``(acc_a, acc_b)``, each
     ``[n_cells, K, 3]`` float32."""
     if interpret is None:
         interpret = _interpret_default()
+    if wrap_axes is not None and any(wrap_axes):
+        g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
+        xa, ma = _ghost_tier(dense_x_a, mask_a, src, shift, soa)
+        xb, mb = _ghost_tier(dense_x_b, mask_b, src, shift, soa)
+        va = dense_v_a[:, src] if soa else dense_v_a[src]
+        vb = dense_v_b[:, src] if soa else dense_v_b[src]
+        aa, ab = accel_spill(
+            xa, va, dense_rho_a[src], dense_p_a[src], ma,
+            xb, vb, dense_rho_b[src], dense_p_b[src], mb,
+            g, params, kernel=kernel, block=block, interpret=interpret,
+            soa=soa,
+        )
+        return aa[interior], ab[interior]
     f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
         _packed_geometry(grid, block)
     )

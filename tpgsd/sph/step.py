@@ -547,9 +547,10 @@ def make_step_fn(
                 "spill=True requires use_pallas - the two-tier layout "
                 "exists for the packed Pallas kernels"
             )
-        if periodic or xsph > 0:
+        if xsph > 0:
             raise NotImplementedError(
-                "spill mode does not yet compose with periodic or xsph"
+                "spill mode does not yet compose with xsph (the XSPH "
+                "pair pass runs on the single-tier jnp layout)"
             )
         if not _po.spill_supported(grid):
             raise ValueError(
@@ -569,7 +570,7 @@ def make_step_fn(
             rho_a, rho_b = pallas_ops.density_spill(
                 soa_a[:3], cells.mask, soa_b[:3], sp.mask, grid, params,
                 kernel=kernel, block=pallas_block,
-                interpret=pallas_interpret, soa=True,
+                interpret=pallas_interpret, wrap_axes=pallas_wrap, soa=True,
             )
 
             def finish_rho(rho, mask):
@@ -591,7 +592,7 @@ def make_step_fn(
                 soa_a[:3], soa_a[3:], rho_a, p_a, cells.mask,
                 soa_b[:3], soa_b[3:], rho_b, p_b, sp.mask,
                 grid, params, kernel=kernel, block=pallas_block,
-                interpret=pallas_interpret, soa=True,
+                interpret=pallas_interpret, wrap_axes=pallas_wrap, soa=True,
             )
 
             def tier(acc, rho, p):
