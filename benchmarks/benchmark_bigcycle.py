@@ -37,6 +37,10 @@ def main(argv=None):
         "--dump-keys", default="position,velocity,density",
         help="comma list of position,velocity,density,pressure",
     )
+    p.add_argument("--spill", action="store_true",
+                   help="two-tier spill slot layout: main tier at 1.15x "
+                        "the densest initial cell (vs the single-tier "
+                        "1.5x) + a flag-skipped spill tier")
     args = p.parse_args(argv)
 
     import jax
@@ -47,7 +51,10 @@ def main(argv=None):
     from tpgsd.sph import dam_break, make_slab_step_fn, resume
 
     t0 = time.perf_counter()
-    db = dam_break(n_side=args.n_side, capacity="auto", on_device=True)
+    db = dam_break(
+        n_side=args.n_side, capacity="auto", on_device=True,
+        capacity_headroom=1.15 if args.spill else 1.5,
+    )
     print(
         "n=%.3e dims=%s capacity=%d slabs=%d (built %.0f s)"
         % (db.n, db.grid.dims, db.grid.capacity, args.slabs,
@@ -59,7 +66,10 @@ def main(argv=None):
     # arrays must be fetched to host numpy BEFORE the next step call
     # (the donated buffer is reused) - sync D2H below.
     step = jax.jit(
-        make_slab_step_fn(db.grid, db.params, n_slabs=args.slabs),
+        make_slab_step_fn(
+            db.grid, db.params, n_slabs=args.slabs,
+            spill=args.spill, use_pallas="auto" if not args.spill else True,
+        ),
         donate_argnums=0,
     )
 

@@ -206,6 +206,56 @@ def test_spill_step_periodic_matches_single_tier():
     )
 
 
+def test_spill_slab_step_matches_single_tier():
+    """Spill inside the slab-sequential big step: parity vs the global
+    single-tier step at 2K (same kernels, two layouts + slab order)."""
+    from tpgsd.sph import make_slab_step_fn
+
+    db = dam_break(n_side=10, capacity=48)
+    assert db.grid.dims[0] % 3 == 0, db.grid.dims
+    grid_sp = db.grid._replace(capacity=24)
+    occ = numpy.bincount(
+        numpy.asarray(build_cells(jnp.asarray(db.state.x), db.grid).cid),
+        minlength=db.grid.n_cells,
+    )
+    assert (occ > 24).sum() > 0
+
+    step_g = jax.jit(
+        make_step_fn(db.grid, db.params, use_pallas=True,
+                     pallas_interpret=True)
+    )
+    step_s = jax.jit(
+        make_slab_step_fn(grid_sp, db.params, n_slabs=3, use_pallas=True,
+                          pallas_interpret=True, spill=True)
+    )
+    sg, (rg, pg, og) = step_g(db.state)
+    ss, (rs, ps, os_, ws) = step_s(db.state)
+    assert int(ws) == 0
+    assert int(os_) == int(og) == 0
+    numpy.testing.assert_allclose(
+        numpy.asarray(rs), numpy.asarray(rg), rtol=2e-5, atol=1e-2
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(ss.x), numpy.asarray(sg.x), rtol=1e-5, atol=1e-7
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(ss.v), numpy.asarray(sg.v), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_spill_slab_build_time_validation():
+    from tpgsd.sph import make_slab_step_fn
+
+    db = dam_break(n_side=10, capacity=48)
+    with pytest.raises(ValueError, match="use_pallas"):
+        make_slab_step_fn(db.grid._replace(capacity=24), db.params,
+                          n_slabs=3, use_pallas=False, spill=True)
+    with pytest.raises(ValueError, match="packed capacity"):
+        make_slab_step_fn(db.grid._replace(capacity=128), db.params,
+                          n_slabs=3, use_pallas=True,
+                          pallas_interpret=True, spill=True)
+
+
 def test_spill_overflow_counts_past_both_tiers(dense_cloud):
     grid = make_grid((0, 0, 0), (1, 1, 1), 0.12, 8)
     cells, sp = build_cells_spill(jnp.asarray(dense_cloud), grid, 8)

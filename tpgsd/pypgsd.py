@@ -303,7 +303,7 @@ def verify(file, deep=True):
     pgsd/pgsd/pgsd.c:174-202, 414-450).
 
     Args:
-        file: binary file-like object open for reading.
+        file: binary file-like object open for reading, or a path.
         deep: also read every chunk's payload (catches truncation the
             index bounds check cannot see on sparse/overlayed files).
 
@@ -313,6 +313,10 @@ def verify(file, deep=True):
         corruption - structural problems land in ``errors``.
     """
     from .format import sizeof_type
+
+    if isinstance(file, (str, bytes)) or hasattr(file, "__fspath__"):
+        with open(file, "rb") as fh:
+            return verify(fh, deep=deep)
 
     report = {
         "ok": False,

@@ -67,6 +67,7 @@ def make_slab_step_fn(
     pallas_interpret=None,
     n_fixed=0,
     density_renorm=False,
+    spill=False,
 ):
     """Build the memory-bounded slab-sequential step.
 
@@ -82,6 +83,13 @@ def make_slab_step_fn(
             counted in ``aux[3]``.
         use_pallas / block / pallas_block / kernel / n_fixed /
             density_renorm: as in :func:`tpgsd.sph.step.make_step_fn`.
+        spill: two-tier slot layout per slab (Pallas only; see
+            :func:`tpgsd.sph.step.make_step_fn`): ``grid.capacity``
+            sizes the main tier near the typical occupancy and dense
+            cells overflow into an equal flag-skipped spill tier - the
+            same ~1.5x pair-math win as the global step, at the
+            north-star >HBM scales this step exists for.  Per-slab
+            peak memory grows by one tier's dense planes.
 
     Returns:
         ``step(state) -> (state, (rho, p, cell_overflow, window_overflow))``.
@@ -110,6 +118,17 @@ def make_slab_step_fn(
         use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
+    if spill:
+        if not use_pallas:
+            raise ValueError(
+                "spill=True requires use_pallas - the two-tier layout "
+                "exists for the packed Pallas kernels"
+            )
+        if not _po.spill_supported(ext_grid):
+            raise ValueError(
+                "spill needs a packed capacity (24 <= K <= 64, multiple "
+                "of 8); got %d" % k
+            )
     if use_pallas:
         from . import pallas_ops
     else:
@@ -144,12 +163,14 @@ def make_slab_step_fn(
         )
         run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
         slot = iota - run_start
-        dropped = slot >= k
+        kt = 2 * k if spill else k  # total retained slots per cell
+        dropped = slot >= kt
         cell_ovf = dropped.sum().astype(jnp.int32)
 
         # sorted features, octet view (see scatter_to_cells_soa)
         vs = jnp.concatenate([x, v], axis=-1)[order]
-        ov = _row_view(vs, n, k, 6)  # 16-particle 128-lane rows
+        # 16-particle 128-lane rows (sized for spill's +K slot window)
+        ov = _row_view(vs, n, k, 6, slot_base=k if spill else 0)
 
         # ext-range helpers padded with _PAD virtual planes each side
         starts_ext = jnp.concatenate(
@@ -191,7 +212,55 @@ def make_slab_step_fn(
             x_soa = soa[:3] - origin[:, None, None]
             v_soa = soa[3:]
 
-            if use_pallas:
+            if spill:
+                # two-tier slab: tier B holds slots [K, 2K) via the same
+                # row-gather expansion at a +K slot offset
+                mask_b = (k + kslots[None, :]) < jnp.minimum(ct, 2 * k)[
+                    :, None
+                ]
+                soa_b = _expand_rows(ov, st + k, c_ext, k, 6)
+                xb_soa = soa_b[:3] - origin[:, None, None]
+                vb_soa = soa_b[3:]
+                rho_a, rho_b = pallas_ops.density_spill(
+                    x_soa, mask, xb_soa, mask_b, ext_grid, params,
+                    kernel=kernel, block=pallas_block,
+                    interpret=pallas_interpret, soa=True,
+                )
+
+                def _finish_rho(rho, m):
+                    rho = jnp.where(
+                        m, jnp.maximum(rho, 0.1 * params.rho0), params.rho0
+                    )
+                    if density_renorm:
+                        rho = _renormalize_density(rho, params)
+                    return rho, jnp.where(m, tait_pressure(rho, params), 0.0)
+
+                rho_a, p_a = _finish_rho(rho_a, mask)
+                rho_b, p_b = _finish_rho(rho_b, mask_b)
+                acc_a, acc_b = pallas_ops.accel_spill(
+                    x_soa, v_soa, rho_a, p_a, mask,
+                    xb_soa, vb_soa, rho_b, p_b, mask_b,
+                    ext_grid, params, kernel=kernel, block=pallas_block,
+                    interpret=pallas_interpret, soa=True,
+                )
+
+                def _tier(acc, rho, p, m):
+                    return jnp.concatenate(
+                        [
+                            acc,
+                            rho[..., None],
+                            p[..., None],
+                            m.astype(jnp.float32)[..., None],
+                        ],
+                        axis=-1,
+                    )
+
+                bundle = jnp.concatenate(
+                    [_tier(acc_a, rho_a, p_a, mask),
+                     _tier(acc_b, rho_b, p_b, mask_b)],
+                    axis=1,
+                )  # [c_ext, 2K, 6]
+            elif use_pallas:
                 rho_d = pallas_ops.density(
                     x_soa, mask, ext_grid, params, kernel=kernel,
                     block=pallas_block, interpret=pallas_interpret, soa=True,
@@ -207,34 +276,43 @@ def make_slab_step_fn(
                 rho_d = _density_blocks(
                     dense_x, mask_s, nbr_ext, params, kernel, block
                 )
-            rho_d = jnp.where(
-                mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0
-            )
-            if density_renorm:
-                rho_d = _renormalize_density(rho_d, params)
-            p_d = jnp.where(mask, tait_pressure(rho_d, params), 0.0)
+            if not spill:
+                rho_d = jnp.where(
+                    mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0
+                )
+                if density_renorm:
+                    rho_d = _renormalize_density(rho_d, params)
+                p_d = jnp.where(mask, tait_pressure(rho_d, params), 0.0)
 
-            if use_pallas:
-                acc_d = pallas_ops.accel(
-                    x_soa, v_soa, rho_d, p_d, mask, ext_grid, params,
-                    kernel=kernel, block=pallas_block,
-                    interpret=pallas_interpret, soa=True,
-                )
-            else:
-                dense_v = jnp.concatenate(
-                    [
-                        jnp.moveaxis(v_soa, 0, -1),
-                        jnp.zeros((1, k, 3), jnp.float32),
-                    ]
-                )
-                rho_sd = jnp.concatenate(
-                    [rho_d, jnp.full((1, k), params.rho0, rho_d.dtype)]
-                )
-                p_sd = jnp.concatenate([p_d, jnp.zeros((1, k), p_d.dtype)])
-                acc_d = _accel_blocks(
-                    dense_x, dense_v, rho_sd, p_sd, mask_s, nbr_ext, params,
-                    kernel, block,
-                )
+                if use_pallas:
+                    acc_d = pallas_ops.accel(
+                        x_soa, v_soa, rho_d, p_d, mask, ext_grid, params,
+                        kernel=kernel, block=pallas_block,
+                        interpret=pallas_interpret, soa=True,
+                    )
+                else:
+                    dense_v = jnp.concatenate(
+                        [
+                            jnp.moveaxis(v_soa, 0, -1),
+                            jnp.zeros((1, k, 3), jnp.float32),
+                        ]
+                    )
+                    rho_sd = jnp.concatenate(
+                        [rho_d, jnp.full((1, k), params.rho0, rho_d.dtype)]
+                    )
+                    p_sd = jnp.concatenate(
+                        [p_d, jnp.zeros((1, k), p_d.dtype)]
+                    )
+                    acc_d = _accel_blocks(
+                        dense_x, dense_v, rho_sd, p_sd, mask_s, nbr_ext,
+                        params, kernel, block,
+                    )
+                live = mask.astype(jnp.float32)
+                bundle = jnp.concatenate(
+                    [acc_d, rho_d[..., None], p_d[..., None],
+                     live[..., None]],
+                    axis=-1,
+                )  # [c_ext, k, 6]
 
             # ---- compact core results through the window ----
             p0 = starts_ext[c0e + core0]  # sorted position of slab base
@@ -242,19 +320,14 @@ def make_slab_step_fn(
                 s * nxl - _PAD
             ) * nynz
             sw = jax.lax.dynamic_slice(slot_pad, (p0,), (w_rows,))
-            live = mask.astype(jnp.float32)
-            bundle = jnp.concatenate(
-                [acc_d, rho_d[..., None], p_d[..., None], live[..., None]],
-                axis=-1,
-            )  # [c_ext, k, 6]
             win = bundle[
-                jnp.clip(cw, 0, c_ext - 1), jnp.clip(sw, 0, k - 1)
+                jnp.clip(cw, 0, c_ext - 1), jnp.clip(sw, 0, kt - 1)
             ]  # [w_rows, 6]
-            # dropped (cell-overflow) particles have slot >= k: the
+            # dropped (cell-overflow) particles have slot >= kt: the
             # clamped gather read a LIVE particle's row - zero it so
             # they fall back to the ballistic defaults (valid=0),
             # matching the global step's sentinel-row treatment
-            win = jnp.where((sw < k)[:, None], win, 0.0)
+            win = jnp.where((sw < kt)[:, None], win, 0.0)
             out = jax.lax.dynamic_update_slice(out, win, (p0, 0))
             rows_s = starts_ext[c0e + core0 + nxl * nynz] - p0
             return out, jnp.maximum(rows_s - w_rows, 0)

@@ -35,6 +35,7 @@ def dam_break(
     c0=None,
     dtype=jnp.float32,
     on_device=False,
+    capacity_headroom=1.5,
 ):
     """Build a dam-break initial condition.
 
@@ -47,6 +48,11 @@ def dam_break(
         capacity: cell-list slot capacity; ``"auto"`` sizes it to the
             initial lattice occupancy (pair math scales with
             capacity^2 - see :func:`tpgsd.sph.cells.auto_capacity`).
+        capacity_headroom: safety factor for ``capacity="auto"``.  The
+            single-tier default 1.5 covers sloshing transients (run max
+            measured ~1.6x the initial densest cell); for the two-tier
+            spill layout size the MAIN tier tighter (1.15 puts it just
+            above the p95 occupancy - the spill tier absorbs the rest).
         rho0: rest density.
         c0: artificial sound speed (default 10x the peak fall speed).
 
@@ -87,7 +93,7 @@ def dam_break(
                 np.ceil((j + 1) * cell0 / dx - 0.5), counts[d]
             )
             m0 *= int(np.maximum(hi_i - lo_i, 0).max())
-        capacity = max(8, int(-(-1.5 * m0 // 8) * 8))
+        capacity = max(8, int(-(-capacity_headroom * m0 // 8) * 8))
 
     if on_device:
         # build the lattice ON the device: at 1e8 particles the host
@@ -117,7 +123,10 @@ def dam_break(
             [gx.ravel(), gy.ravel(), gz.ravel()], axis=1
         ).astype(np.float32)
         if capacity == "auto":
-            capacity = auto_capacity(x0, (0.0, 0.0, 0.0), box, support)
+            capacity = auto_capacity(
+                x0, (0.0, 0.0, 0.0), box, support,
+                headroom=capacity_headroom,
+            )
         # host (numpy) arrays: the first jitted call transfers them with
         # the executable's arguments; eager device placement here would
         # add a standalone transfer at build time
