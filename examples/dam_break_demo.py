@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--density-renorm", action="store_true",
                    help="free-surface density floor (no negative "
                         "surface pressures)")
+    p.add_argument("--spill", action="store_true",
+                   help="two-tier spill cell layout (Pallas; main tier "
+                        "sized at 1.15x the densest initial cell)")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices (env vars alone do "
                         "not override accelerator plugins)")
@@ -71,7 +74,10 @@ def main(argv=None):
     periodic = args.scenario == "taylor_green"
     n_fixed = 0
     if args.scenario == "dam_break":
-        db = dam_break(n_side=args.n_side, capacity="auto")
+        db = dam_break(
+            n_side=args.n_side, capacity="auto",
+            capacity_headroom=1.15 if args.spill else 1.5,
+        )
     elif args.scenario == "dam_break_2d":
         db = dam_break_2d(n_side=args.n_side, capacity="auto")
     elif args.scenario == "taylor_green":
@@ -79,12 +85,21 @@ def main(argv=None):
     else:
         db = hydrostatic_tank(n_side=args.n_side)
         n_fixed = db.n_fixed
+    if args.spill:
+        # tiny demo domains stretch cells (occupancy above the packed
+        # range); clamp the MAIN tier - the spill tier still holds 2K
+        cap = min(max(db.grid.capacity, 24), 64)
+        db = db._replace(grid=db.grid._replace(capacity=cap))
     if args.out is None:
         args.out = args.scenario + ".gsd"
     box3 = tuple(db.box) + (0.0,) * (3 - len(db.box))
     print("scenario: %s  particles: %d  grid: %s cells  dt: %.2e"
           % (args.scenario, db.n, db.grid.dims, db.params.dt))
 
+    if args.sharded and args.spill:
+        print("--spill runs unsharded (pallas_call under GSPMD); "
+              "dropping --sharded")
+        args.sharded = False
     if args.sharded and args.scenario != "dam_break":
         # padding rows are parked in the 3-D box's far corner, which is
         # only safely out of interaction range for the 3-D dam break; a
@@ -123,10 +138,13 @@ def main(argv=None):
         )
         print("sharded over %d devices" % n_dev)
     else:
+        if args.spill and args.xsph > 0:
+            raise SystemExit("--spill does not compose with --xsph yet")
         step = jax.jit(
             make_step_fn(
                 db.grid, db.params, n_fixed=n_fixed, periodic=periodic,
                 xsph=args.xsph, density_renorm=args.density_renorm,
+                spill=args.spill, use_pallas=True if args.spill else "auto",
             )
         )
 

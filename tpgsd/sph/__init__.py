@@ -20,7 +20,12 @@ TPU-first design:
 """
 
 from .kernels import CubicSpline, WendlandC2  # noqa: F401
-from .cells import CellGrid, build_cells  # noqa: F401
+from .cells import (  # noqa: F401
+    CellGrid,
+    SpillCells,
+    build_cells,
+    build_cells_spill,
+)
 from .step import (  # noqa: F401
     SPHParams,
     SPHState,
