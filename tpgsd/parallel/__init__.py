@@ -24,4 +24,10 @@ from .shard_io import (  # noqa: F401
 )
 from .comm import JaxProcessComm, SingleComm, default_comm  # noqa: F401
 from .compose_io import ComposedFrameWriter, compose  # noqa: F401
-from .mesh import make_mesh, pad_rows, row_sharding, shard_rows  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_mesh,
+    make_mesh2d,
+    pad_rows,
+    row_sharding,
+    shard_rows,
+)

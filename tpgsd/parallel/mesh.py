@@ -19,6 +19,28 @@ def make_mesh(n_devices=None, axis_name="shard", devices=None):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh2d(shape=None, axis_names=("sx", "sy"), devices=None):
+    """A 2-D :class:`jax.sharding.Mesh` for block-decomposed domains.
+
+    ``shape`` defaults to the most-square factorization of the device
+    count (8 devices -> ``(4, 2)``) - on real TPU slices the 2-D mesh
+    maps each ppermute hop onto a physical ICI neighbor link.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        n = len(devices)
+        px = int(np.sqrt(n))
+        while n % px != 0:
+            px -= 1
+        shape = (max(px, n // px), min(px, n // px))
+    px, py = shape
+    return Mesh(np.asarray(devices[: px * py]).reshape(px, py), tuple(axis_names))
+
+
 def row_sharding(mesh, axis_name="shard"):
     """NamedSharding that partitions axis 0 over ``axis_name``."""
     from jax.sharding import NamedSharding, PartitionSpec

@@ -51,3 +51,7 @@ from .distributed import (  # noqa: F401
     distribute_state,
     make_distributed_step_fn,
 )
+from .distributed2d import (  # noqa: F401
+    distribute_state_2d,
+    make_distributed2d_step_fn,
+)
