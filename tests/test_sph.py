@@ -424,3 +424,137 @@ def test_scatter_soa_rejects_unsupported_shapes():
     cells = build_cells(db.state.x, db.grid)
     with _pytest.raises(ValueError):
         scatter_to_cells_soa(jnp.zeros((db.n, 9)), cells, db.grid)
+
+
+def test_adaptive_step_matches_fixed_at_same_dt():
+    """The adaptive step advanced with dt == params.dt must reproduce
+    the fixed step exactly - dt is a traced operand of the SAME
+    compiled physics, not a different integrator."""
+    from tpgsd.sph import make_adaptive_step_fn
+
+    db = dam_break(n_side=6)
+    state = SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v))
+
+    step_f = jax.jit(make_step_fn(db.grid, db.params))
+    step_a = jax.jit(make_adaptive_step_fn(db.grid, db.params))
+
+    s_f, s_a = state, state
+    dt = jnp.float32(db.params.dt)
+    for _ in range(3):
+        s_f, aux_f = step_f(s_f)
+        s_a, aux_a, _dt_next = step_a(s_a, dt)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(s_a.x), numpy.asarray(s_f.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(s_a.v), numpy.asarray(s_f.v)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(aux_a[0]), numpy.asarray(aux_f[0])
+    )
+
+
+def test_adaptive_dt_is_traced_not_baked():
+    """Two different dt values through ONE jitted step must yield
+    different trajectories (dt is an operand, so adapting it cannot
+    recompile) - and a smaller dt must move particles less."""
+    from tpgsd.sph import make_adaptive_step_fn
+
+    db = dam_break(n_side=6)
+    state = SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v))
+    step = jax.jit(make_adaptive_step_fn(db.grid, db.params))
+
+    s1, _, _ = step(state, jnp.float32(db.params.dt))
+    s2, _, _ = step(state, jnp.float32(db.params.dt * 0.25))
+    d1 = numpy.abs(numpy.asarray(s1.x) - numpy.asarray(state.x)).max()
+    d2 = numpy.abs(numpy.asarray(s2.x) - numpy.asarray(state.x)).max()
+    assert d2 < d1
+
+
+def test_adaptive_dt_controller_bounds_and_response():
+    """dt_next obeys [dt_min, dt_max]; a violent flow (dam-break
+    free-fall impact) demands a smaller dt than a quiescent one."""
+    from tpgsd.sph import make_adaptive_step_fn, still_box
+
+    db = dam_break(n_side=8)
+    step = jax.jit(make_adaptive_step_fn(db.grid, db.params, cfl=0.25))
+    s = SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v))
+    dt = jnp.float32(db.params.dt)
+    for _ in range(5):
+        s, _aux, dt = step(s, dt)
+        assert 0.0 < float(dt) <= db.params.dt + 1e-12
+
+    # quiescent: near-zero velocities; the ceiling binds
+    sb = still_box(n_side=6)
+    step_q = jax.jit(
+        make_adaptive_step_fn(sb.grid, sb.params, cfl=0.25)
+    )
+    sq = SPHState(x=jnp.asarray(sb.state.x), v=jnp.asarray(sb.state.v))
+    _snew, _aux, dt_q = step_q(sq, jnp.float32(sb.params.dt))
+    # the still box's configured dt is already conservative; the
+    # controller must not demand an order-of-magnitude cut there
+    assert float(dt_q) > 0.1 * sb.params.dt
+
+    # dt_min floor is respected
+    step_floor = jax.jit(
+        make_adaptive_step_fn(
+            db.grid, db.params, cfl=1e-6, dt_min=db.params.dt * 0.5
+        )
+    )
+    _s, _aux, dt_f = step_floor(s, dt)
+    assert float(dt_f) == pytest.approx(db.params.dt * 0.5)
+
+
+def test_run_adaptive_scan_rollout():
+    """lax.scan rollout: total time equals the sum of the dts taken
+    (verified against an eager replay), state stays finite."""
+    from tpgsd.sph import make_adaptive_step_fn, run_adaptive
+
+    db = dam_break(n_side=6)
+    state = SPHState(x=jnp.asarray(db.state.x), v=jnp.asarray(db.state.v))
+    step = make_adaptive_step_fn(db.grid, db.params, cfl=0.3)
+
+    n_steps = 5
+    s_scan, dt_scan, t_scan = jax.jit(
+        lambda s: run_adaptive(step, s, db.params.dt, n_steps)
+    )(state)
+
+    # eager replay
+    s_e = state
+    dt_e = jnp.float32(db.params.dt)
+    t_e = 0.0
+    jstep = jax.jit(step)
+    for _ in range(n_steps):
+        t_e += float(dt_e)
+        s_e, _aux, dt_e = jstep(s_e, dt_e)
+
+    assert numpy.isfinite(numpy.asarray(s_scan.x)).all()
+    numpy.testing.assert_allclose(float(t_scan), t_e, rtol=1e-6)
+    numpy.testing.assert_allclose(float(dt_scan), float(dt_e), rtol=1e-6)
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_scan.x), numpy.asarray(s_e.x), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_adaptive_with_fixed_boundary_particles():
+    """n_fixed composes: boundary slots never move under the adaptive
+    step and their (nonzero) accelerations do not drive the controller
+    when they are the extreme ones."""
+    from tpgsd.sph import make_adaptive_step_fn
+    from tpgsd.sph.scenarios import hydrostatic_tank
+
+    sc = hydrostatic_tank(n_side=6)
+    step = jax.jit(
+        make_adaptive_step_fn(
+            sc.grid, sc.params, n_fixed=sc.n_fixed, cfl=0.25
+        )
+    )
+    s = SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v))
+    dt = jnp.float32(sc.params.dt)
+    for _ in range(3):
+        s, _aux, dt = step(s, dt)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(s.x)[: sc.n_fixed],
+        numpy.asarray(sc.state.x)[: sc.n_fixed],
+    )
+    assert float(dt) > 0.0

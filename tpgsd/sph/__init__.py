@@ -31,7 +31,9 @@ from .step import (  # noqa: F401
     SPHState,
     density_and_pressure,
     energy_rate,
+    make_adaptive_step_fn,
     make_step_fn,
+    run_adaptive,
 )
 from .dam_break import dam_break  # noqa: F401
 from .scenarios import (  # noqa: F401

@@ -412,6 +412,7 @@ def make_step_fn(
     density_renorm=False,
     xsph=0.0,
     spill=False,
+    _traced_dt=False,
 ):
     """Build the jittable SPH step.
 
@@ -503,16 +504,19 @@ def make_step_fn(
     if use_pallas:
         from . import pallas_ops
 
-    def _finish(x, v, out, overflow):
+    def _finish(x, v, out, overflow, dt):
         """Shared integrate/boundary tail: ``out`` is the per-particle
-        gathered bundle [acc3 | rho | p | (xsph dv3)]."""
+        gathered bundle [acc3 | rho | p | (xsph dv3)].  ``dt`` is the
+        trace-time constant ``params.dt`` on the fixed-step path or a
+        traced scalar on the adaptive path (same compiled code either
+        way; the constant just folds)."""
         acc = out[..., :3] + gravity
 
         # symplectic Euler: kick then drift (XSPH smooths the DRIFT
         # velocity only - the kick is untouched)
-        v_new = (v + params.dt * acc) * params.velocity_damping
+        v_new = (v + dt * acc) * params.velocity_damping
         v_drift = v_new + xsph * out[..., 5:8] if xsph > 0 else v_new
-        x_new = x + params.dt * v_drift
+        x_new = x + dt * v_drift
 
         # boundaries: reflective walls with damping, except modular
         # wrap on periodic axes (static per-axis selection)
@@ -539,6 +543,17 @@ def make_step_fn(
 
         rho = out[..., 3]
         p = out[..., 4]
+        if _traced_dt:
+            # max squared acceleration of the MOBILE particles - the
+            # input to the CFL force condition (fixed boundary slots
+            # carry nonzero acc but never move, so they cannot limit
+            # stability; their influence shows up in their neighbors'
+            # acc already)
+            a2 = jnp.sum(acc * acc, axis=-1)
+            if n_fixed > 0:
+                a2 = a2[n_fixed:]
+            a2max = jnp.max(a2)
+            return SPHState(x=x_new, v=v_new), (rho, p, overflow), a2max
         return SPHState(x=x_new, v=v_new), (rho, p, overflow)
 
     if spill:
@@ -559,7 +574,7 @@ def make_step_fn(
             )
         k = grid.capacity
 
-        def step_spill(state):
+        def step_spill(state, dt=params.dt):
             x, v = state.x, state.v
             cells, sp = build_cells_spill(x, grid, k)
             xv = jnp.concatenate([x, v], axis=-1)
@@ -613,11 +628,11 @@ def make_step_fn(
             out = gather_from_cells(
                 jnp.concatenate([bundle, sent]), cells, grid, capacity=2 * k
             )
-            return _finish(x, v, out, cells.overflow)
+            return _finish(x, v, out, cells.overflow, dt)
 
         return step_spill
 
-    def step(state):
+    def step(state, dt=params.dt):
         x, v = state.x, state.v
         cells = build_cells(x, grid)
         # one fused layout gather for x AND v (gathers are the layout
@@ -699,6 +714,110 @@ def make_step_fn(
             )
         bundle = jnp.concatenate(cols, axis=-1)
         out = gather_from_cells(bundle, cells, grid)
-        return _finish(x, v, out, cells.overflow)
+        return _finish(x, v, out, cells.overflow, dt)
 
     return step
+
+
+def make_adaptive_step_fn(
+    grid,
+    params,
+    cfl=0.25,
+    dt_min=0.0,
+    dt_max=None,
+    **kwargs,
+):
+    """Build a CFL-adaptive variant of the SPH step.
+
+    WCSPH runs at a fixed artificial sound speed, so the stable time
+    step varies with the flow: quiescent phases tolerate the acoustic
+    Courant limit, violent phases (impacts, wave breaking) demand the
+    force condition.  The standard controller (Monaghan 1992; the same
+    scheme production SPH codes like DualSPHysics ship) picks, each
+    step::
+
+        dt_f  = sqrt(h / max_i |a_i|)          # force condition
+        dt_cv = h / (c0 + max_i |v_i|)         # Courant + advection
+        dt    = clip(cfl * min(dt_f, dt_cv), dt_min, dt_max)
+
+    The step is built once and jitted once; ``dt`` flows through the
+    trace as a scalar operand, so adapting it never recompiles (this is
+    the TPU-native shape of "variable dt": data-dependent VALUES are
+    free under jit, data-dependent SHAPES are not).  The returned
+    ``dt_next`` is computed from the post-step state, giving the usual
+    one-step lag - cover it with the safety factor ``cfl``.
+
+    The reference has no stepper (its frames come from an external host
+    simulation, pgsd/scripts/benchmark-write.cc:86-130); this belongs
+    to the SPH producer that the TPU build adds on top.
+
+    Args:
+        grid / params: as :func:`make_step_fn`.  ``params.dt`` seeds
+            the rollout and (by default) caps ``dt_next``.
+        cfl: safety factor on the CFL minimum (0.25 is conservative;
+            DualSPHysics defaults to 0.2).
+        dt_min: floor on ``dt_next`` (0 = none).  A floor larger than
+            the true stability limit trades accuracy for progress -
+            leave at 0 unless a known-pathological transient (e.g. the
+            initial lattice relaxation) needs bounding.
+        dt_max: ceiling on ``dt_next`` (default ``params.dt``) - keeps
+            quiescent phases from over-stretching the acoustic limit.
+        **kwargs: forwarded to :func:`make_step_fn` (``use_pallas``,
+            ``periodic``, ``n_fixed``, ``xsph``, ...).
+
+    Returns:
+        ``step(state, dt) -> (state, (rho, p, overflow), dt_next)``.
+        Jit it directly or roll it out with :func:`run_adaptive`.
+    """
+    base = make_step_fn(grid, params, _traced_dt=True, **kwargs)
+    h = float(params.h)
+    c0 = float(params.c0)
+    if dt_max is None:
+        dt_max = float(params.dt)
+
+    def step(state, dt):
+        new_state, aux, a2max = base(state, dt)
+        amax = jnp.sqrt(jnp.maximum(a2max, 1e-30))
+        v2max = jnp.max(jnp.sum(new_state.v * new_state.v, axis=-1))
+        vmax = jnp.sqrt(jnp.maximum(v2max, 1e-30))
+        dt_f = jnp.sqrt(h / amax)
+        dt_cv = h / (c0 + vmax)
+        dt_next = jnp.clip(
+            cfl * jnp.minimum(dt_f, dt_cv), dt_min, dt_max
+        ).astype(jnp.float32)
+        return new_state, aux, dt_next
+
+    return step
+
+
+def run_adaptive(step_fn, state, dt0, n_steps):
+    """Roll an adaptive step out for ``n_steps`` under ``lax.scan``.
+
+    The carry is ``(state, dt, t)``; step ``i`` advances by the carry's
+    ``dt`` and the controller's ``dt_next`` becomes step ``i+1``'s.
+    Fixed trip count + traced dt = one compile, any trajectory.
+
+    Args:
+        step_fn: from :func:`make_adaptive_step_fn`.
+        state: initial :class:`SPHState`.
+        dt0: first step's dt (e.g. ``params.dt``).
+        n_steps: static trip count.
+
+    Returns:
+        ``(state, dt_next, t)`` - final state, the controller's next
+        dt, and total simulated time (the sum of the dts actually
+        taken, a traced scalar).
+    """
+
+    def body(carry, _):
+        s, dt, t = carry
+        s, _aux, dt_next = step_fn(s, dt)
+        return (s, dt_next, t + dt), None
+
+    (state, dt, t), _ = jax.lax.scan(
+        body,
+        (state, jnp.float32(dt0), jnp.float32(0.0)),
+        None,
+        length=int(n_steps),
+    )
+    return state, dt, t
