@@ -560,3 +560,117 @@ def test_periodic_yz_wrap_commits_to_state():
     # 12 steps x dt 0.05 x v 1.0 = 0.6 of travel from y=0.95 -> wraps
     # past 1.0; stored y must be inside the box
     assert (ys >= 0.0).all() and (ys <= 1.0).all(), ys
+
+
+def test_adaptive_distributed_matches_fixed_at_same_dt():
+    """The adaptive distributed step advanced with dt == params.dt must
+    reproduce the fixed distributed step exactly - dt is a traced
+    operand of the SAME compiled slab physics."""
+    from tpgsd.sph.distributed import make_adaptive_distributed_step_fn
+
+    state, grid, params = _divisible_setup()
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    dist_f, cap = distribute_state(state, grid, mesh)
+    dist_a = dist_f
+    step_f = make_distributed_step_fn(grid, params, mesh, capacity=cap)
+    step_a = make_adaptive_distributed_step_fn(
+        grid, params, mesh, capacity=cap
+    )
+
+    dt = jnp.float32(params.dt)
+    for _ in range(3):
+        dist_f, aux_f = step_f(dist_f)
+        dist_a, aux_a, _dt_next = step_a(dist_a, dt)
+
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.x), numpy.asarray(dist_f.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.v), numpy.asarray(dist_f.v)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.pid), numpy.asarray(dist_f.pid)
+    )
+    x_a, _ = collect_state(dist_a, n)
+    assert numpy.isfinite(x_a).all()
+
+
+def test_adaptive_distributed_controller_matches_single_device():
+    """The globally-reduced controller must produce (nearly) the same
+    dt_next as the single-device adaptive step on the same problem -
+    the max-|acc| / max-|v| reductions see identical physics, just
+    sharded."""
+    from tpgsd.sph import make_adaptive_step_fn
+    from tpgsd.sph.distributed import make_adaptive_distributed_step_fn
+
+    state, grid, params = _divisible_setup()
+    mesh = make_mesh()
+
+    step_1 = jax.jit(make_adaptive_step_fn(grid, params, cfl=0.3))
+    s1, _, dt1 = step_1(state, jnp.float32(params.dt))
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_adaptive_distributed_step_fn(
+        grid, params, mesh, capacity=cap, cfl=0.3
+    )
+    _dist, _aux, dtd = step_d(dist, jnp.float32(params.dt))
+
+    numpy.testing.assert_allclose(float(dtd), float(dt1), rtol=1e-4)
+
+
+def test_adaptive_distributed_rollout_with_migration():
+    """run_adaptive composes with DistState (a pytree): a scan rollout
+    long enough for slab crossings stays finite, conserves particle
+    identity, and keeps dt within bounds."""
+    from tpgsd.sph import run_adaptive
+    from tpgsd.sph.distributed import make_adaptive_distributed_step_fn
+
+    state, grid, params = _divisible_setup()
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step = make_adaptive_distributed_step_fn(
+        grid, params, mesh, capacity=cap, cfl=0.3
+    )
+    dist, dt, t = jax.jit(
+        lambda d: run_adaptive(step, d, params.dt, 12)
+    )(dist)
+
+    assert 0.0 < float(dt) <= float(jnp.float32(params.dt))
+    assert float(t) > 0.0
+    pid = numpy.asarray(dist.pid)
+    alive = pid[pid >= 0]
+    assert len(alive) == n and len(set(alive.tolist())) == n
+    x_d, _ = collect_state(dist, n)
+    assert numpy.isfinite(x_d).all()
+
+
+def test_adaptive_distributed_y_decomposition():
+    """decomp_axis=1 threads the traced dt through the axis-swap
+    wrapper; controller output matches the x decomposition."""
+    from tpgsd.sph.distributed import make_adaptive_distributed_step_fn
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    # wide-y domain, same construction as test_y_decomposition_matches_x
+    db = dam_break(n_side=8, box=(0.5, 4.0, 0.5), fill=(1.0, 0.4, 1.0))
+    grid = db.grid
+    if grid.dims[1] % n_dev != 0:
+        pytest.skip("grid ny not divisible by the mesh")
+    state = db.state
+
+    dist, cap = distribute_state(state, grid, mesh, decomp_axis=1)
+    step = make_adaptive_distributed_step_fn(
+        grid, db.params, mesh, capacity=cap, decomp_axis=1, cfl=0.3
+    )
+    dt = jnp.float32(db.params.dt)
+    for _ in range(3):
+        dist, aux, dt = step(dist, dt)
+    assert 0.0 < float(dt) <= float(jnp.float32(db.params.dt))
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    x_d, _ = collect_state(dist, state.x.shape[0])
+    assert numpy.isfinite(x_d).all()

@@ -482,7 +482,7 @@ def test_adaptive_dt_controller_bounds_and_response():
     dt = jnp.float32(db.params.dt)
     for _ in range(5):
         s, _aux, dt = step(s, dt)
-        assert 0.0 < float(dt) <= db.params.dt + 1e-12
+        assert 0.0 < float(dt) <= float(jnp.float32(db.params.dt))
 
     # quiescent: near-zero velocities; the ceiling binds
     sb = still_box(n_side=6)

@@ -51,6 +51,7 @@ from .distributed import (  # noqa: F401
     DistState,
     collect_state,
     distribute_state,
+    make_adaptive_distributed_step_fn,
     make_distributed_step_fn,
 )
 from .distributed2d import (  # noqa: F401

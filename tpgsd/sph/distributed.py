@@ -207,6 +207,7 @@ def make_distributed_step_fn(
     compute_energy=False,
     decomp_axis=0,
     xsph=0.0,
+    _traced_dt=False,
 ):
     """Build the slab-decomposed distributed step.
 
@@ -250,7 +251,11 @@ def make_distributed_step_fn(
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
-        axis-0 shardings on every array.
+        axis-0 shardings on every array.  (With the private
+        ``_traced_dt=True``, instead returns the UNJITTED
+        ``step(state, dt) -> (DistState, DistAux, a2max[S])`` plus the
+        axis-0 sharding, for :func:`make_adaptive_distributed_step_fn`
+        to compose the CFL controller around before jitting.)
     """
     if decomp_axis == 1:
         inner = make_distributed_step_fn(
@@ -271,7 +276,29 @@ def make_distributed_step_fn(
             compute_energy=compute_energy,
             decomp_axis=0,
             xsph=xsph,
+            _traced_dt=_traced_dt,
         )
+        if _traced_dt:
+            inner_step, sh = inner
+
+            def step_dt(state, dt):
+                # |acc| is invariant under the 0<->1 column swap, so the
+                # controller input passes straight through
+                t = DistState(
+                    x=state.x[:, _PERM01],
+                    v=state.v[:, _PERM01],
+                    pid=state.pid,
+                )
+                new, aux, a2 = inner_step(t, dt)
+                return (
+                    DistState(
+                        x=new.x[:, _PERM01], v=new.v[:, _PERM01], pid=new.pid
+                    ),
+                    aux,
+                    a2,
+                )
+
+            return step_dt, sh
 
         def step(state):
             t = DistState(
@@ -348,8 +375,10 @@ def make_distributed_step_fn(
         send_right = [(i, i + 1) for i in range(n_dev - 1)]
         send_left = [(i + 1, i) for i in range(n_dev - 1)]
 
-    def local_step(x, v, pid):
-        # x/v/pid are this device's [cap] slot arrays
+    def local_step(x, v, pid, dt):
+        # x/v/pid are this device's [cap] slot arrays; dt is the
+        # trace-time constant params.dt on the fixed path or a traced
+        # replicated scalar on the adaptive path
         d = jax.lax.axis_index(axis_name)
         alive = pid >= 0
         lo_local = lo_g + jnp.asarray([d * nxl * cell, 0.0, 0.0], jnp.float32)
@@ -486,9 +515,9 @@ def make_distributed_step_fn(
 
         # integrate (dead slots don't move); XSPH smooths the DRIFT
         # velocity only
-        v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
+        v_new = jnp.where(alive[:, None], v + dt * acc, v)
         v_drift = v_new + xsph * dvc if dvc is not None else v_new
-        x_new = jnp.where(alive[:, None], x + params.dt * v_drift, x)
+        x_new = jnp.where(alive[:, None], x + dt * v_drift, x)
 
         # global walls: reflective, except wrapped axes of a periodic
         # box (the x wrap is deferred past migration detection - a
@@ -582,7 +611,7 @@ def make_distributed_step_fn(
         pid_out = merged[:, 6].astype(jnp.int32)
 
         mig_ovf = ovf_r + ovf_l + lost
-        return (
+        outs = (
             x_out,
             v_out,
             pid_out,
@@ -592,25 +621,57 @@ def make_distributed_step_fn(
             mig_ovf[None],
             dudt,
         )
+        if _traced_dt:
+            # max squared acceleration of the MOBILE particles on this
+            # slab - the CFL force-condition input.  Dead slots and
+            # fixed boundary slots never move, so they cannot limit
+            # stability (their influence is already in their mobile
+            # neighbors' acc).  Per-slab [1] outputs; the controller
+            # takes the global max outside the shard_map.
+            mobile = alive & (pid >= n_fixed) if n_fixed > 0 else alive
+            a2 = jnp.where(mobile, jnp.sum(acc * acc, axis=-1), 0.0)
+            outs = outs + (jnp.max(a2)[None],)
+        return outs
 
     sh = NamedSharding(mesh, P(axis_name))
     spec = P(axis_name)
 
+    n_out = 9 if _traced_dt else 8
+    fn = local_step if _traced_dt else (
+        lambda x, v, pid: local_step(x, v, pid, params.dt)
+    )
     sm_kwargs = dict(
         mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=(spec, spec, spec, spec, spec, spec, spec, spec),
+        in_specs=(spec, spec, spec) + ((P(),) if _traced_dt else ()),
+        out_specs=(spec,) * n_out,
     )
     if use_pallas:
         # pallas_call outputs carry no varying-mesh-axes annotation;
         # disable the replication checker for the kernel-backed variant
         # (parameter name differs across jax versions)
         try:
-            mapped = shard_map(local_step, check_vma=False, **sm_kwargs)
+            mapped = shard_map(fn, check_vma=False, **sm_kwargs)
         except TypeError:
-            mapped = shard_map(local_step, check_rep=False, **sm_kwargs)
+            mapped = shard_map(fn, check_rep=False, **sm_kwargs)
     else:
-        mapped = shard_map(local_step, **sm_kwargs)
+        mapped = shard_map(fn, **sm_kwargs)
+
+    if _traced_dt:
+
+        def step_dt(state, dt):
+            x, v, pid, rho, p, covf, movf, dudt, a2 = mapped(
+                state.x, state.v, state.pid, jnp.float32(dt)
+            )
+            return (
+                DistState(x=x, v=v, pid=pid),
+                DistAux(
+                    rho=rho, p=p, cell_overflow=covf,
+                    migrate_overflow=movf, dudt=dudt,
+                ),
+                a2,
+            )
+
+        return step_dt, sh
 
     @partial(
         jax.jit,
@@ -633,6 +694,77 @@ def make_distributed_step_fn(
                 dudt=dudt,
             ),
         )
+
+    return step
+
+
+def make_adaptive_distributed_step_fn(
+    grid,
+    params,
+    mesh,
+    cfl=0.25,
+    dt_min=0.0,
+    dt_max=None,
+    axis_name="shard",
+    **kwargs,
+):
+    """CFL-adaptive variant of the distributed slab step.
+
+    Same controller as the single-device
+    :func:`tpgsd.sph.make_adaptive_step_fn` (Monaghan force +
+    Courant/advection conditions), computed GLOBALLY: each slab
+    reports its mobile particles' max |acc|^2 out of the shard_map,
+    the controller maxes over slabs and over the (sharded) velocity
+    field - XLA inserts the cross-device reductions - and every device
+    steps with the same replicated dt.  dt is a traced scalar operand,
+    so adapting it never recompiles or re-shards.
+
+    Args:
+        grid / params / mesh: as :func:`make_distributed_step_fn`.
+        cfl / dt_min / dt_max: as the single-device adaptive builder
+            (``dt_max`` defaults to ``params.dt``).
+        **kwargs: forwarded to :func:`make_distributed_step_fn`
+            (``capacity``, ``use_pallas``, ``periodic``, ``n_fixed``,
+            ``decomp_axis``, ...).
+
+    Returns:
+        jitted ``step(state: DistState, dt) ->
+        (DistState, DistAux, dt_next)``.  Roll out with
+        :func:`tpgsd.sph.run_adaptive` (DistState is a pytree).
+    """
+    base, sh = make_distributed_step_fn(
+        grid, params, mesh, axis_name=axis_name, _traced_dt=True, **kwargs
+    )
+    h = float(params.h)
+    c0 = float(params.c0)
+    if dt_max is None:
+        dt_max = float(params.dt)
+
+    @partial(
+        jax.jit,
+        in_shardings=(DistState(x=sh, v=sh, pid=sh), None),
+        out_shardings=(
+            DistState(x=sh, v=sh, pid=sh),
+            DistAux(
+                rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
+            ),
+            None,
+        ),
+    )
+    def step(state, dt):
+        new_state, aux, a2 = base(state, dt)
+        # global reductions over the sharded per-slab maxima and the
+        # sharded velocity slots (dead/fixed slots carry v == 0)
+        a2max = jnp.max(a2)
+        amax = jnp.sqrt(jnp.maximum(a2max, 1e-30))
+        v2max = jnp.max(jnp.sum(new_state.v * new_state.v, axis=-1))
+        vmax = jnp.sqrt(jnp.maximum(v2max, 1e-30))
+        dt_f = jnp.sqrt(h / amax)
+        dt_cv = h / (c0 + vmax)
+        dt_next = jnp.clip(
+            cfl * jnp.minimum(dt_f, dt_cv), dt_min, dt_max
+        ).astype(jnp.float32)
+        return new_state, aux, dt_next
 
     return step
 
