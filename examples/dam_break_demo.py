@@ -39,6 +39,12 @@ def main(argv=None):
     p.add_argument("--sharded", action="store_true",
                    help="shard the particle axis over all devices")
     p.add_argument("--vtu", action="store_true", help="convert to .vtu after")
+    p.add_argument("--adaptive", action="store_true",
+                   help="CFL-adaptive dt (Monaghan force/Courant "
+                        "controller; dt flows as a traced scalar, so "
+                        "no recompiles)")
+    p.add_argument("--cfl", type=float, default=0.25,
+                   help="safety factor for --adaptive (default 0.25)")
     p.add_argument("--xsph", type=float, default=0.0,
                    help="XSPH drift-smoothing strength (e.g. 0.5)")
     p.add_argument("--density-renorm", action="store_true",
@@ -67,6 +73,7 @@ def main(argv=None):
         dam_break,
         dam_break_2d,
         hydrostatic_tank,
+        make_adaptive_step_fn,
         make_step_fn,
         taylor_green,
     )
@@ -122,17 +129,26 @@ def main(argv=None):
         x = jnp.pad(state.x, ((0, pad), (0, 0)))
         x = x.at[db.n:].set(jnp.asarray(box3, jnp.float32) * 0.999)
         v = jnp.pad(state.v, ((0, pad), (0, 0)))
-        step = jax.jit(
-            make_step_fn(
-                db.grid, db.params, n_fixed=n_fixed, xsph=args.xsph,
-                density_renorm=args.density_renorm,
-            ),
-            in_shardings=(SPHState(x=sharding, v=sharding),),
-            out_shardings=(
-                SPHState(x=sharding, v=sharding),
-                (sharding, sharding, None),
-            ),
-        )
+        state_sh = SPHState(x=sharding, v=sharding)
+        aux_sh = (sharding, sharding, None)
+        if args.adaptive:
+            step = jax.jit(
+                make_adaptive_step_fn(
+                    db.grid, db.params, cfl=args.cfl, n_fixed=n_fixed,
+                    xsph=args.xsph, density_renorm=args.density_renorm,
+                ),
+                in_shardings=(state_sh, None),
+                out_shardings=(state_sh, aux_sh, None),
+            )
+        else:
+            step = jax.jit(
+                make_step_fn(
+                    db.grid, db.params, n_fixed=n_fixed, xsph=args.xsph,
+                    density_renorm=args.density_renorm,
+                ),
+                in_shardings=(state_sh,),
+                out_shardings=(state_sh, aux_sh),
+            )
         state = SPHState(
             x=jax.device_put(x, sharding), v=jax.device_put(v, sharding)
         )
@@ -140,13 +156,15 @@ def main(argv=None):
     else:
         if args.spill and args.xsph > 0:
             raise SystemExit("--spill does not compose with --xsph yet")
-        step = jax.jit(
-            make_step_fn(
-                db.grid, db.params, n_fixed=n_fixed, periodic=periodic,
-                xsph=args.xsph, density_renorm=args.density_renorm,
-                spill=args.spill, use_pallas=True if args.spill else "auto",
-            )
+        build = make_adaptive_step_fn if args.adaptive else make_step_fn
+        kw = dict(
+            n_fixed=n_fixed, periodic=periodic,
+            xsph=args.xsph, density_renorm=args.density_renorm,
+            spill=args.spill, use_pallas=True if args.spill else "auto",
         )
+        if args.adaptive:
+            kw["cfl"] = args.cfl
+        step = jax.jit(build(db.grid, db.params, **kw))
 
     writer = ShardedFrameWriter(
         args.out,
@@ -157,9 +175,15 @@ def main(argv=None):
             "particles/N": numpy.array([db.n], numpy.uint32),
         },
     )
+    dt = jnp.float32(db.params.dt)
+    t_sim = jnp.float32(0.0)  # device-side accumulator: no per-step sync
     with AsyncDumpRunner(writer) as dump:
         for i in range(args.steps):
-            state, (rho, pres, overflow) = step(state)
+            if args.adaptive:
+                t_sim = t_sim + dt
+                state, (rho, pres, overflow), dt = step(state, dt)
+            else:
+                state, (rho, pres, overflow) = step(state)
             if i % args.every == 0:
                 dump.submit(
                     {
@@ -174,6 +198,14 @@ def main(argv=None):
                     step=i,
                 )
         dump.flush()
+
+    if args.adaptive:
+        print(
+            "adaptive dt: simulated %.4f s in %d steps (fixed dt would "
+            "cover %.4f s); final dt %.2e (seed %.2e)"
+            % (float(t_sim), args.steps, args.steps * db.params.dt,
+               float(dt), db.params.dt)
+        )
 
     s = dump.stats
     print(
