@@ -140,6 +140,69 @@ KILL_WORKER = _PREAMBLE + textwrap.dedent(
     """
 )
 
+# Distributed SPH slab step across REAL OS processes: the mesh spans
+# one CPU device per process, so every ppermute halo/migration hop and
+# the distribute_state device_put cross a process boundary (Gloo) --
+# the local stand-in for a multi-host TPU pod running the stepper.
+# The in-process 8-device tests (test_distributed.py) prove the math;
+# this proves the cross-process plumbing end to end.
+SPH_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    import numpy.testing
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from tpgsd.parallel import make_mesh
+    from tpgsd.sph import SPHState, dam_break, make_step_fn
+    from tpgsd.sph.cells import CellGrid
+    from tpgsd.sph.distributed import distribute_state, make_distributed_step_fn
+
+    db = dam_break(n_side=8, box=(4.0, 0.5, 0.5), fill=(0.4, 1.0, 1.0))
+    grid, state = db.grid, db.state
+    nx = grid.dims[0]
+    if nx % nprocs != 0:  # shrink the box in x to land on a multiple
+        nxp = (nx // nprocs) * nprocs
+        keep = numpy.asarray(state.x)[:, 0] < nxp * grid.cell_size * 0.95
+        x = numpy.asarray(state.x)[keep]
+        grid = CellGrid(lo=grid.lo, cell_size=grid.cell_size,
+                        dims=(nxp, grid.dims[1], grid.dims[2]),
+                        capacity=grid.capacity)
+        state = SPHState(x=jnp.asarray(x), v=jnp.zeros_like(jnp.asarray(x)))
+    n = state.x.shape[0]
+
+    # serial reference, replicated on every process's own device
+    step_ref = jax.jit(make_step_fn(grid, db.params))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _aux = step_ref(s_ref)
+
+    mesh = make_mesh()  # spans all processes: one device each
+    assert mesh.devices.size == nprocs
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(grid, db.params, mesh, capacity=cap)
+    for _ in range(3):
+        dist, aux = step_d(dist)
+
+    # global arrays are not fully addressable here; gather to host
+    movf = multihost_utils.process_allgather(aux.migrate_overflow, tiled=True)
+    covf = multihost_utils.process_allgather(aux.cell_overflow, tiled=True)
+    assert movf.sum() == 0 and covf.sum() == 0
+    xg = multihost_utils.process_allgather(dist.x, tiled=True)
+    vg = multihost_utils.process_allgather(dist.v, tiled=True)
+    pidg = multihost_utils.process_allgather(dist.pid, tiled=True)
+    alive = pidg >= 0
+    assert alive.sum() == n and len(set(pidg[alive].tolist())) == n
+    out_x = numpy.zeros((n, 3), numpy.float32)
+    out_v = numpy.zeros((n, 3), numpy.float32)
+    out_x[pidg[alive]] = xg[alive]
+    out_v[pidg[alive]] = vg[alive]
+    numpy.testing.assert_allclose(
+        out_x, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5)
+    numpy.testing.assert_allclose(
+        out_v, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3)
+    print("proc", pid, "OK")
+    """
+)
+
 
 def _free_port():
     s = socket.socket()
@@ -235,3 +298,17 @@ def test_kill_controller_mid_frame(tmp_path):
     with open(fname, "rb") as fobj:
         report = tpgsd.pypgsd.verify(fobj, deep=True)
     assert report["ok"], report["errors"]
+
+
+@pytest.mark.parametrize("nprocs", [2])
+def test_distributed_sph_multiprocess(tmp_path, nprocs):
+    """Slab-decomposed SPH step over a mesh spanning real OS processes.
+
+    Every halo ppermute and particle migration crosses a process
+    boundary; the collected 3-step trajectory must match the serial
+    single-device step at the in-process parity tolerances."""
+    fname = str(tmp_path / "unused.gsd")
+    procs, outputs = _launch(tmp_path, SPH_WORKER, nprocs, fname)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+        assert "OK" in out
