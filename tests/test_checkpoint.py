@@ -196,3 +196,80 @@ def test_resume_empty_trajectory_raises(tmp_path):
     ShardedFrameWriter(path).close()
     with pytest.raises(ValueError, match="empty"):
         resume(path)
+
+
+def test_resume_distributed2d_continues(tmp_path):
+    """2-D block resume: ownership re-derived from positions onto a
+    (px, py) mesh, including from a file written by a 1-D slab run -
+    the file records global state only."""
+    import jax.numpy as jnp
+
+    from tpgsd.parallel import make_mesh, make_mesh2d
+    from tpgsd.sph import SPHParams, resume_distributed2d
+    from tpgsd.sph.cells import make_grid
+    from tpgsd.sph.distributed import (
+        collect_state,
+        distribute_state,
+        make_distributed_step_fn,
+    )
+    from tpgsd.sph.distributed2d import make_distributed2d_step_fn
+
+    mesh1 = make_mesh()
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), 0.5, capacity=16)
+    assert grid.dims[0] % mesh1.devices.size == 0
+    params = SPHParams(mass=1.0, h=0.25, dt=0.05, gravity=(0.0, 0.0, 0.0))
+
+    # separated particles (> 2h): zero pair forces, exactly linear
+    # drift; spread over both y halves so every 2-D block owns some
+    rng = numpy.random.RandomState(3)
+    i = numpy.arange(24)
+    pts = numpy.stack(
+        [
+            0.3 + (i % 12) * 0.62,
+            0.2 + (i // 12) * 0.6,
+            numpy.full(24, 0.5),
+        ],
+        axis=1,
+    ).astype(numpy.float32)
+    vel = rng.randn(24, 3).astype(numpy.float32) * 0.05
+    state = SPHState(x=jnp.asarray(pts), v=jnp.asarray(vel))
+
+    # write 2 frames from a 1-D slab run
+    dist, cap = distribute_state(state, grid, mesh1)
+    dstep = make_distributed_step_fn(grid, params, mesh1, capacity=cap)
+    path = tmp_path / "resume2d.gsd"
+    writer = ShardedFrameWriter(path)
+    for s in range(2):
+        dist, _aux = dstep(dist)
+        x_h, v_h = collect_state(dist, 24)
+        writer.write_frame(
+            {"particles/position": x_h, "particles/velocity": v_h}, step=s
+        )
+    writer.close()
+    x1, v1 = collect_state(dist, 24)
+
+    # resume onto a (2, 2) block mesh and verify state parity
+    mesh2d = make_mesh2d(shape=(2, 2))
+    assert grid.dims[0] % 2 == 0 and grid.dims[1] % 2 == 0
+    dist2, cap2, last_step, writer2 = resume_distributed2d(
+        path, grid, mesh2d
+    )
+    assert last_step == 1
+    x2, v2 = collect_state(dist2, 24)
+    numpy.testing.assert_allclose(x2, x1, rtol=1e-6)
+    numpy.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-7)
+
+    # continue a step on the 2-D mesh; free particles drift linearly,
+    # so the 1-D and 2-D continuations agree
+    step2d = make_distributed2d_step_fn(grid, params, mesh2d, capacity=cap2)
+    dist2, aux2 = step2d(dist2)
+    assert int(jnp.sum(aux2.migrate_overflow)) == 0
+    dist, _ = dstep(dist)
+    xa, _ = collect_state(dist, 24)
+    xb, _ = collect_state(dist2, 24)
+    numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
+
+    writer2.write_frame({"particles/position": xb}, step=2)
+    writer2.close()
+    with tpgsd.hoomd.open(path, mode="r") as traj:
+        assert len(traj) == 3

@@ -328,3 +328,84 @@ def test_2d_periodic_pallas_matches_jnp():
     x_p, v_p = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
+
+
+def test_2d_adaptive_matches_fixed_at_same_dt():
+    """The adaptive 2-D block step advanced with dt == params.dt must
+    reproduce the fixed 2-D step exactly - dt is a traced operand of
+    the SAME compiled block physics."""
+    from tpgsd.sph import make_adaptive_distributed2d_step_fn
+
+    state, grid, params = _cloud_setup(seed=11)
+    mesh = make_mesh2d(shape=(4, 2))
+
+    dist_f, cap = distribute_state_2d(state, grid, mesh)
+    dist_a = dist_f
+    step_f = make_distributed2d_step_fn(grid, params, mesh, capacity=cap)
+    step_a = make_adaptive_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap
+    )
+
+    dt = jnp.float32(params.dt)
+    for _ in range(3):
+        dist_f, _aux_f = step_f(dist_f)
+        dist_a, _aux_a, _dt_next = step_a(dist_a, dt)
+
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.x), numpy.asarray(dist_f.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.v), numpy.asarray(dist_f.v)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.pid), numpy.asarray(dist_f.pid)
+    )
+
+
+def test_2d_adaptive_controller_matches_single_device():
+    """The (px, py)-mesh-reduced controller must produce (nearly) the
+    same dt_next as the single-device adaptive step on the same
+    problem."""
+    from tpgsd.sph import (
+        make_adaptive_distributed2d_step_fn,
+        make_adaptive_step_fn,
+    )
+
+    state, grid, params = _cloud_setup(seed=12)
+    mesh = make_mesh2d(shape=(4, 2))
+
+    step_1 = jax.jit(make_adaptive_step_fn(grid, params, cfl=0.3))
+    _s1, _, dt1 = step_1(state, jnp.float32(params.dt))
+
+    dist, cap = distribute_state_2d(state, grid, mesh)
+    step_d = make_adaptive_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap, cfl=0.3
+    )
+    _dist, _aux, dtd = step_d(dist, jnp.float32(params.dt))
+
+    numpy.testing.assert_allclose(float(dtd), float(dt1), rtol=1e-4)
+
+
+def test_2d_adaptive_rollout():
+    """run_adaptive composes with the 2-D DistState pytree: the scan
+    rollout stays finite, conserves the particle census, and advances
+    simulated time by the sum of the dts actually taken."""
+    from tpgsd.sph import make_adaptive_distributed2d_step_fn, run_adaptive
+
+    state, grid, params = _cloud_setup(seed=13)
+    n = state.x.shape[0]
+    mesh = make_mesh2d(shape=(2, 2))
+
+    dist, cap = distribute_state_2d(state, grid, mesh)
+    step = make_adaptive_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap
+    )
+    out, dt_next, t = run_adaptive(step, dist, params.dt, 8)
+
+    assert float(t) > 0 and numpy.isfinite(float(t))
+    assert 0 < float(dt_next) <= params.dt
+    pid = numpy.asarray(out.pid)
+    alive = pid[pid >= 0]
+    assert len(alive) == n and len(set(alive.tolist())) == n
+    x, v = collect_state(out, n)
+    assert numpy.isfinite(x).all() and numpy.isfinite(v).all()

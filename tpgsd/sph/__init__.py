@@ -45,7 +45,11 @@ from .scenarios import (  # noqa: F401
     taylor_green,
 )
 from .bigstep import make_slab_step_fn  # noqa: F401
-from .checkpoint import resume, resume_distributed  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    resume,
+    resume_distributed,
+    resume_distributed2d,
+)
 from .distributed import (  # noqa: F401
     DistAux,
     DistState,
@@ -56,5 +60,6 @@ from .distributed import (  # noqa: F401
 )
 from .distributed2d import (  # noqa: F401
     distribute_state_2d,
+    make_adaptive_distributed2d_step_fn,
     make_distributed2d_step_fn,
 )

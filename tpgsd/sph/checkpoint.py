@@ -67,15 +67,17 @@ def resume_distributed(
     mesh,
     capacity=None,
     application="tpgsd.sph",
+    decomp_axis=0,
 ):
     """Resume the slab-decomposed distributed loop from a trajectory.
 
     Reads the last complete frame, re-partitions the particles into
-    x-slab ownership for ``mesh`` (the device count / slab layout may
+    slab ownership for ``mesh`` (the device count / slab layout may
     DIFFER from the run that wrote the file - ownership is re-derived
     from positions, the distributed analogue of the reference's
     "reopen with P ranks" append constraint, which this lifts), and
-    returns everything the loop needs to continue.
+    returns everything the loop needs to continue.  ``decomp_axis``
+    selects x- (0) or y-slabs (1), matching the step builder's.
 
     Returns:
         ``(dist_state, capacity, step, writer)``: a
@@ -98,6 +100,47 @@ def resume_distributed(
         else:
             step = last
     dist, cap = distribute_state(
+        SPHState(x=x, v=v), grid, mesh, capacity=capacity,
+        decomp_axis=decomp_axis,
+    )
+    writer = ShardedFrameWriter(name, mode="a", application=application)
+    return dist, cap, step, writer
+
+
+def resume_distributed2d(
+    name,
+    grid,
+    mesh,
+    capacity=None,
+    application="tpgsd.sph",
+):
+    """Resume the 2-D block-decomposed loop from a trajectory.
+
+    The ``(px, py)`` analogue of :func:`resume_distributed`: block
+    ownership is re-derived from the last frame's positions, so the
+    mesh shape may differ from the writing run's (including resuming a
+    1-D-slab-written file onto a 2-D mesh, or vice versa - the file
+    records global state only).
+
+    Returns:
+        ``(dist_state, capacity, step, writer)`` as
+        :func:`resume_distributed`, with the state sharded over both
+        mesh axes.
+    """
+    from .. import fl
+    from .distributed2d import distribute_state_2d
+
+    with fl.open(name, "r") as f:
+        if f.nframes == 0:
+            raise ValueError("cannot resume from an empty trajectory: " + str(name))
+        last = f.nframes - 1
+        x = numpy.asarray(f.read_chunk(last, "particles/position"))
+        v = numpy.asarray(f.read_chunk(last, "particles/velocity"))
+        if f.chunk_exists(last, "configuration/step"):
+            step = int(f.read_chunk(last, "configuration/step")[0])
+        else:
+            step = last
+    dist, cap = distribute_state_2d(
         SPHState(x=x, v=v), grid, mesh, capacity=capacity
     )
     writer = ShardedFrameWriter(name, mode="a", application=application)

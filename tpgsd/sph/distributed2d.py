@@ -131,6 +131,7 @@ def make_distributed2d_step_fn(
     periodic=False,
     compute_energy=False,
     xsph=0.0,
+    _traced_dt=False,
 ):
     """Build the 2-D block-decomposed distributed step.
 
@@ -156,7 +157,12 @@ def make_distributed2d_step_fn(
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
-        axis-0 shardings over both mesh axes.
+        axis-0 shardings over both mesh axes.  (With the private
+        ``_traced_dt=True``, instead returns the UNJITTED
+        ``step(state, dt) -> (DistState, DistAux, a2max[px*py])`` plus
+        the sharding, for :func:`make_adaptive_distributed2d_step_fn`
+        to compose the CFL controller around before jitting - the same
+        contract as the 1-D slab builder.)
     """
     if len(mesh.axis_names) != 2:
         raise ValueError(
@@ -264,8 +270,10 @@ def make_distributed2d_step_fn(
         merged, lost = _insert(pay_keep, alive_after, recv_vals, recv_valid)
         return merged, (ovf_f + ovf_b + lost).astype(jnp.int32)
 
-    def local_step(x, v, pid):
-        # x/v/pid are this device's [cap] slot arrays
+    def local_step(x, v, pid, dt):
+        # x/v/pid are this device's [cap] slot arrays; dt is the
+        # trace-time constant params.dt on the fixed path or a traced
+        # replicated scalar on the adaptive path
         i = jax.lax.axis_index(ax_x)
         j = jax.lax.axis_index(ax_y)
         alive = pid >= 0
@@ -401,9 +409,9 @@ def make_distributed2d_step_fn(
         dvc = out[..., ecol : ecol + 3] if xsph > 0 else None
 
         # integrate (dead slots don't move); XSPH smooths DRIFT velocity
-        v_new = jnp.where(alive[:, None], v + params.dt * acc, v)
+        v_new = jnp.where(alive[:, None], v + dt * acc, v)
         v_drift = v_new + xsph * dvc if dvc is not None else v_new
-        x_new = jnp.where(alive[:, None], x + params.dt * v_drift, x)
+        x_new = jnp.where(alive[:, None], x + dt * v_drift, x)
 
         # global walls: reflective except wrapped axes (x/y wraps are
         # deferred to the migration payloads - detection needs raw
@@ -450,26 +458,55 @@ def make_distributed2d_step_fn(
         v_out = merged2[:, 3:6]
         pid_out = merged2[:, 6].astype(jnp.int32)
         mig_ovf = ovf_x + ovf_y
-        return (
+        outs = (
             x_out, v_out, pid_out, rho, p, cell_ovf[None], mig_ovf[None],
             dudt,
         )
+        if _traced_dt:
+            # max squared acceleration of this block's MOBILE particles
+            # (the CFL force-condition input); per-block [1] outputs,
+            # the controller maxes globally outside the shard_map
+            mobile = alive & (pid >= n_fixed) if n_fixed > 0 else alive
+            a2 = jnp.where(mobile, jnp.sum(acc * acc, axis=-1), 0.0)
+            outs = outs + (jnp.max(a2)[None],)
+        return outs
 
     spec = P((ax_x, ax_y))
     sh = NamedSharding(mesh, spec)
 
+    n_out = 9 if _traced_dt else 8
+    fn = local_step if _traced_dt else (
+        lambda x, v, pid: local_step(x, v, pid, params.dt)
+    )
     sm_kwargs = dict(
         mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=(spec,) * 8,
+        in_specs=(spec, spec, spec) + ((P(),) if _traced_dt else ()),
+        out_specs=(spec,) * n_out,
     )
     if use_pallas:
         try:
-            mapped = shard_map(local_step, check_vma=False, **sm_kwargs)
+            mapped = shard_map(fn, check_vma=False, **sm_kwargs)
         except TypeError:
-            mapped = shard_map(local_step, check_rep=False, **sm_kwargs)
+            mapped = shard_map(fn, check_rep=False, **sm_kwargs)
     else:
-        mapped = shard_map(local_step, **sm_kwargs)
+        mapped = shard_map(fn, **sm_kwargs)
+
+    if _traced_dt:
+
+        def step_dt(state, dt):
+            x, v, pid, rho, p, covf, movf, dudt, a2 = mapped(
+                state.x, state.v, state.pid, jnp.float32(dt)
+            )
+            return (
+                DistState(x=x, v=v, pid=pid),
+                DistAux(
+                    rho=rho, p=p, cell_overflow=covf,
+                    migrate_overflow=movf, dudt=dudt,
+                ),
+                a2,
+            )
+
+        return step_dt, sh
 
     @partial(
         jax.jit,
@@ -492,6 +529,73 @@ def make_distributed2d_step_fn(
                 dudt=dudt,
             ),
         )
+
+    return step
+
+
+def make_adaptive_distributed2d_step_fn(
+    grid,
+    params,
+    mesh,
+    cfl=0.25,
+    dt_min=0.0,
+    dt_max=None,
+    **kwargs,
+):
+    """CFL-adaptive variant of the 2-D block-decomposed step.
+
+    Same Monaghan controller as
+    :func:`tpgsd.sph.make_adaptive_distributed_step_fn`, computed
+    globally over the ``(px, py)`` mesh: each block reports its mobile
+    particles' max ``|acc|^2`` out of the shard_map, the controller
+    maxes over blocks and over the sharded velocity slots, and every
+    device advances with one replicated traced dt - adapting never
+    recompiles or re-shards.
+
+    Args:
+        grid / params / mesh: as :func:`make_distributed2d_step_fn`.
+        cfl / dt_min / dt_max: as the single-device adaptive builder
+            (``dt_max`` defaults to ``params.dt``).
+        **kwargs: forwarded to :func:`make_distributed2d_step_fn`
+            (``capacity``, ``use_pallas``, ``periodic``, ``n_fixed``,
+            ``xsph``, ...).
+
+    Returns:
+        jitted ``step(state: DistState, dt) ->
+        (DistState, DistAux, dt_next)``.  Roll out with
+        :func:`tpgsd.sph.run_adaptive` (DistState is a pytree).
+    """
+    base, sh = make_distributed2d_step_fn(
+        grid, params, mesh, _traced_dt=True, **kwargs
+    )
+    h = float(params.h)
+    c0 = float(params.c0)
+    if dt_max is None:
+        dt_max = float(params.dt)
+
+    @partial(
+        jax.jit,
+        in_shardings=(DistState(x=sh, v=sh, pid=sh), None),
+        out_shardings=(
+            DistState(x=sh, v=sh, pid=sh),
+            DistAux(
+                rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
+            ),
+            None,
+        ),
+    )
+    def step(state, dt):
+        new_state, aux, a2 = base(state, dt)
+        a2max = jnp.max(a2)
+        amax = jnp.sqrt(jnp.maximum(a2max, 1e-30))
+        v2max = jnp.max(jnp.sum(new_state.v * new_state.v, axis=-1))
+        vmax = jnp.sqrt(jnp.maximum(v2max, 1e-30))
+        dt_f = jnp.sqrt(h / amax)
+        dt_cv = h / (c0 + vmax)
+        dt_next = jnp.clip(
+            cfl * jnp.minimum(dt_f, dt_cv), dt_min, dt_max
+        ).astype(jnp.float32)
+        return new_state, aux, dt_next
 
     return step
 
