@@ -103,3 +103,39 @@ def test_scan_simulate_sph(tmp_path):
             traj[2].particles.position, numpy.asarray(final.x), rtol=1e-6
         )
         assert numpy.isfinite(traj[2].particles.density).all()
+
+
+def test_scan_simulate_adaptive_sph(tmp_path):
+    """Adaptive whole-simulation scan: the (state, dt, t) carry rolls
+    inside one compiled program, frames emit through the ordered
+    callback, and the returned t equals the sum of the dts taken."""
+    from tpgsd.io_runtime import scan_simulate_adaptive
+    from tpgsd.sph import dam_break, make_adaptive_step_fn
+
+    db = dam_break(n_side=5)
+    step = make_adaptive_step_fn(db.grid, db.params)
+    path = tmp_path / "sph_scan_ad.gsd"
+
+    channel = JitDumpChannel(
+        ShardedFrameWriter(path),
+        ["particles/position", "particles/density"],
+    )
+    final, dt_next, t = scan_simulate_adaptive(
+        step,
+        db.state,
+        db.params.dt,
+        n_steps=6,
+        channel=channel,
+        frame_of=lambda s, aux: [s.x, aux[0]],
+        every=3,
+    )
+    channel.close()
+
+    assert 0 < float(dt_next) <= db.params.dt
+    # step 0 takes dt0; later steps take the controller's choices
+    assert 0 < float(t) <= 6 * db.params.dt + 1e-9
+
+    with tpgsd.hoomd.open(path, mode="r") as traj:
+        assert len(traj) == 2  # i = 0, 3
+        assert traj[1].configuration.step == 3
+        assert numpy.isfinite(traj[1].particles.position).all()

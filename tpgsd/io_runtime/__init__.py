@@ -14,7 +14,7 @@ hazard, no explicit double buffer.
 """
 
 from .dump import AsyncDumpRunner, DumpStats, run_dump_loop
-from .jit_dump import JitDumpChannel, scan_simulate
+from .jit_dump import JitDumpChannel, scan_simulate, scan_simulate_adaptive
 
 __all__ = [
     "AsyncDumpRunner",
@@ -22,4 +22,5 @@ __all__ = [
     "JitDumpChannel",
     "run_dump_loop",
     "scan_simulate",
+    "scan_simulate_adaptive",
 ]

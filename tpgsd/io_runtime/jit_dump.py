@@ -139,3 +139,47 @@ def scan_simulate(step_fn, state, n_steps, channel, frame_of, every=1):
     final = jax.block_until_ready(final)
     channel.flush()
     return final
+
+
+def scan_simulate_adaptive(
+    step_fn, state, dt0, n_steps, channel, frame_of, every=1
+):
+    """Adaptive-dt ``lax.scan`` rollout with embedded dumps.
+
+    The adaptive analogue of :func:`scan_simulate`: the carry is
+    ``(state, dt, t)`` as in :func:`tpgsd.sph.run_adaptive`, and every
+    ``every``-th step emits a frame through the ordered host callback
+    while the compiled loop keeps running.  Works with any controller
+    step built by ``make_adaptive_step_fn`` /
+    ``make_adaptive_distributed_step_fn`` /
+    ``make_adaptive_distributed2d_step_fn`` (state pytrees compose).
+
+    Args:
+        step_fn: adaptive step ``(state, dt) -> (state, aux, dt_next)``.
+        state: initial state pytree.
+        dt0: first step's dt (e.g. ``params.dt``).
+        n_steps: total steps (static trip count).
+        channel: :class:`JitDumpChannel` whose names match ``frame_of``.
+        frame_of: ``(state, aux) -> list of arrays``.
+        every: dump cadence (in steps - with variable dt the frames are
+            equally spaced in step count, not simulated time).
+
+    Returns:
+        ``(state, dt_next, t)`` after ``block_until_ready``; the
+        channel is flushed but left open.
+    """
+
+    def body(carry, i):
+        s, dt, t = carry
+        new_state, aux, dt_next = step_fn(s, dt)
+        channel.maybe_emit(i, every, frame_of(new_state, aux), step=i)
+        return (new_state, dt_next, t + dt), None
+
+    (final, dt, t), _ = jax.lax.scan(
+        body,
+        (state, jnp.float32(dt0), jnp.float32(0.0)),
+        jnp.arange(n_steps),
+    )
+    final = jax.block_until_ready(final)
+    channel.flush()
+    return final, dt, t
