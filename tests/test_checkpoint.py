@@ -273,3 +273,77 @@ def test_resume_distributed2d_continues(tmp_path):
     writer2.close()
     with tpgsd.hoomd.open(path, mode="r") as traj:
         assert len(traj) == 3
+
+
+def test_resume_distributed3d_continues(tmp_path):
+    """3-D block resume: ownership re-derived from positions onto a
+    (px, py, pz) mesh from a file written by a 1-D slab run - the mesh
+    dimensionality is a reader-side choice, the file records global
+    state only."""
+    import jax.numpy as jnp
+
+    from tpgsd.parallel import make_mesh, make_mesh3d
+    from tpgsd.sph import SPHParams, resume_distributed3d
+    from tpgsd.sph.cells import make_grid
+    from tpgsd.sph.distributed import (
+        collect_state,
+        distribute_state,
+        make_distributed_step_fn,
+    )
+    from tpgsd.sph.distributed3d import make_distributed3d_step_fn
+
+    mesh1 = make_mesh()
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), 0.5, capacity=16)
+    assert grid.dims[0] % mesh1.devices.size == 0
+    assert grid.dims[1] % 2 == 0 and grid.dims[2] % 2 == 0
+    params = SPHParams(mass=1.0, h=0.25, dt=0.05, gravity=(0.0, 0.0, 0.0))
+
+    # separated particles (> 2h): zero pair forces, exactly linear
+    # drift; spread over both y and z halves so 3-D blocks own some
+    rng = numpy.random.RandomState(3)
+    i = numpy.arange(24)
+    pts = numpy.stack(
+        [
+            0.3 + (i % 6) * 1.24,
+            0.2 + ((i // 6) % 2) * 0.6,
+            0.2 + (i // 12) * 0.6,
+        ],
+        axis=1,
+    ).astype(numpy.float32)
+    vel = rng.randn(24, 3).astype(numpy.float32) * 0.05
+    state = SPHState(x=jnp.asarray(pts), v=jnp.asarray(vel))
+
+    # write 2 frames from a 1-D slab run
+    dist, cap = distribute_state(state, grid, mesh1)
+    dstep = make_distributed_step_fn(grid, params, mesh1, capacity=cap)
+    path = tmp_path / "resume3d.gsd"
+    writer = ShardedFrameWriter(path)
+    for s in range(2):
+        dist, _aux = dstep(dist)
+        x_h, v_h = collect_state(dist, 24)
+        writer.write_frame(
+            {"particles/position": x_h, "particles/velocity": v_h}, step=s
+        )
+    writer.close()
+    x1, v1 = collect_state(dist, 24)
+
+    # resume onto a (2, 2, 2) block mesh and verify state parity
+    mesh3d = make_mesh3d(shape=(2, 2, 2))
+    dist3, cap3, last_step, writer3 = resume_distributed3d(
+        path, grid, mesh3d
+    )
+    assert last_step == 1
+    x3, v3 = collect_state(dist3, 24)
+    numpy.testing.assert_allclose(x3, x1, rtol=1e-6)
+    numpy.testing.assert_allclose(v3, v1, rtol=1e-6, atol=1e-7)
+
+    # continue a step on the 3-D mesh; free particles drift linearly,
+    # so the 1-D and 3-D continuations agree
+    step3d = make_distributed3d_step_fn(grid, params, mesh3d, capacity=cap3)
+    dist3, aux3 = step3d(dist3)
+    assert int(jnp.sum(aux3.migrate_overflow)) == 0
+    dist, _ = dstep(dist)
+    xa, _ = collect_state(dist, 24)
+    xb, _ = collect_state(dist3, 24)
+    numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
+    writer3.close()

@@ -27,6 +27,7 @@ from .compose_io import ComposedFrameWriter, compose  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     make_mesh2d,
+    make_mesh3d,
     pad_rows,
     row_sharding,
     shard_rows,

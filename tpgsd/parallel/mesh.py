@@ -41,6 +41,36 @@ def make_mesh2d(shape=None, axis_names=("sx", "sy"), devices=None):
     return Mesh(np.asarray(devices[: px * py]).reshape(px, py), tuple(axis_names))
 
 
+def make_mesh3d(shape=None, axis_names=("sx", "sy", "sz"), devices=None):
+    """A 3-D :class:`jax.sharding.Mesh` for block-decomposed domains.
+
+    ``shape`` defaults to the most-cubic factorization of the device
+    count (8 devices -> ``(2, 2, 2)``) - on TPU v4/v5p slices the 3-D
+    mesh maps each ppermute hop onto a physical link of the 3-D ICI
+    torus.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        n = len(devices)
+        px = max(d for d in range(1, int(round(n ** (1 / 3))) + 1) if n % d == 0)
+        rem = n // px
+        py = int(np.sqrt(rem))
+        while rem % py != 0:
+            py -= 1
+        dims = sorted((px, max(py, rem // py), min(py, rem // py)),
+                      reverse=True)
+        shape = tuple(dims)
+    px, py, pz = shape
+    return Mesh(
+        np.asarray(devices[: px * py * pz]).reshape(px, py, pz),
+        tuple(axis_names),
+    )
+
+
 def row_sharding(mesh, axis_name="shard"):
     """NamedSharding that partitions axis 0 over ``axis_name``."""
     from jax.sharding import NamedSharding, PartitionSpec

@@ -49,6 +49,7 @@ from .checkpoint import (  # noqa: F401
     resume,
     resume_distributed,
     resume_distributed2d,
+    resume_distributed3d,
 )
 from .distributed import (  # noqa: F401
     DistAux,
@@ -62,4 +63,9 @@ from .distributed2d import (  # noqa: F401
     distribute_state_2d,
     make_adaptive_distributed2d_step_fn,
     make_distributed2d_step_fn,
+)
+from .distributed3d import (  # noqa: F401
+    distribute_state_3d,
+    make_adaptive_distributed3d_step_fn,
+    make_distributed3d_step_fn,
 )

@@ -145,3 +145,43 @@ def resume_distributed2d(
     )
     writer = ShardedFrameWriter(name, mode="a", application=application)
     return dist, cap, step, writer
+
+
+def resume_distributed3d(
+    name,
+    grid,
+    mesh,
+    capacity=None,
+    application="tpgsd.sph",
+):
+    """Resume the 3-D block-decomposed loop from a trajectory.
+
+    The ``(px, py, pz)`` analogue of :func:`resume_distributed`: block
+    ownership is re-derived from the last frame's positions, so the
+    mesh shape (and even its dimensionality - 1-D slab, 2-D or 3-D
+    block) may differ from the writing run's; the file records global
+    state only.
+
+    Returns:
+        ``(dist_state, capacity, step, writer)`` as
+        :func:`resume_distributed`, with the state sharded over all
+        three mesh axes.
+    """
+    from .. import fl
+    from .distributed3d import distribute_state_3d
+
+    with fl.open(name, "r") as f:
+        if f.nframes == 0:
+            raise ValueError("cannot resume from an empty trajectory: " + str(name))
+        last = f.nframes - 1
+        x = numpy.asarray(f.read_chunk(last, "particles/position"))
+        v = numpy.asarray(f.read_chunk(last, "particles/velocity"))
+        if f.chunk_exists(last, "configuration/step"):
+            step = int(f.read_chunk(last, "configuration/step")[0])
+        else:
+            step = last
+    dist, cap = distribute_state_3d(
+        SPHState(x=x, v=v), grid, mesh, capacity=capacity
+    )
+    writer = ShardedFrameWriter(name, mode="a", application=application)
+    return dist, cap, step, writer

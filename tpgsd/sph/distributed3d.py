@@ -1,36 +1,40 @@
-"""2-D block-decomposed distributed SPH over a ``(px, py)`` device mesh.
+"""3-D block-decomposed distributed SPH over a ``(px, py, pz)`` mesh.
 
-The 1-D slab decomposition (:mod:`tpgsd.sph.distributed`) cuts the
-domain along one axis; its halo surface per device is a full cross
-section of the box, so past ~8 devices the cross section stops
-shrinking and halo traffic per device plateaus.  This module cuts the
-domain along BOTH horizontal axes: device ``(i, j)`` of a 2-D mesh owns
-the ``nxl x nyl x nz`` cell block at block-coordinates ``(i, j)``, and
-halo traffic scales with the block *perimeter* - the natural mapping to
-a TPU 2-D ICI torus, where each ``ppermute`` hop rides a physical
-neighbor link.
+Completes the decomposition family: the 1-D slab step
+(:mod:`tpgsd.sph.distributed`) cuts one axis, the 2-D block step
+(:mod:`tpgsd.sph.distributed2d`) cuts two, and this module cuts ALL
+THREE - device ``(i, j, k)`` of a 3-D mesh owns the ``nxl x nyl x nzl``
+cell block at block-coordinates ``(i, j, k)``, so halo traffic scales
+with the block's *surface area* while owned work scales with its
+volume.  This is the natural mapping to a TPU v4/v5p 3-D ICI torus,
+where every ``ppermute`` hop of the dimension-ordered exchange rides a
+physical neighbor link on its own torus dimension.
 
-Two collective patterns, both dimension-ordered (y first, then x) so
-corner cells ride along without any explicit diagonal communication
-(the standard stencil-exchange trick: the x-faces exchanged second
-already contain the y-ghosts received first):
+The collective patterns generalize the 2-D ones:
 
-* **halo exchange** - one cell-plane of boundary data per face
-  (positions/velocities/mask stacked in ONE payload per direction, and
-  a second owner-computed rho/p exchange before the force pass), and
-* **two-phase migration** - particles that left their block hop along
-  x first, then along y; a diagonal mover takes both hops in the same
-  step.  Send-side overflow keeps the particle local one more step
-  (one-step delay, never loss); receive-side overflow is counted in
-  ``aux.migrate_overflow``.
+* **halo exchange** - dimension-ordered (z, then y on the z-extended
+  block, then x on the yz-extended block) so all 26 neighbors' boundary
+  cells arrive without explicit edge/corner messages: the y-faces
+  exchanged second already contain the z-ghosts received first, and the
+  x-faces exchanged last carry both.  Positions/velocities/mask ride
+  ONE stacked payload per direction, and a second owner-computed rho/p
+  exchange precedes the force pass.
+* **three-phase migration** - particles that left their block hop along
+  x, then y, then z (shared :func:`~tpgsd.sph.distributed2d._migrate_axis`
+  machinery); an off-corner mover takes all three hops in one step.
+  Send-side overflow keeps the particle local one more step (one-step
+  delay, never loss).
 
-Capacity model, fixed-particle support, periodic seams (ring
-permutations with coordinate-shifted ghost planes), energy and XSPH
-passes all match the 1-D slab step; parity is tested against it and
-against the single-device step.  The MPI reference has no counterpart
-(its parallel axis is the I/O row partition only:
-pgsd/scripts/benchmark-write.cc:30-45); this is the TPU-native scale-out
-path for the SPH producer.
+Unlike the 1-D/2-D steps there is NO locally-wrapped axis: with all
+three axes decomposed, every periodic wrap flows through ring halo
+permutations with coordinate-shifted seam ghosts, and the local cell
+table is plain (the Pallas kernels see ``wrap_axes=None``).  Capacity
+model, fixed-particle support, energy and XSPH passes match the 1-D/2-D
+steps; parity is tested against the single-device step and the 2-D
+step on degenerate meshes.  The MPI reference has no counterpart (its
+parallel axis is the I/O row partition only:
+pgsd/scripts/benchmark-write.cc:30-45); this is the TPU-native
+scale-out path for the SPH producer at 3-D-torus pod scales.
 """
 
 from functools import partial
@@ -50,56 +54,50 @@ from .distributed import (
     DistAux,
     DistState,
     _gather,
-    _insert,
     _local_cells,
-    _pack_migrants,
     _scatter,
 )
+from .distributed2d import _block_perms, _migrate_axis
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
     _density_blocks,
     _energy_blocks,
-    _mimage_of,
     _xsph_blocks,
     tait_pressure,
 )
 
 
-def _block_perms(n_ax, ring):
-    """Forward/backward ppermute pairs along one mesh axis."""
-    if ring:
-        fwd = [(a, (a + 1) % n_ax) for a in range(n_ax)]
-        bwd = [((a + 1) % n_ax, a) for a in range(n_ax)]
-    else:
-        fwd = [(a, a + 1) for a in range(n_ax - 1)]
-        bwd = [(a + 1, a) for a in range(n_ax - 1)]
-    return fwd, bwd
-
-
-def _halo2d(a, nxl, nyl, nz, ax_x, ax_y, perms):
-    """Dimension-ordered 2-D halo exchange of one dense payload.
+def _halo3d(a, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms):
+    """Dimension-ordered 3-D halo exchange of one dense payload.
 
     ``a``: ``[c_local + 1, K, F]`` (sentinel row last).  Exchanges the
-    y-faces first, then the x-faces of the y-extended block - so the
-    x-faces carry the fresh y-ghost corners and every device ends up
-    with all 8 in-plane neighbors' boundary cells.  Returns the
-    ``[(nxl+2)*(nyl+2)*nz + 1, K, F]`` extended payload.  With
-    edge-terminated permutations, edge devices receive zeros - exactly
-    the empty-ghost boundary condition, since the mask rides in the
-    payload; ring permutations make the seam ghosts real (periodic).
+    z-faces first, then the y-faces of the z-extended block, then the
+    x-faces of the yz-extended block - each later exchange forwards the
+    earlier ghosts, so every device ends up with all 26 neighbors'
+    boundary cells (faces, edges AND corners) in 6 ppermute pairs.
+    Returns the ``[(nxl+2)*(nyl+2)*(nzl+2) + 1, K, F]`` extended
+    payload.  With edge-terminated permutations, edge devices receive
+    zeros - exactly the empty-ghost boundary condition, since the mask
+    rides in the payload; ring permutations make the seam ghosts real
+    (periodic).
     """
-    (sx_f, sx_b), (sy_f, sy_b) = perms
-    c_local = nxl * nyl * nz
+    (sx_f, sx_b), (sy_f, sy_b), (sz_f, sz_b) = perms
+    c_local = nxl * nyl * nzl
     tail = a.shape[1:]
-    core = a[:c_local].reshape((nxl, nyl, nz) + tail)
+    core = a[:c_local].reshape((nxl, nyl, nzl) + tail)
 
-    # y exchange: top face travels +y, bottom face travels -y
-    ghost_dn = jax.lax.ppermute(core[:, nyl - 1 : nyl], ax_y, sy_f)
-    ghost_up = jax.lax.ppermute(core[:, 0:1], ax_y, sy_b)
-    ycat = jnp.concatenate([ghost_dn, core, ghost_up], axis=1)
+    # z exchange: top face travels +z, bottom face travels -z
+    ghost_dn = jax.lax.ppermute(core[:, :, nzl - 1 : nzl], ax_z, sz_f)
+    ghost_up = jax.lax.ppermute(core[:, :, 0:1], ax_z, sz_b)
+    zcat = jnp.concatenate([ghost_dn, core, ghost_up], axis=2)
 
-    # x exchange of the y-extended faces (corners ride along)
+    # y exchange of the z-extended faces (z-edges ride along)
+    ghost_d = jax.lax.ppermute(zcat[:, nyl - 1 : nyl], ax_y, sy_f)
+    ghost_u = jax.lax.ppermute(zcat[:, 0:1], ax_y, sy_b)
+    ycat = jnp.concatenate([ghost_d, zcat, ghost_u], axis=1)
+
+    # x exchange of the yz-extended faces (edges + corners ride along)
     ghost_l = jax.lax.ppermute(ycat[nxl - 1 : nxl], ax_x, sx_f)
     ghost_r = jax.lax.ppermute(ycat[0:1], ax_x, sx_b)
     xcat = jnp.concatenate([ghost_l, ycat, ghost_r], axis=0)
@@ -109,65 +107,15 @@ def _halo2d(a, nxl, nyl, nz, ax_x, ax_y, perms):
     )
 
 
-def _core2d(dense, nxl, nyl, nz):
+def _core3d(dense, nxl, nyl, nzl):
     """Slice the interior block back out of an extended dense array."""
-    c_ext = (nxl + 2) * (nyl + 2) * nz
+    c_ext = (nxl + 2) * (nyl + 2) * (nzl + 2)
     tail = dense.shape[1:]
-    e4 = dense[:c_ext].reshape((nxl + 2, nyl + 2, nz) + tail)
-    return e4[1 : nxl + 1, 1 : nyl + 1].reshape((-1,) + tail)
+    e4 = dense[:c_ext].reshape((nxl + 2, nyl + 2, nzl + 2) + tail)
+    return e4[1 : nxl + 1, 1 : nyl + 1, 1 : nzl + 1].reshape((-1,) + tail)
 
 
-def _migrate_axis(payload, col, slab_lo, slab_hi, d, n_ax, ax_name,
-                  send_fwd, send_bwd, wrap_ax, lo_ax, L_ax, mig_cap):
-    """One migration phase along one mesh axis (shared by the 2-D and
-    3-D block steps; the 1-D slab step has its own inline variant).
-
-    ``payload``: ``[cap, 7]`` = (x, v, pid) rows; coordinate column
-    ``col`` is RAW (unwrapped) so seam crossings are detectable.  The
-    sent copy carries the wrapped coordinate (correct on the receiving
-    block); retained overflow rows keep the raw one and re-detect next
-    step - the documented one-step delay.
-    """
-    pid = payload[:, 6].astype(jnp.int32)
-    alive = pid >= 0
-    coord = payload[:, col]
-    if wrap_ax:
-        go_bwd = alive & (coord < slab_lo)
-        go_fwd = alive & (coord >= slab_hi)
-        wrapped = lo_ax + jnp.mod(coord - lo_ax, L_ax)
-        pay_send = payload.at[:, col].set(wrapped)
-    else:
-        go_bwd = alive & (coord < slab_lo) & (d > 0)
-        go_fwd = alive & (coord >= slab_hi) & (d < n_ax - 1)
-        pay_send = payload
-
-    buf_f, n_f, ovf_f, sent_f = _pack_migrants(pay_send, go_fwd, mig_cap)
-    buf_b, n_b, ovf_b, sent_b = _pack_migrants(pay_send, go_bwd, mig_cap)
-    valid_f = jnp.arange(mig_cap) < n_f
-    valid_b = jnp.arange(mig_cap) < n_b
-
-    recv_from_bwd = jax.lax.ppermute(buf_f, ax_name, send_fwd)
-    recv_from_bwd_valid = jax.lax.ppermute(valid_f, ax_name, send_fwd)
-    recv_from_fwd = jax.lax.ppermute(buf_b, ax_name, send_bwd)
-    recv_from_fwd_valid = jax.lax.ppermute(valid_b, ax_name, send_bwd)
-
-    pid_after = jnp.where(sent_f | sent_b, -1, pid)
-    alive_after = pid_after >= 0
-    recv_vals = jnp.concatenate([recv_from_bwd, recv_from_fwd], axis=0)
-    recv_valid = jnp.concatenate(
-        [recv_from_bwd_valid, recv_from_fwd_valid], axis=0
-    )
-    pay_keep = jnp.where(
-        alive_after[:, None], payload, jnp.zeros_like(payload)
-    )
-    pay_keep = pay_keep.at[:, 6].set(
-        jnp.where(alive_after, pid_after.astype(jnp.float32), -1.0)
-    )
-    merged, lost = _insert(pay_keep, alive_after, recv_vals, recv_valid)
-    return merged, (ovf_f + ovf_b + lost).astype(jnp.int32)
-
-
-def make_distributed2d_step_fn(
+def make_distributed3d_step_fn(
     grid,
     params,
     mesh,
@@ -183,53 +131,53 @@ def make_distributed2d_step_fn(
     xsph=0.0,
     _traced_dt=False,
 ):
-    """Build the 2-D block-decomposed distributed step.
+    """Build the 3-D block-decomposed distributed step.
 
     Args:
-        grid: global :class:`CellGrid`; ``grid.dims[0]`` must be a
-            multiple of the mesh's x extent and ``grid.dims[1]`` of its
-            y extent.
+        grid: global :class:`CellGrid`; each entry of ``grid.dims``
+            must be a multiple of the corresponding mesh extent.
         params: :class:`SPHParams`.
-        mesh: 2-D ``jax.sharding.Mesh`` (shape ``(px, py)``); its two
-            axis names are used for the ppermute hops.
+        mesh: 3-D ``jax.sharding.Mesh`` (shape ``(px, py, pz)``); its
+            three axis names are used for the ppermute hops.
         capacity: particle slots per device (use
-            :func:`distribute_state_2d`'s choice).
+            :func:`distribute_state_3d`'s choice).
         migrate_cap: max migrations per face per phase per step
             (default ``capacity // 4``).
         n_fixed: particles with ``pid < n_fixed`` are static boundary
-            particles, exactly as in the 1-D slab step.
-        periodic: periodic global box.  x and y wrap through RING halo
-            permutations along their mesh axes (each needs >= 3 cells
-            globally); z wraps locally in the cell table.  Ghost planes
-            crossing a seam arrive coordinate-shifted by the box extent
-            so the kernels see true geometry.
-        compute_energy / xsph: as in the 1-D slab step.
+            particles, exactly as in the 1-D/2-D steps.
+        periodic: periodic global box.  All three axes wrap through
+            RING halo permutations along their mesh axes (each needs
+            >= 3 cells globally); there is no locally-wrapped axis.
+            Ghost planes crossing a seam arrive coordinate-shifted by
+            the box extent so the kernels see true geometry.
+        compute_energy / xsph: as in the 1-D/2-D steps.
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
-        axis-0 shardings over both mesh axes.  (With the private
+        axis-0 shardings over all three mesh axes.  (With the private
         ``_traced_dt=True``, instead returns the UNJITTED
-        ``step(state, dt) -> (DistState, DistAux, a2max[px*py])`` plus
-        the sharding, for :func:`make_adaptive_distributed2d_step_fn`
-        to compose the CFL controller around before jitting - the same
-        contract as the 1-D slab builder.)
+        ``step(state, dt) -> (DistState, DistAux, a2max[px*py*pz])``
+        plus the sharding, for
+        :func:`make_adaptive_distributed3d_step_fn` to compose the CFL
+        controller around before jitting - the same contract as the
+        1-D/2-D builders.)
     """
-    if len(mesh.axis_names) != 2:
+    if len(mesh.axis_names) != 3:
         raise ValueError(
-            "make_distributed2d_step_fn needs a 2-D mesh, got axes %r"
+            "make_distributed3d_step_fn needs a 3-D mesh, got axes %r"
             % (mesh.axis_names,)
         )
-    ax_x, ax_y = mesh.axis_names
-    px, py = mesh.devices.shape
+    ax_x, ax_y, ax_z = mesh.axis_names
+    px, py, pz = mesh.devices.shape
     nx, ny, nz = grid.dims
-    if nx % px != 0 or ny % py != 0:
+    if nx % px != 0 or ny % py != 0 or nz % pz != 0:
         raise ValueError(
-            "grid dims (%d, %d) must be multiples of the mesh shape"
-            " (%d, %d)" % (nx, ny, px, py)
+            "grid dims (%d, %d, %d) must be multiples of the mesh shape"
+            " (%d, %d, %d)" % (nx, ny, nz, px, py, pz)
         )
-    nxl, nyl = nx // px, ny // py
-    c_local = nxl * nyl * nz
-    c_ext = (nxl + 2) * (nyl + 2) * nz
+    nxl, nyl, nzl = nx // px, ny // py, nz // pz
+    c_local = nxl * nyl * nzl
+    c_ext = (nxl + 2) * (nyl + 2) * (nzl + 2)
     if capacity is None:
         raise ValueError("pass capacity (slots per device)")
     cap = int(capacity)
@@ -243,41 +191,34 @@ def make_distributed2d_step_fn(
     gravity = jnp.asarray(params.gravity, jnp.float32)
 
     wrap = periodic & (np.asarray(grid.dims) >= 3)
-    if periodic and (nx < 3 or ny < 3):
-        raise ValueError("periodic needs >= 3 cells along x and y")
+    if periodic and (nx < 3 or ny < 3 or nz < 3):
+        raise ValueError("periodic needs >= 3 cells along x, y and z")
     wrap_x, wrap_y, wrap_z = bool(wrap[0]), bool(wrap[1]), bool(wrap[2])
-    Lx, Ly = cell * nx, cell * ny
+    Lx, Ly, Lz = cell * nx, cell * ny, cell * nz
 
-    # extended (ghost-padded) local grid; x/y periodicity flows through
-    # the ring halos, only the LOCAL z wrap reaches the cell table
+    # extended (ghost-padded) local grid; ALL periodicity flows through
+    # the ring halos - the local cell table never wraps
     ext_grid = CellGrid(
-        lo=(0.0, 0.0, 0.0), cell_size=cell, dims=(nxl + 2, nyl + 2, nz),
-        capacity=k,
+        lo=(0.0, 0.0, 0.0), cell_size=cell,
+        dims=(nxl + 2, nyl + 2, nzl + 2), capacity=k,
     )
-    nbr_ext = neighbor_table(
-        ext_grid, periodic=(False, False, periodic) if periodic else False
-    )
-    mimage = _mimage_of(grid, periodic)
+    nbr_ext = neighbor_table(ext_grid, periodic=False)
 
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
-    pallas_wrap = (False, False, wrap_z) if periodic else None
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
     if use_pallas:
         from . import pallas_ops
 
-    perms = (_block_perms(px, wrap_x), _block_perms(py, wrap_y))
-    (sx_f, sx_b), (sy_f, sy_b) = perms
-
-    def migrate(payload, col, slab_lo, slab_hi, d, n_ax, ax_name,
-                send_fwd, send_bwd, wrap_ax, lo_ax, L_ax):
-        return _migrate_axis(
-            payload, col, slab_lo, slab_hi, d, n_ax, ax_name,
-            send_fwd, send_bwd, wrap_ax, lo_ax, L_ax, mig_cap,
-        )
+    perms = (
+        _block_perms(px, wrap_x),
+        _block_perms(py, wrap_y),
+        _block_perms(pz, wrap_z),
+    )
+    (sx_f, sx_b), (sy_f, sy_b), (sz_f, sz_b) = perms
 
     def local_step(x, v, pid, dt):
         # x/v/pid are this device's [cap] slot arrays; dt is the
@@ -285,15 +226,16 @@ def make_distributed2d_step_fn(
         # replicated scalar on the adaptive path
         i = jax.lax.axis_index(ax_x)
         j = jax.lax.axis_index(ax_y)
+        kk = jax.lax.axis_index(ax_z)
         alive = pid >= 0
         lo_local = lo_g + jnp.stack(
-            [i * nxl * cell, j * nyl * cell, jnp.zeros((), jnp.float32)]
+            [i * nxl * cell, j * nyl * cell, kk * nzl * cell]
         )
 
         cid_s, slot, order, gidx, mask, cell_ovf = _local_cells(
-            x, alive, nxl, nyl, nz, k, lo_local, cell
+            x, alive, nxl, nyl, nzl, k, lo_local, cell
         )
-        # ONE stacked halo payload: x + v + mask = 7 lanes, 4 ppermutes
+        # ONE stacked halo payload: x + v + mask = 7 lanes, 6 ppermutes
         xvm = _scatter(
             jnp.concatenate(
                 [x, v, alive.astype(jnp.float32)[:, None]], axis=-1
@@ -301,15 +243,22 @@ def make_distributed2d_step_fn(
             order,
             gidx,
         )
-        ext = _halo2d(xvm, nxl, nyl, nz, ax_x, ax_y, perms)
+        ext = _halo3d(xvm, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms)
 
         # periodic seams: shift ghost-plane coordinates by the box
         # extent so ghost positions are geometrically true (the kernels
-        # see no min-image on x/y).  The y shift covers the x-ghost
-        # corner columns too - the x-neighbor that sent them shares our
-        # j, so our shift condition is exactly the one it would apply.
-        if wrap_x or wrap_y:
-            e4 = ext[:c_ext].reshape(nxl + 2, nyl + 2, nz, k, 7)
+        # see no min-image at all).  Each axis's shift covers the other
+        # axes' ghost edge/corner cells in its boundary planes too -
+        # the neighbor that forwarded them shares our block index along
+        # that axis, so our shift condition is exactly the one it would
+        # apply (the 2-D corner argument, once per axis).
+        if wrap_x or wrap_y or wrap_z:
+            e4 = ext[:c_ext].reshape(nxl + 2, nyl + 2, nzl + 2, k, 7)
+            if wrap_z:
+                sz_lo = jnp.where(kk == 0, -Lz, 0.0).astype(jnp.float32)
+                sz_hi = jnp.where(kk == pz - 1, Lz, 0.0).astype(jnp.float32)
+                e4 = e4.at[:, :, 0, ..., 2].add(sz_lo)
+                e4 = e4.at[:, :, nzl + 1, ..., 2].add(sz_hi)
             if wrap_y:
                 sy_lo = jnp.where(j == 0, -Ly, 0.0).astype(jnp.float32)
                 sy_hi = jnp.where(j == py - 1, Ly, 0.0).astype(jnp.float32)
@@ -330,17 +279,17 @@ def make_distributed2d_step_fn(
         if use_pallas:
             rho_d = pallas_ops.density(
                 ext_x, ext_mask, ext_grid, params, kernel=kernel,
-                block=pallas_block, wrap_axes=pallas_wrap,
+                block=pallas_block,
             )
         else:
             rho_d = _density_blocks(
-                ext_x, ext_mask, nbr_ext, params, kernel, block, mimage=mimage
+                ext_x, ext_mask, nbr_ext, params, kernel, block
             )
 
-        mask_core = _core2d(ext_mask, nxl, nyl, nz)
+        mask_core = _core3d(ext_mask, nxl, nyl, nzl)
         rho_core = jnp.where(
             mask_core,
-            jnp.maximum(_core2d(rho_d, nxl, nyl, nz), 0.1 * params.rho0),
+            jnp.maximum(_core3d(rho_d, nxl, nyl, nzl), 0.1 * params.rho0),
             params.rho0,
         )
         p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
@@ -361,7 +310,7 @@ def make_distributed2d_step_fn(
             ],
             axis=0,
         )
-        ext_rp = _halo2d(rp, nxl, nyl, nz, ax_x, ax_y, perms)
+        ext_rp = _halo3d(rp, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms)
         # edge devices' ghosts receive zeros; refill dead/absent slots
         # with rho0 / 0 so p/rho^2 terms stay finite (masked anyway)
         rho_d2 = jnp.where(ext_mask, ext_rp[..., 0], params.rho0)
@@ -370,17 +319,17 @@ def make_distributed2d_step_fn(
         if use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, ext_grid, params,
-                kernel=kernel, block=pallas_block, wrap_axes=pallas_wrap,
+                kernel=kernel, block=pallas_block,
             )
         else:
             acc_d = _accel_blocks(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
-                kernel, block, mimage=mimage,
+                kernel, block,
             )
 
         # bundle core outputs as columns of ONE particle-order gather
         cols = [
-            _core2d(acc_d, nxl, nyl, nz),
+            _core3d(acc_d, nxl, nyl, nzl),
             rho_core[..., None],
             p_core[..., None],
         ]
@@ -392,16 +341,16 @@ def make_distributed2d_step_fn(
         if compute_energy:
             du_d = _energy_blocks(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
-                kernel, block, mimage=mimage,
+                kernel, block,
             )
-            cols.append(_core2d(du_d, nxl, nyl, nz)[..., None])
+            cols.append(_core3d(du_d, nxl, nyl, nzl)[..., None])
             sent.append(jnp.zeros((1, k, 1), du_d.dtype))
         if xsph > 0:
             dvc_d = _xsph_blocks(
                 ext_x, ext_v, rho_d2, ext_mask, nbr_ext, params, kernel,
-                block, mimage=mimage,
+                block,
             )
-            cols.append(_core2d(dvc_d, nxl, nyl, nz))
+            cols.append(_core3d(dvc_d, nxl, nyl, nzl))
             sent.append(jnp.zeros((1, k, 3), dvc_d.dtype))
         bundle = jnp.concatenate(
             [jnp.concatenate(cols, axis=-1), jnp.concatenate(sent, axis=-1)],
@@ -422,9 +371,9 @@ def make_distributed2d_step_fn(
         v_drift = v_new + xsph * dvc if dvc is not None else v_new
         x_new = jnp.where(alive[:, None], x + dt * v_drift, x)
 
-        # global walls: reflective except wrapped axes (x/y wraps are
-        # deferred to the migration payloads - detection needs raw
-        # coordinates; the z wrap commits to state)
+        # global walls: reflective except wrapped axes (ALL wraps are
+        # deferred to the migration payloads - crossing detection needs
+        # raw coordinates; no axis wraps locally here)
         under = x_new < lo_g
         over = x_new > hi_g
         reflected = jnp.where(under, 2.0 * lo_g - x_new, x_new)
@@ -439,34 +388,36 @@ def make_distributed2d_step_fn(
         v_new = jnp.where(
             bounce & alive[:, None], -params.wall_damping * v_new, v_new
         )
-        if wrap_z:
-            zw = lo_g[2] + jnp.mod(x_new[:, 2] - lo_g[2], hi_g[2] - lo_g[2])
-            x_new = jnp.concatenate([x_new[:, :2], zw[:, None]], axis=1)
 
         if n_fixed > 0:
             fixed = alive & (pid < n_fixed)
             x_new = jnp.where(fixed[:, None], x, x_new)
             v_new = jnp.where(fixed[:, None], 0.0, v_new)
 
-        # ---- two-phase migration: x hop, then y hop ----
+        # ---- three-phase migration: x hop, then y, then z ----
         payload = jnp.concatenate(
             [x_new, v_new, pid.astype(jnp.float32)[:, None]], axis=1
-        )  # [cap, 7], raw x/y coordinates
+        )  # [cap, 7], raw coordinates on every wrapped axis
         slab_lo_x = lo_g[0] + i * nxl * cell
-        merged1, ovf_x = migrate(
+        merged1, ovf_x = _migrate_axis(
             payload, 0, slab_lo_x, slab_lo_x + nxl * cell, i, px, ax_x,
-            sx_f, sx_b, wrap_x, lo_g[0], Lx,
+            sx_f, sx_b, wrap_x, lo_g[0], Lx, mig_cap,
         )
         slab_lo_y = lo_g[1] + j * nyl * cell
-        merged2, ovf_y = migrate(
+        merged2, ovf_y = _migrate_axis(
             merged1, 1, slab_lo_y, slab_lo_y + nyl * cell, j, py, ax_y,
-            sy_f, sy_b, wrap_y, lo_g[1], Ly,
+            sy_f, sy_b, wrap_y, lo_g[1], Ly, mig_cap,
+        )
+        slab_lo_z = lo_g[2] + kk * nzl * cell
+        merged3, ovf_z = _migrate_axis(
+            merged2, 2, slab_lo_z, slab_lo_z + nzl * cell, kk, pz, ax_z,
+            sz_f, sz_b, wrap_z, lo_g[2], Lz, mig_cap,
         )
 
-        x_out = merged2[:, 0:3]
-        v_out = merged2[:, 3:6]
-        pid_out = merged2[:, 6].astype(jnp.int32)
-        mig_ovf = ovf_x + ovf_y
+        x_out = merged3[:, 0:3]
+        v_out = merged3[:, 3:6]
+        pid_out = merged3[:, 6].astype(jnp.int32)
+        mig_ovf = ovf_x + ovf_y + ovf_z
         outs = (
             x_out, v_out, pid_out, rho, p, cell_ovf[None], mig_ovf[None],
             dudt,
@@ -480,7 +431,7 @@ def make_distributed2d_step_fn(
             outs = outs + (jnp.max(a2)[None],)
         return outs
 
-    spec = P((ax_x, ax_y))
+    spec = P((ax_x, ax_y, ax_z))
     sh = NamedSharding(mesh, spec)
 
     n_out = 9 if _traced_dt else 8
@@ -542,7 +493,7 @@ def make_distributed2d_step_fn(
     return step
 
 
-def make_adaptive_distributed2d_step_fn(
+def make_adaptive_distributed3d_step_fn(
     grid,
     params,
     mesh,
@@ -551,21 +502,21 @@ def make_adaptive_distributed2d_step_fn(
     dt_max=None,
     **kwargs,
 ):
-    """CFL-adaptive variant of the 2-D block-decomposed step.
+    """CFL-adaptive variant of the 3-D block-decomposed step.
 
     Same Monaghan controller as
     :func:`tpgsd.sph.make_adaptive_distributed_step_fn`, computed
-    globally over the ``(px, py)`` mesh: each block reports its mobile
-    particles' max ``|acc|^2`` out of the shard_map, the controller
-    maxes over blocks and over the sharded velocity slots, and every
-    device advances with one replicated traced dt - adapting never
-    recompiles or re-shards.
+    globally over the ``(px, py, pz)`` mesh: each block reports its
+    mobile particles' max ``|acc|^2`` out of the shard_map, the
+    controller maxes over blocks and over the sharded velocity slots,
+    and every device advances with one replicated traced dt - adapting
+    never recompiles or re-shards.
 
     Args:
-        grid / params / mesh: as :func:`make_distributed2d_step_fn`.
+        grid / params / mesh: as :func:`make_distributed3d_step_fn`.
         cfl / dt_min / dt_max: as the single-device adaptive builder
             (``dt_max`` defaults to ``params.dt``).
-        **kwargs: forwarded to :func:`make_distributed2d_step_fn`
+        **kwargs: forwarded to :func:`make_distributed3d_step_fn`
             (``capacity``, ``use_pallas``, ``periodic``, ``n_fixed``,
             ``xsph``, ...).
 
@@ -574,7 +525,7 @@ def make_adaptive_distributed2d_step_fn(
         (DistState, DistAux, dt_next)``.  Roll out with
         :func:`tpgsd.sph.run_adaptive` (DistState is a pytree).
     """
-    base, sh = make_distributed2d_step_fn(
+    base, sh = make_distributed3d_step_fn(
         grid, params, mesh, _traced_dt=True, **kwargs
     )
     h = float(params.h)
@@ -609,31 +560,32 @@ def make_adaptive_distributed2d_step_fn(
     return step
 
 
-def distribute_state_2d(state, grid, mesh, capacity=None):
-    """Partition an ``SPHState`` onto a 2-D mesh by block ownership.
+def distribute_state_3d(state, grid, mesh, capacity=None):
+    """Partition an ``SPHState`` onto a 3-D mesh by block ownership.
 
-    Returns a :class:`DistState` (``[px * py * capacity, ...]``, axis 0
-    sharded over both mesh axes, x-major block order) plus the chosen
-    capacity - smallest multiple of 8 at least twice the densest
-    block's population when not given.
+    Returns a :class:`DistState` (``[px * py * pz * capacity, ...]``,
+    axis 0 sharded over all three mesh axes, x-major block order) plus
+    the chosen capacity - smallest multiple of 8 at least twice the
+    densest block's population when not given.
     """
-    px, py = mesh.devices.shape
-    nx, ny, _ = grid.dims
-    nxl, nyl = nx // px, ny // py
+    px, py, pz = mesh.devices.shape
+    nx, ny, nz = grid.dims
+    nxl, nyl, nzl = nx // px, ny // py, nz // pz
     x = np.asarray(state.x)
     v = np.asarray(state.v)
-    n = x.shape[0]
 
     wx = nxl * grid.cell_size
     wy = nyl * grid.cell_size
+    wz = nzl * grid.cell_size
     bi = np.clip(((x[:, 0] - grid.lo[0]) // wx).astype(np.int64), 0, px - 1)
     bj = np.clip(((x[:, 1] - grid.lo[1]) // wy).astype(np.int64), 0, py - 1)
-    owner = bi * py + bj
-    pops = np.bincount(owner, minlength=px * py)
+    bk = np.clip(((x[:, 2] - grid.lo[2]) // wz).astype(np.int64), 0, pz - 1)
+    owner = (bi * py + bj) * pz + bk
+    pops = np.bincount(owner, minlength=px * py * pz)
     if capacity is None:
         capacity = int(-(-2 * max(int(pops.max()), 1) // 8) * 8)
 
-    n_dev = px * py
+    n_dev = px * py * pz
     xs = np.zeros((n_dev, capacity, 3), np.float32)
     vs = np.zeros((n_dev, capacity, 3), np.float32)
     pids = np.full((n_dev, capacity), -1, np.int32)
