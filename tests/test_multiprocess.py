@@ -272,6 +272,71 @@ SPH2D_WORKER = _PREAMBLE + textwrap.dedent(
 )
 
 
+# 3-D block-decomposed SPH step across a (2, 2, 2) mesh of REAL OS
+# processes: ALL THREE torus axes span process boundaries, so every
+# hop of the z/y/x-ordered halo exchange and all three migration
+# phases ride Gloo.
+SPH3D_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    import numpy.testing
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from tpgsd.parallel import make_mesh3d
+    from tpgsd.sph import (
+        SPHParams,
+        SPHState,
+        distribute_state_3d,
+        make_distributed3d_step_fn,
+        make_step_fn,
+    )
+    from tpgsd.sph.cells import CellGrid
+
+    # the test_distributed3d.py cloud: (4, 4, 4) cells over a unit box,
+    # divisible by the (2, 2, 2) mesh on every decomposed axis
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(4, 4, 4),
+                    capacity=16)
+    rng = numpy.random.RandomState(7)
+    n = 160
+    x = rng.uniform(0.05, 0.95, (n, 3)).astype(numpy.float32)
+    v = (rng.randn(n, 3) * 0.05).astype(numpy.float32)
+    params = SPHParams(mass=2.0, h=0.12, dt=1e-3, c0=20.0,
+                       gravity=(0.0, 0.0, -9.81))
+    state = SPHState(x=jnp.asarray(x), v=jnp.asarray(v))
+
+    # serial reference, replicated on every process's own device
+    step_ref = jax.jit(make_step_fn(grid, params))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _aux = step_ref(s_ref)
+
+    mesh = make_mesh3d(shape=(2, 2, 2))
+    assert mesh.devices.size == nprocs
+    dist, cap = distribute_state_3d(state, grid, mesh)
+    step_d = make_distributed3d_step_fn(grid, params, mesh, capacity=cap)
+    for _ in range(3):
+        dist, aux = step_d(dist)
+
+    movf = multihost_utils.process_allgather(aux.migrate_overflow, tiled=True)
+    covf = multihost_utils.process_allgather(aux.cell_overflow, tiled=True)
+    assert movf.sum() == 0 and covf.sum() == 0
+    xg = multihost_utils.process_allgather(dist.x, tiled=True)
+    vg = multihost_utils.process_allgather(dist.v, tiled=True)
+    pidg = multihost_utils.process_allgather(dist.pid, tiled=True)
+    alive = pidg >= 0
+    assert alive.sum() == n and len(set(pidg[alive].tolist())) == n
+    out_x = numpy.zeros((n, 3), numpy.float32)
+    out_v = numpy.zeros((n, 3), numpy.float32)
+    out_x[pidg[alive]] = xg[alive]
+    out_v[pidg[alive]] = vg[alive]
+    numpy.testing.assert_allclose(
+        out_x, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5)
+    numpy.testing.assert_allclose(
+        out_v, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3)
+    print("proc", pid, "OK")
+    """
+)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -393,6 +458,21 @@ def test_distributed2d_sph_multiprocess(tmp_path, nprocs):
     tolerances."""
     fname = str(tmp_path / "unused.gsd")
     procs, outputs = _launch(tmp_path, SPH2D_WORKER, nprocs, fname)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+        assert "OK" in out
+
+
+@pytest.mark.parametrize("nprocs", [8])
+def test_distributed3d_sph_multiprocess(tmp_path, nprocs):
+    """3-D block-decomposed SPH step over a (2, 2, 2) mesh of OS
+    processes - one device per process, so ALL THREE torus axes cross
+    process boundaries: every hop of the z/y/x-ordered halo exchange
+    and all three migration phases ride the Gloo backend; the
+    collected 3-step trajectory must match the serial single-device
+    step at the in-process parity tolerances."""
+    fname = str(tmp_path / "unused.gsd")
+    procs, outputs = _launch(tmp_path, SPH3D_WORKER, nprocs, fname)
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, out[-2000:]
         assert "OK" in out
