@@ -410,6 +410,51 @@ def test_3d_adaptive_matches_fixed_at_same_dt():
     )
 
 
+def test_3d_adaptive_scan_rollout_with_dumps(tmp_path):
+    """Full-stack composition: an adaptive lax.scan rollout over the
+    3-D block shard_map step with in-jit frame dumps through the
+    ordered host callback."""
+    from tpgsd.io_runtime import JitDumpChannel, scan_simulate_adaptive
+    from tpgsd.parallel import ShardedFrameWriter
+    from tpgsd.sph import make_adaptive_distributed3d_step_fn
+
+    import tpgsd.hoomd
+
+    state, grid, params = _cloud_setup(seed=13)
+    n = state.x.shape[0]
+    mesh = make_mesh3d(shape=(2, 2, 2))
+    dist, cap = distribute_state_3d(state, grid, mesh)
+    step = make_adaptive_distributed3d_step_fn(
+        grid, params, mesh, capacity=cap
+    )
+
+    path = tmp_path / "dist3d_scan_ad.gsd"
+    channel = JitDumpChannel(
+        ShardedFrameWriter(path), ["particles/position", "particles/density"]
+    )
+    final, dt_next, t = scan_simulate_adaptive(
+        step,
+        dist,
+        params.dt,
+        n_steps=4,
+        channel=channel,
+        frame_of=lambda s, aux: [s.x, aux.rho],
+        every=2,
+    )
+    channel.close()
+
+    assert 0 < float(dt_next) <= params.dt
+    assert 0 < float(t) <= 4 * params.dt + 1e-9
+
+    with tpgsd.hoomd.open(path, mode="r") as traj:
+        assert len(traj) == 2
+        pos = traj[1].particles.position
+        assert pos.shape[0] == final.x.shape[0]
+        assert numpy.isfinite(pos).all()
+    x_d, _v_d = collect_state(final, n)
+    assert numpy.isfinite(x_d).all()
+
+
 def test_3d_adaptive_controller_matches_single_device():
     """The (px, py, pz)-mesh-reduced controller must produce (nearly)
     the same dt_next as the single-device adaptive step on the same

@@ -152,7 +152,8 @@ def scan_simulate_adaptive(
     while the compiled loop keeps running.  Works with any controller
     step built by ``make_adaptive_step_fn`` /
     ``make_adaptive_distributed_step_fn`` /
-    ``make_adaptive_distributed2d_step_fn`` (state pytrees compose).
+    ``make_adaptive_distributed2d_step_fn`` /
+    ``make_adaptive_distributed3d_step_fn`` (state pytrees compose).
 
     Args:
         step_fn: adaptive step ``(state, dt) -> (state, aux, dt_next)``.
