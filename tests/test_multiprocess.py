@@ -272,6 +272,59 @@ SPH2D_WORKER = _PREAMBLE + textwrap.dedent(
 )
 
 
+# Production dump cycle across REAL OS processes: the 2-D block SPH
+# step produces cross-process-sharded DistState arrays, and
+# ShardedFrameWriter streams them - each process pwrites only its
+# addressable shards at their sharding-derived offsets while the
+# controller commits the metadata.  This is the full simulate+dump
+# loop a multi-host TPU pod would run.
+SPH_DUMP_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    import jax.numpy as jnp
+    from tpgsd.parallel import ShardedFrameWriter, make_mesh2d
+    from tpgsd.sph import (
+        SPHParams,
+        SPHState,
+        distribute_state_2d,
+        make_distributed2d_step_fn,
+    )
+    from tpgsd.sph.cells import CellGrid
+
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 4, 4),
+                    capacity=16)
+    rng = numpy.random.RandomState(7)
+    n = 160
+    x = rng.uniform(0.05, 0.95, (n, 3)).astype(numpy.float32)
+    x[:, 0] *= 2.0
+    v = (rng.randn(n, 3) * 0.05).astype(numpy.float32)
+    params = SPHParams(mass=2.0, h=0.12, dt=1e-3, c0=20.0,
+                       gravity=(0.0, 0.0, -9.81))
+    mesh = make_mesh2d(shape=(2, 2))
+    dist, cap = distribute_state_2d(
+        SPHState(x=jnp.asarray(x), v=jnp.asarray(v)), grid, mesh)
+    step = make_distributed2d_step_fn(grid, params, mesh, capacity=cap)
+
+    w = ShardedFrameWriter(fname, comm=comm)
+    for s in range(2):
+        dist, aux = step(dist)
+        w.write_frame(
+            {
+                "particles/position": dist.x,
+                "particles/velocity": dist.v,
+                "log/pid": dist.pid,
+            },
+            step=s,
+        )
+    # in-session reads on every process (committed-entry replication)
+    got = w.file.read_chunk(1, "log/pid")
+    assert got.shape[0] == dist.pid.shape[0]
+    assert (got >= -1).all()
+    w.close()
+    print("proc", pid, "CAP", cap, "OK")
+    """
+)
+
+
 # 3-D block-decomposed SPH step across a (2, 2, 2) mesh of REAL OS
 # processes: ALL THREE torus axes span process boundaries, so every
 # hop of the z/y/x-ordered halo exchange and all three migration
@@ -461,6 +514,38 @@ def test_distributed2d_sph_multiprocess(tmp_path, nprocs):
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, out[-2000:]
         assert "OK" in out
+
+
+@pytest.mark.parametrize("nprocs", [4])
+def test_sph_dump_cycle_multiprocess(tmp_path, nprocs):
+    """Simulate + dump across processes: the 2-D block step's sharded
+    slot arrays stream through ShardedFrameWriter - every process
+    pwrites only its addressable shards, the controller commits the
+    index - and the closed file is fsck-clean with a full particle
+    census."""
+    n = 160
+    fname = str(tmp_path / "cycle.gsd")
+    procs, outputs = _launch(tmp_path, SPH_DUMP_WORKER, nprocs, fname)
+    cap = None
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+        assert "OK" in out
+        cap = int(out.split("CAP")[1].split()[0])
+
+    with tpgsd.pypgsd.PGSDFile(open(fname, "rb")) as f:
+        assert f.nframes == 2
+        for frame in range(2):
+            pos = f.read_chunk(frame, "particles/position")
+            pid = f.read_chunk(frame, "log/pid")
+            assert pos.shape == (nprocs * cap, 3)
+            alive = pid >= 0
+            # every particle present exactly once, dead slots zeroed
+            assert alive.sum() == n
+            assert sorted(pid[alive].tolist()) == list(range(n))
+            assert numpy.isfinite(pos[alive]).all()
+    with open(fname, "rb") as fobj:
+        report = tpgsd.pypgsd.verify(fobj, deep=True)
+    assert report["ok"], report["errors"]
 
 
 @pytest.mark.parametrize("nprocs", [8])
