@@ -674,3 +674,37 @@ def test_adaptive_distributed_y_decomposition():
     assert int(jnp.sum(aux.cell_overflow)) == 0
     x_d, _ = collect_state(dist, state.x.shape[0])
     assert numpy.isfinite(x_d).all()
+
+
+def test_density_renorm_matches_single_device():
+    """density_renorm on the slab mesh matches the single-device renorm
+    step: the free-surface floor is applied to owner densities before
+    the rho/p plane exchange, so ghost planes carry it too."""
+    state, grid, params = _divisible_setup()
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    step_ref = jax.jit(make_step_fn(grid, params, density_renorm=True))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_renorm=True
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+    # the floor is ACTIVE here (free surfaces everywhere on the block)
+    pid = numpy.asarray(dist.pid)
+    rho = numpy.asarray(aux.rho)
+    assert (rho[pid >= 0] >= params.rho0 - 1e-3).all()
+
+    x_d, v_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )

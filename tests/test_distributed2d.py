@@ -409,3 +409,32 @@ def test_2d_adaptive_rollout():
     assert len(alive) == n and len(set(alive.tolist())) == n
     x, v = collect_state(out, n)
     assert numpy.isfinite(x).all() and numpy.isfinite(v).all()
+
+
+def test_2d_density_renorm_matches_single_device():
+    """density_renorm on the block mesh matches the single-device
+    renorm step (the floor lands before the owner rho/p exchange)."""
+    state, grid, params = _cloud_setup(seed=9)
+    n = state.x.shape[0]
+    mesh = make_mesh2d(shape=(4, 2))
+
+    step_ref = jax.jit(make_step_fn(grid, params, density_renorm=True))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state_2d(state, grid, mesh)
+    step_d = make_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap, density_renorm=True
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )

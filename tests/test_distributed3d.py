@@ -477,3 +477,38 @@ def test_3d_adaptive_controller_matches_single_device():
     _dist, _aux, dtd = step_d(dist, jnp.float32(params.dt))
 
     numpy.testing.assert_allclose(float(dtd), float(dt1), rtol=1e-4)
+
+
+def test_3d_density_renorm_matches_single_device():
+    """density_renorm on the (2, 2, 2) mesh: the free-surface floor is
+    applied to owner densities before the rho/p exchange, so ghosts
+    carry it and the trajectory matches the single-device renorm step."""
+    state, grid, params = _cloud_setup(seed=9)
+    n = state.x.shape[0]
+    mesh = make_mesh3d(shape=(2, 2, 2))
+
+    step_ref = jax.jit(make_step_fn(grid, params, density_renorm=True))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state_3d(state, grid, mesh)
+    step_d = make_distributed3d_step_fn(
+        grid, params, mesh, capacity=cap, density_renorm=True
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+    # the floor is ACTIVE on this cloud (scattered particles sit below
+    # rest density) - otherwise this test would not distinguish paths
+    pid = numpy.asarray(dist.pid)
+    rho = numpy.asarray(aux.rho)
+    assert (rho[pid >= 0] >= params.rho0 - 1e-3).all()
+
+    x_d, v_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )

@@ -49,6 +49,7 @@ from .step import (
     _density_blocks,
     _energy_blocks,
     _mimage_of,
+    _renormalize_density,
     _xsph_blocks,
     tait_pressure,
 )
@@ -207,6 +208,7 @@ def make_distributed_step_fn(
     compute_energy=False,
     decomp_axis=0,
     xsph=0.0,
+    density_renorm=False,
     _traced_dt=False,
 ):
     """Build the slab-decomposed distributed step.
@@ -241,6 +243,9 @@ def make_distributed_step_fn(
             epsilon; 0 = off) - one extra pair pass over the
             halo-exchanged velocities, same semantics as the
             single-device step.
+        density_renorm: free-surface density floor, as in
+            :func:`tpgsd.sph.make_step_fn` (applied to owner densities
+            before the rho/p halo exchange, so ghosts carry it too).
         decomp_axis: 0 (x-slabs, the default) or 1 (y-slabs, for wide
             planar domains whose x extent is too narrow to cut).  The
             y form is the x machinery run on the axis-swapped problem:
@@ -431,6 +436,11 @@ def make_distributed_step_fn(
         rho_core = jnp.where(
             mask_core, jnp.maximum(rho_d[core], 0.1 * params.rho0), params.rho0
         )
+        if density_renorm:
+            # free-surface density floor (local closed form; dead slots
+            # already hold rho0, the floor is a no-op there).  Applied
+            # BEFORE the owner rho/p exchange, so ghost values carry it.
+            rho_core = _renormalize_density(rho_core, params)
         p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
 
         # second halo exchange: the OWNER-computed rho/p of each boundary

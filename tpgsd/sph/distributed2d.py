@@ -61,6 +61,7 @@ from .step import (
     _density_blocks,
     _energy_blocks,
     _mimage_of,
+    _renormalize_density,
     _xsph_blocks,
     tait_pressure,
 )
@@ -181,6 +182,7 @@ def make_distributed2d_step_fn(
     periodic=False,
     compute_energy=False,
     xsph=0.0,
+    density_renorm=False,
     _traced_dt=False,
 ):
     """Build the 2-D block-decomposed distributed step.
@@ -203,7 +205,9 @@ def make_distributed2d_step_fn(
             globally); z wraps locally in the cell table.  Ghost planes
             crossing a seam arrive coordinate-shifted by the box extent
             so the kernels see true geometry.
-        compute_energy / xsph: as in the 1-D slab step.
+        compute_energy / xsph / density_renorm: as in the 1-D slab
+            step (the density floor lands before the owner rho/p
+            exchange, so ghosts carry it too).
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -343,6 +347,8 @@ def make_distributed2d_step_fn(
             jnp.maximum(_core2d(rho_d, nxl, nyl, nz), 0.1 * params.rho0),
             params.rho0,
         )
+        if density_renorm:
+            rho_core = _renormalize_density(rho_core, params)
         p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
 
         # second halo exchange: OWNER-computed rho/p replace the

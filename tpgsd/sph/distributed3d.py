@@ -63,6 +63,7 @@ from .step import (
     _accel_blocks,
     _density_blocks,
     _energy_blocks,
+    _renormalize_density,
     _xsph_blocks,
     tait_pressure,
 )
@@ -129,6 +130,7 @@ def make_distributed3d_step_fn(
     periodic=False,
     compute_energy=False,
     xsph=0.0,
+    density_renorm=False,
     _traced_dt=False,
 ):
     """Build the 3-D block-decomposed distributed step.
@@ -150,7 +152,9 @@ def make_distributed3d_step_fn(
             >= 3 cells globally); there is no locally-wrapped axis.
             Ghost planes crossing a seam arrive coordinate-shifted by
             the box extent so the kernels see true geometry.
-        compute_energy / xsph: as in the 1-D/2-D steps.
+        compute_energy / xsph / density_renorm: as in the 1-D/2-D
+            steps (the density floor lands before the owner rho/p
+            exchange, so ghosts carry it too).
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -292,6 +296,8 @@ def make_distributed3d_step_fn(
             jnp.maximum(_core3d(rho_d, nxl, nyl, nzl), 0.1 * params.rho0),
             params.rho0,
         )
+        if density_renorm:
+            rho_core = _renormalize_density(rho_core, params)
         p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
 
         # second halo exchange: OWNER-computed rho/p replace the
