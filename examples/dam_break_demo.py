@@ -38,6 +38,11 @@ def main(argv=None):
                    help="output file (default <scenario>.gsd)")
     p.add_argument("--sharded", action="store_true",
                    help="shard the particle axis over all devices")
+    p.add_argument("--decomp", choices=["slab", "2d", "3d"], default=None,
+                   help="explicit domain decomposition over the device "
+                        "mesh (shard_map + ppermute halos + migration): "
+                        "1-D slabs, (px,py) blocks, or (px,py,pz) blocks "
+                        "- the 1-D/2-D/3-D ICI torus mappings")
     p.add_argument("--vtu", action="store_true", help="convert to .vtu after")
     p.add_argument("--adaptive", action="store_true",
                    help="CFL-adaptive dt (Monaghan force/Courant "
@@ -103,6 +108,10 @@ def main(argv=None):
     print("scenario: %s  particles: %d  grid: %s cells  dt: %.2e"
           % (args.scenario, db.n, db.grid.dims, db.params.dt))
 
+    if args.decomp and args.sharded:
+        raise SystemExit("--decomp and --sharded are exclusive")
+    if args.decomp and args.spill:
+        raise SystemExit("--spill does not compose with --decomp yet")
     if args.sharded and args.spill:
         print("--spill runs unsharded (pallas_call under GSPMD); "
               "dropping --sharded")
@@ -119,7 +128,71 @@ def main(argv=None):
         args.sharded = False
 
     state = db.state
-    if args.sharded and len(jax.devices()) > 1:
+    decomp = args.decomp
+    if decomp:
+        from tpgsd.parallel import make_mesh2d, make_mesh3d
+        from tpgsd.sph import (
+            collect_state,
+            distribute_state,
+            distribute_state_2d,
+            distribute_state_3d,
+            make_adaptive_distributed_step_fn,
+            make_adaptive_distributed2d_step_fn,
+            make_adaptive_distributed3d_step_fn,
+            make_distributed_step_fn,
+            make_distributed2d_step_fn,
+            make_distributed3d_step_fn,
+        )
+
+        n_dev = len(jax.devices())
+        dims = db.grid.dims
+
+        def _fit_mesh(nd):
+            # best mesh shape: maximize devices used, then balance
+            # (divisibility: each factor must divide its grid axis)
+            best = [(1,) * nd]
+
+            def rec(ax, rem, cur):
+                if ax == nd:
+                    key = (int(numpy.prod(cur)), -sum(cur))
+                    bkey = (int(numpy.prod(best[0])), -sum(best[0]))
+                    if key > bkey:
+                        best[0] = tuple(cur)
+                    return
+                for d in range(1, rem + 1):
+                    if rem % d == 0 and dims[ax] % d == 0:
+                        rec(ax + 1, rem // d, cur + [d])
+
+            rec(0, n_dev, [])
+            return best[0]
+
+        kw = dict(n_fixed=n_fixed, periodic=periodic, xsph=args.xsph,
+                  density_renorm=args.density_renorm)
+        if args.adaptive:
+            kw["cfl"] = args.cfl
+        if decomp == "slab":
+            shape = _fit_mesh(1)
+            mesh = make_mesh(n_devices=shape[0])
+            state, cap = distribute_state(state, db.grid, mesh)
+            build = (make_adaptive_distributed_step_fn if args.adaptive
+                     else make_distributed_step_fn)
+        elif decomp == "2d":
+            shape = _fit_mesh(2)
+            mesh = make_mesh2d(shape=shape)
+            state, cap = distribute_state_2d(state, db.grid, mesh)
+            build = (make_adaptive_distributed2d_step_fn if args.adaptive
+                     else make_distributed2d_step_fn)
+        else:
+            shape = _fit_mesh(3)
+            mesh = make_mesh3d(shape=shape)
+            state, cap = distribute_state_3d(state, db.grid, mesh)
+            build = (make_adaptive_distributed3d_step_fn if args.adaptive
+                     else make_distributed3d_step_fn)
+        step = build(db.grid, db.params, mesh, capacity=cap, **kw)
+        print("decomposed (%s) over mesh %s: %d of %d devices, %d "
+              "slots/device"
+              % (decomp, shape, int(numpy.prod(shape)), n_dev, cap))
+    elif args.sharded and len(jax.devices()) > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = make_mesh()
@@ -181,12 +254,39 @@ def main(argv=None):
         for i in range(args.steps):
             if args.adaptive:
                 t_sim = t_sim + dt
-                state, (rho, pres, overflow), dt = step(state, dt)
+                if decomp:
+                    state, aux, dt = step(state, dt)
+                else:
+                    state, (rho, pres, overflow), dt = step(state, dt)
             else:
-                state, (rho, pres, overflow) = step(state)
+                if decomp:
+                    state, aux = step(state)
+                else:
+                    state, (rho, pres, overflow) = step(state)
             if i % args.every == 0:
-                dump.submit(
-                    {
+                if decomp:
+                    # gather the compact global frame (demo-simple; the
+                    # cross-process production path streams the sharded
+                    # slot arrays directly - see
+                    # tests/test_multiprocess.py dump-cycle test)
+                    xh, vh = collect_state(state, db.n)
+                    pid_h = numpy.asarray(state.pid)
+                    alive = pid_h >= 0
+                    rho_h = numpy.full(db.n, db.params.rho0, numpy.float32)
+                    pres_h = numpy.zeros(db.n, numpy.float32)
+                    rho_h[pid_h[alive]] = numpy.asarray(aux.rho)[alive]
+                    pres_h[pid_h[alive]] = numpy.asarray(aux.p)[alive]
+                    frame = {
+                        "particles/position": xh,
+                        "particles/velocity": vh,
+                        "particles/density": rho_h,
+                        "particles/pressure": pres_h,
+                        "particles/slength": numpy.full(
+                            db.n, db.params.h, numpy.float32
+                        ),
+                    }
+                else:
+                    frame = {
                         "particles/position": state.x,
                         "particles/velocity": state.v,
                         "particles/density": rho,
@@ -194,9 +294,8 @@ def main(argv=None):
                         "particles/slength": jnp.full(
                             state.x.shape[0], db.params.h, jnp.float32
                         ),
-                    },
-                    step=i,
-                )
+                    }
+                dump.submit(frame, step=i)
         dump.flush()
 
     if args.adaptive:

@@ -325,3 +325,28 @@ def test_dam_break_on_device_matches_host_builder():
             numpy.asarray(a.state.x), numpy.asarray(b.state.x), atol=1e-6
         )
         assert not numpy.asarray(b.state.v).any()
+
+
+def test_demo_decomp_flag(tmp_path):
+    """The demo's --decomp flag runs the explicit decomposition paths
+    end to end (best-fit mesh over the virtual devices, host-gathered
+    dumps) and writes a readable trajectory."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "examples")
+    )
+    import dam_break_demo
+
+    import tpgsd.hoomd
+
+    for decomp in ("slab", "2d", "3d"):
+        out = str(tmp_path / ("demo_%s.gsd" % decomp))
+        dam_break_demo.main(
+            ["--decomp", decomp, "--steps", "4", "--every", "2",
+             "--n-side", "8", "--out", out]
+        )
+        with tpgsd.hoomd.open(out, mode="r") as traj:
+            assert len(traj) == 2
+            assert traj[1].configuration.step == 2
