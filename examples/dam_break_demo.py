@@ -52,6 +52,10 @@ def main(argv=None):
                    help="safety factor for --adaptive (default 0.25)")
     p.add_argument("--xsph", type=float, default=0.0,
                    help="XSPH drift-smoothing strength (e.g. 0.5)")
+    p.add_argument("--surface-tension", type=float, default=0.0,
+                   help="cohesion strength gamma of the reduced Akinci "
+                        "surface-tension model (momentum-exact pairwise "
+                        "cohesion; drops contract and merge)")
     p.add_argument("--density-renorm", action="store_true",
                    help="free-surface density floor (no negative "
                         "surface pressures)")
@@ -167,7 +171,8 @@ def main(argv=None):
             return best[0]
 
         kw = dict(n_fixed=n_fixed, periodic=periodic, xsph=args.xsph,
-                  density_renorm=args.density_renorm)
+                  density_renorm=args.density_renorm,
+                  surface_tension=args.surface_tension)
         if args.adaptive:
             kw["cfl"] = args.cfl
         if decomp == "slab":
@@ -209,6 +214,7 @@ def main(argv=None):
                 make_adaptive_step_fn(
                     db.grid, db.params, cfl=args.cfl, n_fixed=n_fixed,
                     xsph=args.xsph, density_renorm=args.density_renorm,
+                    surface_tension=args.surface_tension,
                 ),
                 in_shardings=(state_sh, None),
                 out_shardings=(state_sh, aux_sh, None),
@@ -218,6 +224,7 @@ def main(argv=None):
                 make_step_fn(
                     db.grid, db.params, n_fixed=n_fixed, xsph=args.xsph,
                     density_renorm=args.density_renorm,
+                    surface_tension=args.surface_tension,
                 ),
                 in_shardings=(state_sh,),
                 out_shardings=(state_sh, aux_sh),
@@ -233,6 +240,7 @@ def main(argv=None):
         kw = dict(
             n_fixed=n_fixed, periodic=periodic,
             xsph=args.xsph, density_renorm=args.density_renorm,
+            surface_tension=args.surface_tension,
             spill=args.spill, use_pallas=True if args.spill else "auto",
         )
         if args.adaptive:

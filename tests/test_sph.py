@@ -558,3 +558,73 @@ def test_adaptive_with_fixed_boundary_particles():
         numpy.asarray(sc.state.x)[: sc.n_fixed],
     )
     assert float(dt) > 0.0
+
+
+def test_surface_tension_conserves_momentum():
+    """The cohesion spline is symmetric and dx antisymmetric, so the
+    pairwise surface-tension forces are equal-and-opposite: the total
+    momentum kick sums to ~0 (equal masses)."""
+    db = dam_break(n_side=8, box=(1.0, 1.0, 1.0), fill=(1.0, 1.0, 1.0))
+    x = db.state.x
+
+    from tpgsd.sph.cells import (
+        build_cells,
+        gather_from_cells,
+        scatter_to_cells,
+    )
+    from tpgsd.sph.step import _cohesion_blocks
+
+    cells = build_cells(x, db.grid)
+    dense_x = scatter_to_cells(x, cells, db.grid)
+    rho, _ = density_and_pressure(x, db.grid, db.params)
+    dense_rho = scatter_to_cells(rho, cells, db.grid, fill=db.params.rho0)
+    nbr = neighbor_table(db.grid)
+    coh_dense = _cohesion_blocks(
+        dense_x, dense_rho, cells.mask, nbr, db.params, WendlandC2, 32,
+        gamma=1.0,
+    )
+    coh_dense = jnp.concatenate(
+        [coh_dense, jnp.zeros((1, db.grid.capacity, 3), coh_dense.dtype)]
+    )
+    coh = numpy.asarray(gather_from_cells(coh_dense, cells, db.grid))
+
+    total = numpy.abs(coh.sum(axis=0))
+    scale = numpy.abs(coh).sum()
+    assert scale > 0  # the pass actually produced forces
+    assert (total < 1e-4 * scale).all(), (total, scale)
+
+
+def test_surface_tension_contracts_free_drop():
+    """A free cube of fluid with cohesion and no gravity contracts (its
+    rms distance from the centroid shrinks); without cohesion it does
+    not.  The physical signature of surface tension: drops pull toward
+    spheres."""
+    db = dam_break(
+        n_side=6, box=(1.0, 1.0, 1.0), fill=(0.4, 0.4, 0.4),
+    )
+    # center the block so the contraction is wall-free
+    x0 = jnp.asarray(db.state.x) + jnp.asarray([0.3, 0.3, 0.3], jnp.float32)
+    params = db.params._replace(gravity=(0.0, 0.0, 0.0))
+
+    def rms_radius(x):
+        c = x.mean(axis=0)
+        return float(numpy.sqrt(((numpy.asarray(x) - c) ** 2).sum(1).mean()))
+
+    def run(gamma):
+        step = jax.jit(
+            make_step_fn(db.grid, params, surface_tension=gamma)
+        )
+        s = SPHState(x=x0, v=jnp.zeros_like(x0))
+        for _ in range(60):
+            s, _ = step(s)
+        return s
+
+    r0 = rms_radius(x0)
+    s_coh = run(gamma=2.0)
+    assert numpy.isfinite(numpy.asarray(s_coh.x)).all()
+    r_coh = rms_radius(s_coh.x)
+    s_free = run(gamma=0.0)
+    r_free = rms_radius(s_free.x)
+    # cohesion pulls the drop inward relative to the cohesion-free run
+    assert r_coh < r_free
+    assert r_coh < r0

@@ -46,6 +46,7 @@ from .cells import CellGrid, _sorted_slot_map, neighbor_table
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
+    _cohesion_blocks,
     _density_blocks,
     _energy_blocks,
     _mimage_of,
@@ -209,6 +210,7 @@ def make_distributed_step_fn(
     decomp_axis=0,
     xsph=0.0,
     density_renorm=False,
+    surface_tension=0.0,
     _traced_dt=False,
 ):
     """Build the slab-decomposed distributed step.
@@ -478,6 +480,11 @@ def make_distributed_step_fn(
             acc_d = _accel_blocks(
                 ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params, kernel,
                 block, mimage=mimage,
+            )
+        if surface_tension > 0:
+            acc_d = acc_d + _cohesion_blocks(
+                ext_x, rho_d, ext_mask, nbr_ext, params, kernel, block,
+                surface_tension, mimage=mimage,
             )
         # slice the core planes back out and bundle acc/rho/p (and du)
         # as columns of ONE particle-order gather - n-element gathers

@@ -58,6 +58,7 @@ from .distributed import (
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
+    _cohesion_blocks,
     _density_blocks,
     _energy_blocks,
     _mimage_of,
@@ -183,6 +184,7 @@ def make_distributed2d_step_fn(
     compute_energy=False,
     xsph=0.0,
     density_renorm=False,
+    surface_tension=0.0,
     _traced_dt=False,
 ):
     """Build the 2-D block-decomposed distributed step.
@@ -382,6 +384,11 @@ def make_distributed2d_step_fn(
             acc_d = _accel_blocks(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
                 kernel, block, mimage=mimage,
+            )
+        if surface_tension > 0:
+            acc_d = acc_d + _cohesion_blocks(
+                ext_x, rho_d2, ext_mask, nbr_ext, params, kernel, block,
+                surface_tension, mimage=mimage,
             )
 
         # bundle core outputs as columns of ONE particle-order gather

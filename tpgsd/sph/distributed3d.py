@@ -61,6 +61,7 @@ from .distributed2d import _block_perms, _migrate_axis
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
+    _cohesion_blocks,
     _density_blocks,
     _energy_blocks,
     _renormalize_density,
@@ -131,6 +132,7 @@ def make_distributed3d_step_fn(
     compute_energy=False,
     xsph=0.0,
     density_renorm=False,
+    surface_tension=0.0,
     _traced_dt=False,
 ):
     """Build the 3-D block-decomposed distributed step.
@@ -331,6 +333,11 @@ def make_distributed3d_step_fn(
             acc_d = _accel_blocks(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
                 kernel, block,
+            )
+        if surface_tension > 0:
+            acc_d = acc_d + _cohesion_blocks(
+                ext_x, rho_d2, ext_mask, nbr_ext, params, kernel, block,
+                surface_tension,
             )
 
         # bundle core outputs as columns of ONE particle-order gather

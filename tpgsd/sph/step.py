@@ -197,6 +197,68 @@ def _xsph_blocks(
     )
 
 
+def _cohesion_c(r, hs):
+    """Akinci et al. (2013) cohesion spline ``C(r)`` at support ``hs``.
+
+    Piecewise sextic with 3-D normalization ``32/(pi hs^9)``: attractive
+    over ``hs/2 < r <= hs``, turning repulsive below ``~hs/4`` (the
+    ``-hs^6/64`` shift) so cohesion alone never collapses particles
+    onto each other.  ``hs`` is the kernel SUPPORT (2h in this
+    framework's h convention), so cohesion reaches exactly the pairs
+    the cell list already visits.
+    """
+    c = 32.0 / (jnp.pi * hs**9)
+    hr = jnp.maximum(hs - r, 0.0)
+    core = hr**3 * r**3
+    outer = jnp.where(r <= hs, core, 0.0)
+    inner = 2.0 * core - hs**6 / 64.0
+    return c * jnp.where(r > 0.5 * hs, outer, inner)
+
+
+def _cohesion_blocks(
+    dense_x, dense_rho, mask, nbr, params, kernel, block, gamma, mimage=None
+):
+    """Per-slot surface-tension (cohesion) acceleration -> ``[c, K, 3]``.
+
+    The reduced Akinci surface-tension model: pairwise cohesion
+
+        a_i = -gamma * m * sum_j K_ij C(|dx|) dx/|dx|,
+        K_ij = 2 rho0 / (rho_i + rho_j)
+
+    (the curvature term, which needs surface normals, is omitted - the
+    widely-used cohesion-only reduction).  ``C`` symmetric and ``dx``
+    antisymmetric make the pair forces equal-and-opposite, so total
+    momentum is conserved exactly (``test_surface_tension_conserves_
+    momentum``); the ``K_ij`` correction keeps the force magnitude
+    rest-density-scaled at free surfaces.
+    """
+    k = dense_x.shape[1]
+    hs = kernel.support_scale * params.h
+
+    def one_block(args):
+        xb, _vb, rhob, _rb, mb, nb = args
+        y = dense_x[nb].reshape(block, 27 * k, 3)
+        rhoy = dense_rho[nb].reshape(block, 27 * k)
+        ym = mask[nb].reshape(block, 27 * k)
+
+        dx = _min_image(xb[:, :, None, :] - y[:, None, :, :], mimage)
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        kij = 2.0 * params.rho0 / (rhob[:, :, None] + rhoy[:, None, :])
+        # C(r)/r is finite at r=0 only through the dx factor; the self
+        # pair has dx = 0, so the safe divisor drops it exactly
+        scale = (
+            -gamma * params.mass * kij * _cohesion_c(r, hs)
+            / jnp.maximum(r, 1e-12)
+        ) * ym[:, None, :]
+        acc = jnp.sum(scale[..., None] * dx, axis=2)
+        return acc * mb[:, :, None]
+
+    return _pair_blocks(
+        one_block, (dense_x, dense_x, dense_rho, dense_rho), mask, nbr,
+        block, (3,),
+    )
+
+
 def _pair_terms(xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage=None):
     """Shared pair machinery of the momentum AND energy equations:
     returns ``(dx, dwr, press_plus_pi, vdotx)``.
@@ -411,6 +473,7 @@ def make_step_fn(
     periodic=False,
     density_renorm=False,
     xsph=0.0,
+    surface_tension=0.0,
     spill=False,
     _traced_dt=False,
 ):
@@ -466,6 +529,12 @@ def make_step_fn(
             NEUTRAL on the quasi-static hydrostatic settle, where
             viscous damping already governs (v_rms 0.071 -> 0.084).
             See :func:`_xsph_blocks`.
+        surface_tension: cohesion strength gamma of the reduced Akinci
+            surface-tension model (0 = off).  Momentum-exact pairwise
+            cohesion at the kernel support; free drops contract toward
+            spheres and nearby drops merge.  Costs one extra (jnp) pair
+            pass regardless of the density/accel compute path.  See
+            :func:`_cohesion_blocks`.
         spill: two-tier cell layout (Pallas path only).  ``grid.capacity``
             sizes the MAIN tier - set it just above the typical cell
             occupancy instead of the worst cell (e.g.
@@ -567,6 +636,12 @@ def make_step_fn(
                 "spill mode does not yet compose with xsph (the XSPH "
                 "pair pass runs on the single-tier jnp layout)"
             )
+        if surface_tension > 0:
+            raise NotImplementedError(
+                "spill mode does not yet compose with surface_tension "
+                "(the cohesion pair pass runs on the single-tier jnp "
+                "layout)"
+            )
         if not _po.spill_supported(grid):
             raise ValueError(
                 "spill needs a packed capacity (24 <= K <= 64, multiple "
@@ -645,8 +720,8 @@ def make_step_fn(
                 jnp.concatenate([x, v], axis=-1), cells, grid
             )
             dense_x_soa, dense_v_soa = xv_soa[:3], xv_soa[3:]
-            if xsph > 0:
-                # the (jnp) XSPH pair pass indexes AoS + sentinel row
+            if xsph > 0 or surface_tension > 0:
+                # the (jnp) XSPH/cohesion pair passes index AoS + sentinel
                 xv = jnp.concatenate(
                     [
                         jnp.moveaxis(xv_soa, 0, -1),
@@ -691,6 +766,11 @@ def make_step_fn(
             acc_dense = _accel_blocks(
                 dense_x, dense_v, rho_dense, p_dense, cells.mask,
                 nbr_static, params, kernel, block, mimage=mimage,
+            )
+        if surface_tension > 0:
+            acc_dense = acc_dense + _cohesion_blocks(
+                dense_x, rho_dense, cells.mask, nbr_static, params, kernel,
+                block, surface_tension, mimage=mimage,
             )
         # one fused particle-order gather for acc, rho, p (and the XSPH
         # correction): stack the per-slot outputs as columns, gather
