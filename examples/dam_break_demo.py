@@ -136,6 +136,7 @@ def main(argv=None):
     if decomp:
         from tpgsd.parallel import make_mesh2d, make_mesh3d
         from tpgsd.sph import (
+            collect_aux,
             collect_state,
             distribute_state,
             distribute_state_2d,
@@ -278,12 +279,9 @@ def main(argv=None):
                     # slot arrays directly - see
                     # tests/test_multiprocess.py dump-cycle test)
                     xh, vh = collect_state(state, db.n)
-                    pid_h = numpy.asarray(state.pid)
-                    alive = pid_h >= 0
-                    rho_h = numpy.full(db.n, db.params.rho0, numpy.float32)
-                    pres_h = numpy.zeros(db.n, numpy.float32)
-                    rho_h[pid_h[alive]] = numpy.asarray(aux.rho)[alive]
-                    pres_h[pid_h[alive]] = numpy.asarray(aux.p)[alive]
+                    rho_h, pres_h, _du = collect_aux(
+                        state, aux, db.n, params=db.params
+                    )
                     frame = {
                         "particles/position": xh,
                         "particles/velocity": vh,

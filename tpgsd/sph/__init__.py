@@ -54,6 +54,7 @@ from .checkpoint import (  # noqa: F401
 from .distributed import (  # noqa: F401
     DistAux,
     DistState,
+    collect_aux,
     collect_state,
     distribute_state,
     make_adaptive_distributed_step_fn,

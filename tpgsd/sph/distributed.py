@@ -855,3 +855,26 @@ def collect_state(dist_state, n_global):
     out_x[pid[alive]] = x[alive]
     out_v[pid[alive]] = v[alive]
     return out_x, out_v
+
+
+def collect_aux(dist_state, aux, n_global, params=None):
+    """Gather a :class:`DistAux`'s per-particle fields to host pid order.
+
+    The slot-array analogue of :func:`collect_state` for the step's
+    outputs: returns ``(rho, p)`` numpy ``[n_global]`` arrays (plus
+    ``dudt`` when the step was built with ``compute_energy=True`` -
+    always returned, zeros otherwise).  Rows of particles currently
+    absent (dead everywhere - should not happen unless migration
+    overflowed) hold ``rho0``/0; pass ``params`` to use its ``rho0``,
+    else 0.
+    """
+    pid = np.asarray(dist_state.pid)
+    alive = pid >= 0
+    rho0 = float(params.rho0) if params is not None else 0.0
+    out_rho = np.full(n_global, rho0, np.float32)
+    out_p = np.zeros(n_global, np.float32)
+    out_du = np.zeros(n_global, np.float32)
+    out_rho[pid[alive]] = np.asarray(aux.rho)[alive]
+    out_p[pid[alive]] = np.asarray(aux.p)[alive]
+    out_du[pid[alive]] = np.asarray(aux.dudt)[alive]
+    return out_rho, out_p, out_du
