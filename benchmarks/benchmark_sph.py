@@ -67,6 +67,12 @@ def main(argv=None):
                    help="also benchmark the two-tier spill layout "
                         "(main tier sized at 1.15x the densest initial "
                         "cell instead of the single-tier 1.5x)")
+    p.add_argument("--decomp", choices=["slab", "2d", "3d"], default=None,
+                   help="also benchmark the explicit domain decomposition "
+                        "(shard_map + ppermute halos + migration) on a "
+                        "best-fit mesh over the available devices - on one "
+                        "device this measures the pure halo-machinery "
+                        "overhead vs the global step")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices")
     args = p.parse_args(argv)
@@ -125,6 +131,61 @@ def main(argv=None):
         print(
             "spill%-3d: %7.2f ms/step  %12.3g particle-steps/s  (%.2fx)"
             % (ka, dt_sp * 1e3, db.n / dt_sp, dt / dt_sp)
+        )
+
+    if args.decomp:
+        import numpy
+        from tpgsd.parallel import make_mesh, make_mesh2d, make_mesh3d
+        from tpgsd.sph import (
+            distribute_state,
+            distribute_state_2d,
+            distribute_state_3d,
+            make_distributed_step_fn,
+            make_distributed2d_step_fn,
+            make_distributed3d_step_fn,
+        )
+
+        n_dev = len(jax.devices())
+        dims = db.grid.dims
+        nd = {"slab": 1, "2d": 2, "3d": 3}[args.decomp]
+        best = [(1,) * nd]
+
+        def rec(ax, rem, cur):
+            if ax == nd:
+                key = (int(numpy.prod(cur)), -sum(cur))
+                if key > (int(numpy.prod(best[0])), -sum(best[0])):
+                    best[0] = tuple(cur)
+                return
+            for d in range(1, rem + 1):
+                if rem % d == 0 and dims[ax] % d == 0:
+                    rec(ax + 1, rem // d, cur + [d])
+
+        rec(0, n_dev, [])
+        shape = best[0]
+        if nd == 1:
+            mesh = make_mesh(n_devices=shape[0])
+            dist, dcap = distribute_state(db.state, db.grid, mesh)
+            step_d = make_distributed_step_fn(
+                db.grid, db.params, mesh, capacity=dcap
+            )
+        elif nd == 2:
+            mesh = make_mesh2d(shape=shape)
+            dist, dcap = distribute_state_2d(db.state, db.grid, mesh)
+            step_d = make_distributed2d_step_fn(
+                db.grid, db.params, mesh, capacity=dcap
+            )
+        else:
+            mesh = make_mesh3d(shape=shape)
+            dist, dcap = distribute_state_3d(db.state, db.grid, mesh)
+            step_d = make_distributed3d_step_fn(
+                db.grid, db.params, mesh, capacity=dcap
+            )
+        dt_d, _ = bench_step(step_d, dist, args.steps)
+        print(
+            "%s%-5s: %7.2f ms/step  %12.3g particle-steps/s  "
+            "(%.2fx vs global; mesh %s, %d slots/device)"
+            % (args.decomp, str(shape), dt_d * 1e3, db.n / dt_d,
+               dt / dt_d, shape, dcap)
         )
 
     if args.slabs:

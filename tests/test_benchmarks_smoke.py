@@ -73,3 +73,11 @@ def test_benchmark_overlap_smoke(tmp_path):
         )
         == 0
     )
+
+
+def test_benchmark_sph_decomp_smoke(capsys):
+    import benchmark_sph
+
+    benchmark_sph.main(["--n-side", "8", "--steps", "2", "--decomp", "3d"])
+    out = capsys.readouterr().out
+    assert "jnp" in out and "3d" in out
