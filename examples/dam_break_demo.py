@@ -53,9 +53,9 @@ def main(argv=None):
     p.add_argument("--xsph", type=float, default=0.0,
                    help="XSPH drift-smoothing strength (e.g. 0.5)")
     p.add_argument("--surface-tension", type=float, default=0.0,
-                   help="cohesion strength gamma of the reduced Akinci "
-                        "surface-tension model (momentum-exact pairwise "
-                        "cohesion; drops contract and merge)")
+                   help="strength gamma of the Akinci surface-tension "
+                        "model (cohesion + curvature, momentum-exact; "
+                        "drops contract and merge)")
     p.add_argument("--density-renorm", action="store_true",
                    help="free-surface density floor (no negative "
                         "surface pressures)")

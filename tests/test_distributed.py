@@ -708,3 +708,34 @@ def test_density_renorm_matches_single_device():
     numpy.testing.assert_allclose(
         v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
     )
+
+
+def test_surface_tension_matches_single_device():
+    """surface_tension on the slab mesh: normals are owner-exchanged
+    like rho/p before the force pass, so the trajectory matches the
+    single-device Akinci step."""
+    state, grid, params = _divisible_setup()
+    n = state.x.shape[0]
+    mesh = make_mesh()
+    gamma = 0.5
+
+    step_ref = jax.jit(make_step_fn(grid, params, surface_tension=gamma))
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, surface_tension=gamma
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )

@@ -46,7 +46,8 @@ from .cells import CellGrid, _sorted_slot_map, neighbor_table
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
-    _cohesion_blocks,
+    _st_force_blocks,
+    _st_normals_blocks,
     _density_blocks,
     _energy_blocks,
     _mimage_of,
@@ -482,9 +483,25 @@ def make_distributed_step_fn(
                 block, mimage=mimage,
             )
         if surface_tension > 0:
-            acc_d = acc_d + _cohesion_blocks(
+            # Akinci surface tension needs neighbor NORMALS; like rho/p,
+            # ghost normals computed locally have truncated neighborhoods,
+            # so exchange the owner-computed boundary planes first
+            n_loc = _st_normals_blocks(
                 ext_x, rho_d, ext_mask, nbr_ext, params, kernel, block,
-                surface_tension, mimage=mimage,
+                mimage=mimage,
+            )
+            n_core = n_loc[core]
+            gl_n = jax.lax.ppermute(
+                n_core[c_local - nynz :], axis_name, send_right
+            )
+            gr_n = jax.lax.ppermute(n_core[:nynz], axis_name, send_left)
+            n_d = jnp.concatenate(
+                [gl_n, n_core, gr_n, jnp.zeros((1, k, 3), n_core.dtype)]
+            )
+            n_d = jnp.where(ext_mask[..., None], n_d, 0.0)
+            acc_d = acc_d + _st_force_blocks(
+                ext_x, n_d, rho_d, ext_mask, nbr_ext, params, kernel,
+                block, surface_tension, mimage=mimage,
             )
         # slice the core planes back out and bundle acc/rho/p (and du)
         # as columns of ONE particle-order gather - n-element gathers

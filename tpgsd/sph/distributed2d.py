@@ -58,7 +58,8 @@ from .distributed import (
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
-    _cohesion_blocks,
+    _st_force_blocks,
+    _st_normals_blocks,
     _density_blocks,
     _energy_blocks,
     _mimage_of,
@@ -386,9 +387,29 @@ def make_distributed2d_step_fn(
                 kernel, block, mimage=mimage,
             )
         if surface_tension > 0:
-            acc_d = acc_d + _cohesion_blocks(
+            # Akinci surface tension needs neighbor NORMALS; like rho/p,
+            # ghost normals computed locally have truncated neighborhoods,
+            # so exchange the owner-computed values first (normals are
+            # vectors - periodic seams need no coordinate shift)
+            n_loc = _st_normals_blocks(
                 ext_x, rho_d2, ext_mask, nbr_ext, params, kernel, block,
-                surface_tension, mimage=mimage,
+                mimage=mimage,
+            )
+            n_pay = jnp.concatenate(
+                [
+                    _core2d(n_loc, nxl, nyl, nz),
+                    jnp.zeros((1, k, 3), n_loc.dtype),
+                ],
+                axis=0,
+            )
+            n_d = jnp.where(
+                ext_mask[..., None],
+                _halo2d(n_pay, nxl, nyl, nz, ax_x, ax_y, perms),
+                0.0,
+            )
+            acc_d = acc_d + _st_force_blocks(
+                ext_x, n_d, rho_d2, ext_mask, nbr_ext, params, kernel,
+                block, surface_tension, mimage=mimage,
             )
 
         # bundle core outputs as columns of ONE particle-order gather

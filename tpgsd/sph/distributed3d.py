@@ -61,7 +61,8 @@ from .distributed2d import _block_perms, _migrate_axis
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
-    _cohesion_blocks,
+    _st_force_blocks,
+    _st_normals_blocks,
     _density_blocks,
     _energy_blocks,
     _renormalize_density,
@@ -335,9 +336,28 @@ def make_distributed3d_step_fn(
                 kernel, block,
             )
         if surface_tension > 0:
-            acc_d = acc_d + _cohesion_blocks(
-                ext_x, rho_d2, ext_mask, nbr_ext, params, kernel, block,
-                surface_tension,
+            # Akinci surface tension needs neighbor NORMALS; like rho/p,
+            # ghost normals computed locally have truncated neighborhoods,
+            # so exchange the owner-computed values first (normals are
+            # vectors - periodic seams need no coordinate shift)
+            n_loc = _st_normals_blocks(
+                ext_x, rho_d2, ext_mask, nbr_ext, params, kernel, block
+            )
+            n_pay = jnp.concatenate(
+                [
+                    _core3d(n_loc, nxl, nyl, nzl),
+                    jnp.zeros((1, k, 3), n_loc.dtype),
+                ],
+                axis=0,
+            )
+            n_d = jnp.where(
+                ext_mask[..., None],
+                _halo3d(n_pay, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms),
+                0.0,
+            )
+            acc_d = acc_d + _st_force_blocks(
+                ext_x, n_d, rho_d2, ext_mask, nbr_ext, params, kernel,
+                block, surface_tension,
             )
 
         # bundle core outputs as columns of ONE particle-order gather

@@ -218,43 +218,103 @@ def _cohesion_c(r, hs):
 def _cohesion_blocks(
     dense_x, dense_rho, mask, nbr, params, kernel, block, gamma, mimage=None
 ):
-    """Per-slot surface-tension (cohesion) acceleration -> ``[c, K, 3]``.
+    """Per-slot surface-tension acceleration -> ``[c, K, 3]``.
 
-    The reduced Akinci surface-tension model: pairwise cohesion
+    The Akinci et al. (2013) surface-tension model, both terms:
 
-        a_i = -gamma * m * sum_j K_ij C(|dx|) dx/|dx|,
+        a_i = -gamma * sum_j K_ij [ m C(|dx|) dx/|dx| + (n_i - n_j) ],
+        n_i = hs * sum_j (m / rho_j) grad_W_ij,
         K_ij = 2 rho0 / (rho_i + rho_j)
 
-    (the curvature term, which needs surface normals, is omitted - the
-    widely-used cohesion-only reduction).  ``C`` symmetric and ``dx``
-    antisymmetric make the pair forces equal-and-opposite, so total
-    momentum is conserved exactly (``test_surface_tension_conserves_
-    momentum``); the ``K_ij`` correction keeps the force magnitude
-    rest-density-scaled at free surfaces.
+    cohesion (the spline term) pulls surface particles together;
+    the curvature term (the normal difference - normals point out of
+    the fluid and vanish in the bulk, so ``n_i - n_j`` measures local
+    curvature) flattens high-curvature regions and is what makes drops
+    round rather than merely clumped.  Both pair terms are
+    antisymmetric under i<->j (equal masses), so total momentum is
+    conserved exactly (``test_surface_tension_conserves_momentum``);
+    the ``K_ij`` correction keeps force magnitudes rest-density-scaled
+    at free surfaces.  Costs two pair passes (normals, then forces).
     """
+    n_dense = _st_normals_blocks(
+        dense_x, dense_rho, mask, nbr, params, kernel, block, mimage=mimage
+    )
+    n_dense = jnp.concatenate(
+        [n_dense, jnp.zeros((1, dense_x.shape[1], 3), n_dense.dtype)]
+    )
+    return _st_force_blocks(
+        dense_x, n_dense, dense_rho, mask, nbr, params, kernel, block,
+        gamma, mimage=mimage,
+    )
+
+
+def _st_normals_blocks(
+    dense_x, dense_rho, mask, nbr, params, kernel, block, mimage=None
+):
+    """Akinci surface normals ``n_i = hs sum_j (m/rho_j) grad_W_ij``
+    -> ``[c, K, 3]``.  Distributed callers must OWNER-exchange boundary
+    normals before the force pass (ghost cells' local normals have
+    truncated neighborhoods), exactly like rho/p."""
     k = dense_x.shape[1]
     hs = kernel.support_scale * params.h
 
-    def one_block(args):
-        xb, _vb, rhob, _rb, mb, nb = args
+    def normals_block(args):
+        xb, _vb, _rhob, _rb, mb, nb = args
         y = dense_x[nb].reshape(block, 27 * k, 3)
         rhoy = dense_rho[nb].reshape(block, 27 * k)
         ym = mask[nb].reshape(block, 27 * k)
 
         dx = _min_image(xb[:, :, None, :] - y[:, None, :, :], mimage)
         r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-        kij = 2.0 * params.rho0 / (rhob[:, :, None] + rhoy[:, None, :])
-        # C(r)/r is finite at r=0 only through the dx factor; the self
-        # pair has dx = 0, so the safe divisor drops it exactly
-        scale = (
+        dwr = kernel.dw_over_r(r, params.h, dim=params.dim)
+        coef = (params.mass / rhoy[:, None, :]) * dwr * ym[:, None, :]
+        n = hs * jnp.sum(coef[..., None] * dx, axis=2)
+        return n * mb[:, :, None]
+
+    return _pair_blocks(
+        normals_block, (dense_x, dense_x, dense_rho, dense_rho), mask, nbr,
+        block, (3,),
+    )
+
+
+def _st_force_blocks(
+    dense_x, n_dense, dense_rho, mask, nbr, params, kernel, block, gamma,
+    mimage=None,
+):
+    """Akinci surface-tension force pass (cohesion + curvature) given
+    per-slot normals ``n_dense`` (``[c+1, K, 3]``, sentinel row last)
+    -> ``[c, K, 3]``."""
+    k = dense_x.shape[1]
+    hs = kernel.support_scale * params.h
+
+    def force_block(args):
+        # own normals ride the dense_v slot of the pair machinery, so
+        # they are padded/blocked in lockstep with the positions
+        xb, nself, rhob, _rb, mb, nb = args
+        y = dense_x[nb].reshape(block, 27 * k, 3)
+        rhoy = dense_rho[nb].reshape(block, 27 * k)
+        ny = n_dense[nb].reshape(block, 27 * k, 3)
+        ym = mask[nb].reshape(block, 27 * k)
+
+        dx = _min_image(xb[:, :, None, :] - y[:, None, :, :], mimage)
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        kij = (
+            2.0 * params.rho0 / (rhob[:, :, None] + rhoy[:, None, :])
+        ) * ym[:, None, :]
+        # cohesion: C(r)/r is finite at r=0 only through the dx factor;
+        # the self pair has dx = 0, so the safe divisor drops it exactly
+        coh = (
             -gamma * params.mass * kij * _cohesion_c(r, hs)
             / jnp.maximum(r, 1e-12)
-        ) * ym[:, None, :]
-        acc = jnp.sum(scale[..., None] * dx, axis=2)
+        )
+        acc = jnp.sum(coh[..., None] * dx, axis=2)
+        # curvature: -gamma K_ij (n_i - n_j); the self pair cancels
+        dn = nself[:, :, None, :] - ny[:, None, :, :]
+        acc = acc + jnp.sum((-gamma * kij)[..., None] * dn, axis=2)
         return acc * mb[:, :, None]
 
     return _pair_blocks(
-        one_block, (dense_x, dense_x, dense_rho, dense_rho), mask, nbr,
+        force_block, (dense_x, n_dense, dense_rho, dense_rho), mask, nbr,
         block, (3,),
     )
 
@@ -529,11 +589,12 @@ def make_step_fn(
             NEUTRAL on the quasi-static hydrostatic settle, where
             viscous damping already governs (v_rms 0.071 -> 0.084).
             See :func:`_xsph_blocks`.
-        surface_tension: cohesion strength gamma of the reduced Akinci
-            surface-tension model (0 = off).  Momentum-exact pairwise
-            cohesion at the kernel support; free drops contract toward
-            spheres and nearby drops merge.  Costs one extra (jnp) pair
-            pass regardless of the density/accel compute path.  See
+        surface_tension: strength gamma of the Akinci surface-tension
+            model (0 = off): pairwise spline cohesion PLUS the
+            curvature (normal-difference) term, both momentum-exact;
+            free drops contract toward spheres and nearby drops merge.
+            Costs two extra (jnp) pair passes (normals, then forces)
+            regardless of the density/accel compute path.  See
             :func:`_cohesion_blocks`.
         spill: two-tier cell layout (Pallas path only).  ``grid.capacity``
             sizes the MAIN tier - set it just above the typical cell
