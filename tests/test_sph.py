@@ -628,3 +628,174 @@ def test_surface_tension_contracts_free_drop():
     # cohesion pulls the drop inward relative to the cohesion-free run
     assert r_coh < r_free
     assert r_coh < r0
+
+
+# ---------------------------------------------------------------------------
+# continuity-density mode (density_mode="continuity" + init_density)
+# ---------------------------------------------------------------------------
+
+
+def test_init_density_seeds_summation_and_override():
+    """Default seed equals the summation density; explicit seeds broadcast."""
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=5)
+    seeded = init_density(db.state, db.grid, db.params)
+    rho_sum, _ = density_and_pressure(db.state.x, db.grid, db.params)
+    numpy.testing.assert_allclose(
+        numpy.asarray(seeded.rho), numpy.asarray(rho_sum), rtol=1e-6
+    )
+    # positions/velocities untouched
+    assert seeded.x is db.state.x and seeded.v is db.state.v
+
+    forced = init_density(db.state, db.grid, db.params, rho=db.params.rho0)
+    assert forced.rho.shape == (db.state.x.shape[0],)
+    numpy.testing.assert_allclose(
+        numpy.asarray(forced.rho), db.params.rho0, rtol=1e-7
+    )
+
+
+def test_continuity_step_requires_seed_and_rejects_bad_compositions():
+    db = dam_break(n_side=4)
+    step = make_step_fn(db.grid, db.params, density_mode="continuity")
+    with pytest.raises(ValueError, match="init_density"):
+        step(db.state)  # rho is None
+    with pytest.raises(ValueError, match="density_renorm"):
+        make_step_fn(
+            db.grid, db.params, density_mode="continuity",
+            density_renorm=True,
+        )
+    with pytest.raises(NotImplementedError):
+        make_step_fn(
+            db.grid, db.params, density_mode="continuity", spill=True,
+            use_pallas=True,
+        )
+    with pytest.raises(NotImplementedError):
+        make_step_fn(
+            db.grid, db.params, density_mode="continuity", use_pallas=True
+        )
+    with pytest.raises(ValueError, match="density_mode"):
+        make_step_fn(db.grid, db.params, density_mode="bogus")
+
+
+def test_continuity_first_step_matches_summation_exactly():
+    """Seeded with the summation density, the FIRST continuity step sees
+    the exact same rho/p field as the summation step, so positions and
+    velocities after one step agree to float tolerance (the
+    formulations only diverge from step 2 on, through the density
+    update).  A longer run then stays stable and weakly compressible."""
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=6)
+    step_s = jax.jit(make_step_fn(db.grid, db.params))
+    step_c = jax.jit(
+        make_step_fn(db.grid, db.params, density_mode="continuity")
+    )
+
+    s_sum, _ = step_s(db.state)
+    s_con, _ = step_c(init_density(db.state, db.grid, db.params))
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_con.x), numpy.asarray(s_sum.x), atol=1e-6
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_con.v), numpy.asarray(s_sum.v), atol=1e-4
+    )
+
+    for _ in range(40):
+        s_con, (rho_c, _, of) = step_c(s_con)
+    assert int(of) == 0
+    assert bool(jnp.isfinite(s_con.x).all())
+    # the evolved density is the aux output AND the carried state
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_con.rho), numpy.asarray(rho_c), rtol=1e-6
+    )
+    # stays weakly compressible
+    rho_c = numpy.asarray(rho_c)
+    assert (numpy.abs(rho_c / db.params.rho0 - 1.0) < 0.3).mean() > 0.9
+
+
+def test_continuity_free_surface_keeps_seeded_density():
+    """The summation free-surface deficit does not exist in continuity
+    mode: a resting lattice seeded at rho0 keeps surface densities at
+    rho0 (summation reads them ~40% low)."""
+    from tpgsd.sph import init_density, still_box
+
+    sb = still_box(n_side=6)
+    params = sb.params._replace(gravity=(0.0, 0.0, 0.0))
+    state = init_density(sb.state, sb.grid, params, rho=params.rho0)
+    step = jax.jit(make_step_fn(sb.grid, params, density_mode="continuity"))
+    for _ in range(5):
+        state, (rho, _, _) = step(state)
+    rho = numpy.asarray(rho)
+    # at rest, drho/dt = 0 exactly (v = 0 everywhere) -> density frozen
+    numpy.testing.assert_allclose(rho, params.rho0, rtol=1e-5)
+    rho_sum, _ = density_and_pressure(state.x, sb.grid, params)
+    assert float(jnp.min(rho_sum)) < 0.75 * params.rho0  # the deficit
+
+
+def test_continuity_under_scan_and_adaptive():
+    """The rho-carrying state threads through lax.scan and the adaptive
+    controller unchanged (same pytree in and out)."""
+    from tpgsd.sph import init_density, make_adaptive_step_fn
+
+    db = dam_break(n_side=5)
+    state0 = init_density(db.state, db.grid, db.params)
+
+    step = make_step_fn(db.grid, db.params, density_mode="continuity")
+
+    def body(state, _):
+        new, (rho, _, _) = step(state)
+        return new, rho.mean()
+
+    final, rho_means = jax.lax.scan(body, state0, None, length=10)
+    assert final.rho.shape == state0.rho.shape
+    assert bool(jnp.isfinite(rho_means).all())
+
+    astep = jax.jit(
+        make_adaptive_step_fn(db.grid, db.params, density_mode="continuity")
+    )
+    s = state0
+    dt = db.params.dt
+    for _ in range(5):
+        s, (rho, _, _), dt = astep(s, dt)
+    assert bool(jnp.isfinite(s.rho).all())
+    assert float(dt) > 0
+
+
+def test_continuity_delta_sph_damps_density_noise():
+    """delta-SPH diffusion reduces the acoustic density scatter a
+    sloshing run accumulates under pure continuity integration."""
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=6)
+
+    def run(delta):
+        step = jax.jit(
+            make_step_fn(
+                db.grid, db.params, density_mode="continuity",
+                delta_sph=delta,
+            )
+        )
+        s = init_density(db.state, db.grid, db.params)
+        for _ in range(80):
+            s, (rho, _, _) = step(s)
+        return float(jnp.std(rho))
+
+    assert run(0.1) < run(0.0)
+
+
+def test_continuity_composes_with_xsph_and_surface_tension():
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=5)
+    step = jax.jit(
+        make_step_fn(
+            db.grid, db.params, density_mode="continuity",
+            xsph=0.5, surface_tension=0.5,
+        )
+    )
+    s = init_density(db.state, db.grid, db.params)
+    for _ in range(10):
+        s, (rho, p, of) = step(s)
+    assert int(of) == 0
+    assert bool(jnp.isfinite(s.x).all() and jnp.isfinite(s.rho).all())

@@ -31,6 +31,7 @@ from .step import (  # noqa: F401
     SPHState,
     density_and_pressure,
     energy_rate,
+    init_density,
     make_adaptive_step_fn,
     make_step_fn,
     run_adaptive,

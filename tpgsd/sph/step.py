@@ -62,10 +62,19 @@ class SPHParams(NamedTuple):
 
 
 class SPHState(NamedTuple):
-    """Dynamic state: positions and velocities, ``[N, 3]`` float32."""
+    """Dynamic state: positions and velocities, ``[N, 3]`` float32.
+
+    ``rho`` is carried only in continuity-density mode
+    (``make_step_fn(density_mode="continuity")``), where density is a
+    state variable evolved by the continuity equation instead of being
+    re-summed from positions each step; the default summation mode
+    leaves it ``None`` (a static empty pytree slot - no cost under
+    jit).  Seed it with :func:`init_density`.
+    """
 
     x: jax.Array
     v: jax.Array
+    rho: jax.Array = None
 
 
 def tait_pressure(rho, params):
@@ -406,6 +415,70 @@ def _accel_blocks(
     )
 
 
+def _accel_drho_blocks(
+    dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block,
+    delta_sph, mimage=None,
+):
+    """Fused momentum + continuity pair pass -> ``[n_cells, K, 4]``.
+
+    Columns = [acc_x, acc_y, acc_z, drho/dt].  The continuity equation
+
+        drho_i/dt = sum_j m (v_i - v_j) . grad_i W_ij
+                  = sum_j m dwr vdotx
+
+    shares every pair term the momentum equation already computes, so
+    in continuity-density mode the separate density summation pass
+    disappears entirely - ONE neighbor sweep per step instead of two.
+
+    ``delta_sph`` adds Molteni-Colagrossi diffusion (the delta-SPH
+    scheme; delta ~ 0.1 is the standard production setting)::
+
+        D_i = delta h c0 sum_j (2 m / rho_j) (rho_i - rho_j)
+              dwr r^2 / (r^2 + eta^2),   eta = 0.1 h
+
+    which smooths the acoustic density noise WCSPH accumulates under
+    pure continuity integration (summation density self-corrects;
+    evolved density needs this term to).  With ``dwr <= 0`` the sign
+    is diffusive: a locally dense particle sheds density to lighter
+    neighbors.  The self pair contributes exactly 0 through ``r^2``.
+    """
+    k = dense_x.shape[1]
+    eta2 = (0.1 * params.h) ** 2
+    dcoef = 2.0 * delta_sph * params.h * params.c0 * params.mass
+
+    def one_block(args):
+        xb, vb, rhob, pb, mb, nb = args
+        y = dense_x[nb].reshape(block, 27 * k, 3)
+        vy = dense_v[nb].reshape(block, 27 * k, 3)
+        rhoy = dense_rho[nb].reshape(block, 27 * k)
+        py = dense_p[nb].reshape(block, 27 * k)
+        ym = mask[nb].reshape(block, 27 * k)
+
+        dx, dwr, press_pi, vdotx = _pair_terms(
+            xb, vb, rhob, pb, y, vy, rhoy, py, params, kernel, mimage
+        )
+        mdwr = params.mass * dwr * ym[:, None, :]  # [B,K,27K]
+        acc = jnp.sum((-press_pi * mdwr)[..., None] * dx, axis=2)
+        drho = params.mass * dwr * vdotx
+        if delta_sph > 0.0:
+            r2 = jnp.sum(dx * dx, axis=-1)
+            drho = drho + (
+                dcoef
+                * (rhob[:, :, None] - rhoy[:, None, :])
+                / rhoy[:, None, :]
+                * dwr
+                * r2
+                / (r2 + eta2)
+            )
+        drho = jnp.sum(drho * ym[:, None, :], axis=2)
+        out = jnp.concatenate([acc, drho[..., None]], axis=-1)
+        return out * mb[:, :, None]
+
+    return _pair_blocks(
+        one_block, (dense_x, dense_v, dense_rho, dense_p), mask, nbr, block, (4,)
+    )
+
+
 def _energy_blocks(
     dense_x, dense_v, dense_rho, dense_p, mask, nbr, params, kernel, block,
     mimage=None,
@@ -521,6 +594,30 @@ def density_and_pressure(
     return rho, tait_pressure(rho, params)
 
 
+def init_density(
+    state, grid, params, kernel=WendlandC2, block=32, periodic=False,
+    rho=None,
+):
+    """Seed ``state.rho`` for continuity-density mode.
+
+    By default the seed is the summation density of the configuration
+    (the natural self-consistent start; a lattice at rest-spacing seeds
+    ~rho0 automatically).  Pass ``rho`` explicitly to override - e.g.
+    ``rho0`` everywhere for a pre-relaxed state, or the
+    ``particles/density`` chunk when resuming from a trajectory.
+    """
+    if rho is None:
+        rho, _ = density_and_pressure(
+            state.x, grid, params, kernel=kernel, block=block,
+            periodic=periodic,
+        )
+    else:
+        rho = jnp.broadcast_to(
+            jnp.asarray(rho, jnp.float32), (state.x.shape[0],)
+        )
+    return state._replace(rho=rho)
+
+
 def make_step_fn(
     grid,
     params,
@@ -535,6 +632,8 @@ def make_step_fn(
     xsph=0.0,
     surface_tension=0.0,
     spill=False,
+    density_mode="summation",
+    delta_sph=0.1,
     _traced_dt=False,
 ):
     """Build the jittable SPH step.
@@ -608,6 +707,26 @@ def make_step_fn(
             the sums (overflow only past ``2 * capacity``).  Requires
             ``use_pallas``, a packed capacity (24-64, multiple of 8),
             and is not yet composed with ``periodic`` or ``xsph``.
+        density_mode: ``"summation"`` (default) re-sums density from
+            positions every step - self-correcting, parameter-free,
+            but needs its own neighbor sweep and carries the kernel's
+            support-truncation deficit at free surfaces.
+            ``"continuity"`` evolves density as a state variable by the
+            continuity equation ``drho_i/dt = sum_j m v_ij . grad W_ij``
+            (the formulation production WCSPH codes like DualSPHysics
+            ship): ``state.rho`` must be seeded (:func:`init_density`),
+            the continuity pair terms fuse into the momentum pass so
+            the step runs ONE neighbor sweep instead of two, and
+            free surfaces keep exactly the density they advect (no
+            summation deficit, so no ``density_renorm`` needed - the
+            two options are mutually exclusive).
+        delta_sph: delta-SPH density-diffusion strength (continuity
+            mode only; 0.1 is the standard production setting, 0 =
+            off).  Pure continuity integration accumulates acoustic
+            density noise that summation would have self-corrected;
+            the Molteni-Colagrossi diffusion term dissipates it at the
+            particle scale while leaving the hydrostatic component
+            intact (see :func:`_accel_drho_blocks`).
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -616,8 +735,32 @@ def make_step_fn(
 
     from . import pallas_ops as _po
 
+    continuity = density_mode == "continuity"
+    if density_mode not in ("summation", "continuity"):
+        raise ValueError("unknown density_mode: %r" % (density_mode,))
+    if continuity and density_renorm:
+        raise ValueError(
+            "density_renorm corrects the summation-density free-surface "
+            "deficit; continuity mode has no deficit to correct - use "
+            "delta_sph for its noise control instead"
+        )
+    if continuity and spill:
+        raise NotImplementedError(
+            "density_mode='continuity' does not yet compose with the "
+            "two-tier spill layout"
+        )
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and _po.supported(grid)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and _po.supported(grid)
+            and not continuity
+        )
+    if continuity and use_pallas:
+        raise NotImplementedError(
+            "density_mode='continuity' runs on the jnp pair path for "
+            "now (the fused accel+drho Pallas kernel is pending); pass "
+            "use_pallas=False or 'auto'"
+        )
     if pallas_block is None:
         pallas_block = _po.default_block(grid)
 
@@ -634,18 +777,34 @@ def make_step_fn(
     if use_pallas:
         from . import pallas_ops
 
-    def _finish(x, v, out, overflow, dt):
+    def _finish(x, v, out, overflow, dt, rho_cur=None):
         """Shared integrate/boundary tail: ``out`` is the per-particle
-        gathered bundle [acc3 | rho | p | (xsph dv3)].  ``dt`` is the
-        trace-time constant ``params.dt`` on the fixed-step path or a
-        traced scalar on the adaptive path (same compiled code either
-        way; the constant just folds)."""
+        gathered bundle [acc3 | rho | p | (xsph dv3)] (summation mode)
+        or [acc3 | drho | (xsph dv3)] (continuity mode, with the prior
+        density passed as ``rho_cur``).  ``dt`` is the trace-time
+        constant ``params.dt`` on the fixed-step path or a traced
+        scalar on the adaptive path (same compiled code either way;
+        the constant just folds)."""
         acc = out[..., :3] + gravity
+        if continuity:
+            # density update rides the state directly (never a
+            # scatter/gather round trip): dropped-overflow particles
+            # gather drho = 0 from the sentinel row and keep their
+            # carried density
+            rho = jnp.maximum(
+                rho_cur + dt * out[..., 3], 0.1 * params.rho0
+            )
+            p = tait_pressure(rho, params)
+            xsph_cols = out[..., 4:7]
+        else:
+            rho = out[..., 3]
+            p = out[..., 4]
+            xsph_cols = out[..., 5:8]
 
         # symplectic Euler: kick then drift (XSPH smooths the DRIFT
         # velocity only - the kick is untouched)
         v_new = (v + dt * acc) * params.velocity_damping
-        v_drift = v_new + xsph * out[..., 5:8] if xsph > 0 else v_new
+        v_drift = v_new + xsph * xsph_cols if xsph > 0 else v_new
         x_new = x + dt * v_drift
 
         # boundaries: reflective walls with damping, except modular
@@ -665,14 +824,17 @@ def make_step_fn(
         v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
 
         if n_fixed > 0:
-            # boundary particles: full SPH sources, zero motion
+            # boundary particles: full SPH sources, zero motion (their
+            # density still evolves in continuity mode - the standard
+            # dummy-particle treatment, pressure tracks the fluid's)
             x_new = jnp.concatenate([x[:n_fixed], x_new[n_fixed:]])
             v_new = jnp.concatenate(
                 [jnp.zeros((n_fixed, 3), v.dtype), v_new[n_fixed:]]
             )
 
-        rho = out[..., 3]
-        p = out[..., 4]
+        new_state = SPHState(
+            x=x_new, v=v_new, rho=rho if continuity else None
+        )
         if _traced_dt:
             # max squared acceleration of the MOBILE particles - the
             # input to the CFL force condition (fixed boundary slots
@@ -683,8 +845,8 @@ def make_step_fn(
             if n_fixed > 0:
                 a2 = a2[n_fixed:]
             a2max = jnp.max(a2)
-            return SPHState(x=x_new, v=v_new), (rho, p, overflow), a2max
-        return SPHState(x=x_new, v=v_new), (rho, p, overflow)
+            return new_state, (rho, p, overflow), a2max
+        return new_state, (rho, p, overflow)
 
     if spill:
         if not use_pallas:
@@ -767,6 +929,64 @@ def make_step_fn(
             return _finish(x, v, out, cells.overflow, dt)
 
         return step_spill
+
+    if continuity:
+
+        def step_continuity(state, dt=params.dt):
+            if state.rho is None:
+                raise ValueError(
+                    "density_mode='continuity' needs state.rho - seed "
+                    "it with tpgsd.sph.init_density(state, grid, params)"
+                )
+            x, v, rho = state.x, state.v, state.rho
+            cells = build_cells(x, grid)
+            # one fused layout scatter for x, v AND rho (7 columns)
+            xvr = scatter_to_cells(
+                jnp.concatenate([x, v, rho[:, None]], axis=-1), cells, grid
+            )
+            dense_x, dense_v = xvr[..., :3], xvr[..., 3:6]
+            rho_dense = jnp.where(
+                cells.mask, jnp.maximum(xvr[..., 6], 0.1 * params.rho0),
+                params.rho0,
+            )
+            p_dense = jnp.where(
+                cells.mask, tait_pressure(rho_dense, params), 0.0
+            )
+            out4 = _accel_drho_blocks(
+                dense_x, dense_v, rho_dense, p_dense, cells.mask,
+                nbr_static, params, kernel, block, delta_sph, mimage=mimage,
+            )
+            if surface_tension > 0:
+                coh = _cohesion_blocks(
+                    dense_x, rho_dense, cells.mask, nbr_static, params,
+                    kernel, block, surface_tension, mimage=mimage,
+                )
+                out4 = jnp.concatenate(
+                    [out4[..., :3] + coh, out4[..., 3:]], axis=-1
+                )
+            cols = [
+                jnp.concatenate(
+                    [out4, jnp.zeros((1, grid.capacity, 4), out4.dtype)]
+                )
+            ]
+            if xsph > 0:
+                dvc_dense = _xsph_blocks(
+                    dense_x, dense_v, rho_dense, cells.mask, nbr_static,
+                    params, kernel, block, mimage=mimage,
+                )
+                cols.append(
+                    jnp.concatenate(
+                        [
+                            dvc_dense,
+                            jnp.zeros((1, grid.capacity, 3), dvc_dense.dtype),
+                        ]
+                    )
+                )
+            bundle = cols[0] if len(cols) == 1 else jnp.concatenate(cols, -1)
+            out = gather_from_cells(bundle, cells, grid)
+            return _finish(x, v, out, cells.overflow, dt, rho_cur=rho)
+
+        return step_continuity
 
     def step(state, dt=params.dt):
         x, v = state.x, state.v
