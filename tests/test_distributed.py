@@ -739,3 +739,245 @@ def test_surface_tension_matches_single_device():
     numpy.testing.assert_allclose(
         v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# continuity-density mode: rho as carried, migrating state
+# ---------------------------------------------------------------------------
+
+
+def test_continuity_distributed_matches_single_device():
+    """Continuity mode on slabs: density is carried state, so ghost
+    densities are exact by construction - positions, velocities AND the
+    evolved density must match the single-device continuity step."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _divisible_setup()
+    state = init_density(state, grid, params)
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    step_ref = jax.jit(
+        make_step_fn(grid, params, density_mode="continuity")
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref, (rho_ref, p_ref, _) = step_ref(s_ref)
+
+    dist, cap = distribute_state(state, grid, mesh)
+    assert dist.rho is not None
+    step_d = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d, rho_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )
+    numpy.testing.assert_allclose(
+        rho_d, numpy.asarray(s_ref.rho), rtol=1e-4
+    )
+    # aux rho/p are slot-consistent post-migration: they agree with the
+    # carried state exactly
+    pid = numpy.asarray(dist.pid)
+    alive = pid >= 0
+    numpy.testing.assert_array_equal(
+        numpy.asarray(aux.rho)[alive], numpy.asarray(dist.rho)[alive]
+    )
+
+
+def test_continuity_migration_carries_density():
+    """A migrating particle's density travels in the migration payload
+    and arrives bit-intact (isolated particles: drho/dt == 0)."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    support = 0.5
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), support, capacity=16)
+    assert grid.dims[0] % n_dev == 0
+    params = SPHParams(mass=1.0, h=0.25, dt=0.1, gravity=(0.0, 0.0, 0.0))
+
+    x = jnp.asarray([[0.95, 0.5, 0.5], [4.05, 0.5, 0.5]], jnp.float32)
+    v = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    # distinctive carried densities (well above the 0.1*rho0 floor)
+    rho = jnp.asarray([1234.5, 987.25], jnp.float32)
+    state = SPHState(x=x, v=v, rho=rho)
+    dist, cap = distribute_state(state, grid, mesh, capacity=8)
+    step = make_distributed_step_fn(
+        grid, params, mesh, capacity=8, density_mode="continuity",
+        delta_sph=0.0,
+    )
+
+    for _ in range(2):
+        dist, aux = step(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d, rho_d = collect_state(dist, 2)
+    numpy.testing.assert_allclose(x_d[0, 0], 0.95 + 0.2, rtol=1e-5)
+    numpy.testing.assert_allclose(x_d[1, 0], 4.05 + 0.2, rtol=1e-5)
+    # isolated particles: the kernel support never overlaps, drho = 0,
+    # the carried density crosses the slab face unchanged
+    numpy.testing.assert_array_equal(
+        rho_d, numpy.asarray([1234.5, 987.25], numpy.float32)
+    )
+
+
+def test_continuity_periodic_both_axes_matches_single_device():
+    """Continuity mode under a periodic box, on x- AND y-slabs: the
+    fused x|v|rho|p|mask halo rides the ring seam too."""
+    from tpgsd.sph import init_density, taylor_green
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    sc = taylor_green(n_side=21)
+    assert sc.grid.dims[1] % n_dev == 0, sc.grid.dims
+
+    state = SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v))
+    state = init_density(state, sc.grid, sc.params, periodic=True)
+
+    step_ref = jax.jit(
+        make_step_fn(
+            sc.grid, sc.params, periodic=True, density_mode="continuity"
+        )
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    results = {}
+    for axis in (0, 1):
+        dist, cap = distribute_state(state, sc.grid, mesh, decomp_axis=axis)
+        step_d = make_distributed_step_fn(
+            sc.grid, sc.params, mesh, capacity=cap, periodic=True,
+            decomp_axis=axis, density_mode="continuity",
+        )
+        for _ in range(3):
+            dist, aux = step_d(dist)
+        assert int(jnp.sum(aux.cell_overflow)) == 0
+        assert int(jnp.sum(aux.migrate_overflow)) == 0
+        results[axis] = collect_state(dist, sc.n)
+
+    for axis in (0, 1):
+        x_d, v_d, rho_d = results[axis]
+        numpy.testing.assert_allclose(
+            x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+        )
+        numpy.testing.assert_allclose(
+            v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+        )
+        numpy.testing.assert_allclose(
+            rho_d, numpy.asarray(s_ref.rho), rtol=1e-4
+        )
+    numpy.testing.assert_allclose(
+        results[0][2], results[1][2], rtol=1e-5
+    )
+
+
+def test_continuity_adaptive_matches_fixed_at_same_dt():
+    """Adaptive continuity slab step at dt == params.dt reproduces the
+    fixed continuity step exactly (dt is a traced operand)."""
+    from tpgsd.sph import init_density
+    from tpgsd.sph.distributed import make_adaptive_distributed_step_fn
+
+    state, grid, params = _divisible_setup()
+    state = init_density(state, grid, params)
+    mesh = make_mesh()
+
+    dist_f, cap = distribute_state(state, grid, mesh)
+    dist_a = dist_f
+    step_f = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    step_a = make_adaptive_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+
+    dt = jnp.float32(params.dt)
+    for _ in range(3):
+        dist_f, aux_f = step_f(dist_f)
+        dist_a, aux_a, _dt_next = step_a(dist_a, dt)
+
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.x), numpy.asarray(dist_f.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.rho), numpy.asarray(dist_f.rho)
+    )
+
+
+def test_continuity_distributed_guards():
+    """Composition guards match the single-device builder's."""
+    state, grid, params = _divisible_setup()
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="density_renorm"):
+        make_distributed_step_fn(
+            grid, params, mesh, capacity=64, density_mode="continuity",
+            density_renorm=True,
+        )
+    with pytest.raises(NotImplementedError, match="continuity"):
+        make_distributed_step_fn(
+            grid, params, mesh, capacity=64, density_mode="continuity",
+            use_pallas=True,
+        )
+    with pytest.raises(ValueError, match="density_mode"):
+        make_distributed_step_fn(
+            grid, params, mesh, capacity=64, density_mode="bogus"
+        )
+    # a continuity step without a seeded rho fails loudly
+    dist, cap = distribute_state(state, grid, mesh)
+    step = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    with pytest.raises(ValueError, match="init_density"):
+        step(dist)
+
+
+def test_continuity_distributed_composes_xsph_st_energy():
+    """Continuity slabs with XSPH + surface tension match the
+    single-device continuity step built the same way; compute_energy
+    rides along and produces finite, active du/dt."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _divisible_setup()
+    state = init_density(state, grid, params)
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    step_ref = jax.jit(
+        make_step_fn(
+            grid, params, density_mode="continuity", xsph=0.3,
+            surface_tension=0.05,
+        )
+    )
+    s_ref = state
+    for _ in range(2):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity",
+        xsph=0.3, surface_tension=0.05, compute_energy=True,
+    )
+    for _ in range(2):
+        dist, aux = step_d(dist)
+
+    x_d, v_d, rho_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )
+    numpy.testing.assert_allclose(
+        rho_d, numpy.asarray(s_ref.rho), rtol=2e-4
+    )
+    dudt = numpy.asarray(aux.dudt)
+    assert numpy.isfinite(dudt).all()
+    assert numpy.abs(dudt).max() > 0.0

@@ -46,6 +46,7 @@ from .cells import CellGrid, _sorted_slot_map, neighbor_table
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
+    _accel_drho_blocks,
     _st_force_blocks,
     _st_normals_blocks,
     _density_blocks,
@@ -68,6 +69,11 @@ class DistState(NamedTuple):
     x: jax.Array  # [S*cap, 3] float32
     v: jax.Array  # [S*cap, 3] float32
     pid: jax.Array  # [S*cap] int32, -1 for dead slots
+    #: carried density, only in continuity-density mode (see
+    #: ``make_distributed_step_fn(density_mode="continuity")``); the
+    #: default summation mode leaves it ``None`` (an empty pytree slot,
+    #: exactly as ``SPHState.rho``)
+    rho: jax.Array = None
 
 
 class DistAux(NamedTuple):
@@ -212,6 +218,8 @@ def make_distributed_step_fn(
     xsph=0.0,
     density_renorm=False,
     surface_tension=0.0,
+    density_mode="summation",
+    delta_sph=0.1,
     _traced_dt=False,
 ):
     """Build the slab-decomposed distributed step.
@@ -256,6 +264,21 @@ def make_distributed_step_fn(
             grid, gravity, and state is exact - one column permutation
             per step each way, no second slab implementation to keep
             in sync.
+        density_mode: ``"summation"`` (default) re-sums density each
+            step; ``"continuity"`` evolves it as carried per-particle
+            state (``DistState.rho``, seeded globally with
+            :func:`tpgsd.sph.init_density` before
+            :func:`distribute_state`), as in
+            :func:`tpgsd.sph.make_step_fn`.  Continuity mode is the
+            BETTER distributed fit: density is state, so ghost
+            densities are exact by construction - ONE fused halo
+            exchange (x|v|rho|p|mask in a single ppermute pair) and ONE
+            fused accel+drho pair pass replace summation mode's two
+            exchange rounds and two sweeps.  Migrating particles carry
+            their density in the migration payload.
+        delta_sph: delta-SPH density-diffusion strength (continuity
+            mode only; same scheme and default as the single-device
+            step).
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -284,41 +307,36 @@ def make_distributed_step_fn(
             compute_energy=compute_energy,
             decomp_axis=0,
             xsph=xsph,
+            density_renorm=density_renorm,
+            surface_tension=surface_tension,
+            density_mode=density_mode,
+            delta_sph=delta_sph,
             _traced_dt=_traced_dt,
         )
+
+        def _swapped(state):
+            # rho is a scalar field - invariant under the column swap
+            return DistState(
+                x=state.x[:, _PERM01],
+                v=state.v[:, _PERM01],
+                pid=state.pid,
+                rho=state.rho,
+            )
+
         if _traced_dt:
             inner_step, sh = inner
 
             def step_dt(state, dt):
                 # |acc| is invariant under the 0<->1 column swap, so the
                 # controller input passes straight through
-                t = DistState(
-                    x=state.x[:, _PERM01],
-                    v=state.v[:, _PERM01],
-                    pid=state.pid,
-                )
-                new, aux, a2 = inner_step(t, dt)
-                return (
-                    DistState(
-                        x=new.x[:, _PERM01], v=new.v[:, _PERM01], pid=new.pid
-                    ),
-                    aux,
-                    a2,
-                )
+                new, aux, a2 = inner_step(_swapped(state), dt)
+                return _swapped(new), aux, a2
 
             return step_dt, sh
 
         def step(state):
-            t = DistState(
-                x=state.x[:, _PERM01], v=state.v[:, _PERM01], pid=state.pid
-            )
-            new, aux = inner(t)
-            return (
-                DistState(
-                    x=new.x[:, _PERM01], v=new.v[:, _PERM01], pid=new.pid
-                ),
-                aux,
-            )
+            new, aux = inner(_swapped(state))
+            return _swapped(new), aux
 
         return step
     if decomp_axis != 0:
@@ -359,11 +377,28 @@ def make_distributed_step_fn(
     wrap = periodic & (np.asarray(grid.dims) >= 3)
     mimage = _mimage_of(grid, periodic)  # shared wrap-rule + sentinel
 
+    continuity = density_mode == "continuity"
+    if density_mode not in ("summation", "continuity"):
+        raise ValueError("unknown density_mode: %r" % (density_mode,))
+    if continuity and density_renorm:
+        raise ValueError(
+            "density_renorm corrects the summation-density free-surface "
+            "deficit; continuity mode has no deficit to correct - use "
+            "delta_sph for its noise control instead"
+        )
+
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
         use_pallas = (
-            jax.default_backend() == "tpu" and _po.supported(ext_grid)
+            jax.default_backend() == "tpu"
+            and _po.supported(ext_grid)
+            and not continuity
+        )
+    if continuity and use_pallas:
+        raise NotImplementedError(
+            "density_mode='continuity' runs on the jnp pair path for "
+            "now (as in make_step_fn); pass use_pallas=False or 'auto'"
         )
     # the slab's x periodicity flows through the ring halo; only the
     # LOCAL y/z wraps reach the kernels, as ghost-cell halos
@@ -383,8 +418,9 @@ def make_distributed_step_fn(
         send_right = [(i, i + 1) for i in range(n_dev - 1)]
         send_left = [(i + 1, i) for i in range(n_dev - 1)]
 
-    def local_step(x, v, pid, dt):
-        # x/v/pid are this device's [cap] slot arrays; dt is the
+    def local_step(x, v, pid, rho_in, dt):
+        # x/v/pid are this device's [cap] slot arrays (rho_in carried
+        # density in continuity mode, None otherwise); dt is the
         # trace-time constant params.dt on the fixed path or a traced
         # replicated scalar on the adaptive path
         d = jax.lax.axis_index(axis_name)
@@ -394,19 +430,62 @@ def make_distributed_step_fn(
         cid_s, slot, order, gidx, mask, cell_ovf = _local_cells(
             x, alive, nxl, ny, nz, k, lo_local, cell
         )
-        # one fused layout gather for x AND v
-        xv = _scatter(jnp.concatenate([x, v], axis=-1), order, gidx)
-        dense_x, dense_v = xv[..., :3], xv[..., 3:]
+        core = slice(nynz, nynz + c_local)
 
-        # halo exchange: one x-plane of cells each way
-        ext_x, ext_v, ext_m = _halo_exchange(
-            [dense_x, dense_v, mask.astype(jnp.float32)[..., None]],
-            nynz,
-            axis_name,
-            send_right,
-            send_left,
-        )
-        ext_mask = ext_m[..., 0] > 0.5
+        if continuity:
+            # density is CARRIED STATE here, so ghost densities are
+            # exact by construction: one fused layout scatter (x|v|rho)
+            # and ONE fused halo exchange (x|v|rho|p|mask - a single
+            # ppermute pair) replace summation mode's two exchange
+            # rounds; the separate density sweep disappears too (the
+            # fused accel+drho pass below)
+            xvr = _scatter(
+                jnp.concatenate([x, v, rho_in[:, None]], axis=-1),
+                order, gidx,
+            )
+            rho_dense = jnp.where(
+                mask, jnp.maximum(xvr[..., 6], 0.1 * params.rho0),
+                params.rho0,
+            )
+            p_dense = jnp.where(
+                mask, tait_pressure(rho_dense, params), 0.0
+            )
+            big = jnp.concatenate(
+                [
+                    xvr[..., :6],
+                    rho_dense[..., None],
+                    p_dense[..., None],
+                    mask.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+            (ext,) = _halo_exchange(
+                [big], nynz, axis_name, send_right, send_left
+            )
+            ext_x, ext_v = ext[..., :3], ext[..., 3:6]
+            ext_mask = ext[..., 8] > 0.5
+            # edge devices receive zero planes; refill dead/absent
+            # slots with rho0 so p/rho^2 terms stay finite (masked out
+            # of every sum anyway)
+            rho_d = jnp.where(
+                ext_mask, jnp.maximum(ext[..., 6], 0.1 * params.rho0),
+                params.rho0,
+            )
+            p_d = jnp.where(ext_mask, ext[..., 7], 0.0)
+        else:
+            # one fused layout gather for x AND v
+            xv = _scatter(jnp.concatenate([x, v], axis=-1), order, gidx)
+            dense_x, dense_v = xv[..., :3], xv[..., 3:]
+
+            # halo exchange: one x-plane of cells each way
+            ext_x, ext_v, ext_m = _halo_exchange(
+                [dense_x, dense_v, mask.astype(jnp.float32)[..., None]],
+                nynz,
+                axis_name,
+                send_right,
+                send_left,
+            )
+            ext_mask = ext_m[..., 0] > 0.5
         if periodic:
             # the ring seam delivers far-end planes with raw coordinates;
             # pre-shift their x by -+Lx so ghost positions are
@@ -420,59 +499,73 @@ def make_distributed_step_fn(
             ext_x = ext_x.at[:nynz, :, 0].add(sl)
             ext_x = ext_x.at[nynz + c_local : 2 * nynz + c_local, :, 0].add(sr)
 
-        # density over the extended slab; only CORE outputs are correct
-        # (a ghost cell's own neighborhood extends one plane further out
-        # than the halo carries - its locally-computed density misses
-        # those contributions)
-        if use_pallas:
-            rho_d = pallas_ops.density(
-                ext_x, ext_mask, ext_grid, params, kernel=kernel,
-                block=pallas_block, wrap_axes=pallas_wrap,
+        sent_rho = jnp.full((1, k), params.rho0, jnp.float32)
+        if not continuity:
+            # density over the extended slab; only CORE outputs are
+            # correct (a ghost cell's own neighborhood extends one plane
+            # further out than the halo carries - its locally-computed
+            # density misses those contributions)
+            if use_pallas:
+                rho_d = pallas_ops.density(
+                    ext_x, ext_mask, ext_grid, params, kernel=kernel,
+                    block=pallas_block, wrap_axes=pallas_wrap,
+                )
+            else:
+                rho_d = _density_blocks(
+                    ext_x, ext_mask, nbr_ext, params, kernel, block,
+                    mimage=mimage,
+                )
+
+            mask_core = ext_mask[core]
+            rho_core = jnp.where(
+                mask_core, jnp.maximum(rho_d[core], 0.1 * params.rho0),
+                params.rho0,
             )
-        else:
-            rho_d = _density_blocks(
-                ext_x, ext_mask, nbr_ext, params, kernel, block, mimage=mimage
+            if density_renorm:
+                # free-surface density floor (local closed form; dead
+                # slots already hold rho0, the floor is a no-op there).
+                # Applied BEFORE the owner rho/p exchange, so ghost
+                # values carry it.
+                rho_core = _renormalize_density(rho_core, params)
+            p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
+
+            # second halo exchange: the OWNER-computed rho/p of each
+            # boundary plane replaces the locally-miscomputed ghost
+            # values before the force pass (core forces read ghost rho/p
+            # one plane deep); rho and p ride one stacked payload per
+            # direction - these exchanges are latency-bound, so one
+            # collective, not two
+            plane_r = jnp.stack(
+                [rho_core[c_local - nynz :], p_core[c_local - nynz :]],
+                axis=-1,
+            )
+            plane_l = jnp.stack([rho_core[:nynz], p_core[:nynz]], axis=-1)
+            gl = jax.lax.ppermute(plane_r, axis_name, send_right)
+            gr = jax.lax.ppermute(plane_l, axis_name, send_left)
+            gl_rho, gl_p = gl[..., 0], gl[..., 1]
+            gr_rho, gr_p = gr[..., 0], gr[..., 1]
+            # edge devices receive zeros; refill dead/absent slots with
+            # rho0 so p/rho^2 terms stay finite (masked out of every
+            # sum anyway)
+            gl_mask = ext_mask[:nynz]
+            gr_mask = ext_mask[nynz + c_local : nynz + c_local + nynz]
+            gl_rho = jnp.where(gl_mask, gl_rho, params.rho0)
+            gr_rho = jnp.where(gr_mask, gr_rho, params.rho0)
+            gl_p = jnp.where(gl_mask, gl_p, 0.0)
+            gr_p = jnp.where(gr_mask, gr_p, 0.0)
+
+            rho_d = jnp.concatenate([gl_rho, rho_core, gr_rho, sent_rho])
+            p_d = jnp.concatenate(
+                [gl_p, p_core, gr_p, jnp.zeros((1, k), p_core.dtype)]
             )
 
-        core = slice(nynz, nynz + c_local)
-        mask_core = ext_mask[core]
-        rho_core = jnp.where(
-            mask_core, jnp.maximum(rho_d[core], 0.1 * params.rho0), params.rho0
-        )
-        if density_renorm:
-            # free-surface density floor (local closed form; dead slots
-            # already hold rho0, the floor is a no-op there).  Applied
-            # BEFORE the owner rho/p exchange, so ghost values carry it.
-            rho_core = _renormalize_density(rho_core, params)
-        p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
-
-        # second halo exchange: the OWNER-computed rho/p of each boundary
-        # plane replaces the locally-miscomputed ghost values before the
-        # force pass (core forces read ghost rho/p one plane deep);
-        # rho and p ride one stacked payload per direction - these
-        # exchanges are latency-bound, so one collective, not two
-        plane_r = jnp.stack(
-            [rho_core[c_local - nynz :], p_core[c_local - nynz :]], axis=-1
-        )
-        plane_l = jnp.stack([rho_core[:nynz], p_core[:nynz]], axis=-1)
-        gl = jax.lax.ppermute(plane_r, axis_name, send_right)
-        gr = jax.lax.ppermute(plane_l, axis_name, send_left)
-        gl_rho, gl_p = gl[..., 0], gl[..., 1]
-        gr_rho, gr_p = gr[..., 0], gr[..., 1]
-        # edge devices receive zeros; refill dead/absent slots with rho0
-        # so p/rho^2 terms stay finite (masked out of every sum anyway)
-        gl_mask = ext_mask[:nynz]
-        gr_mask = ext_mask[nynz + c_local : nynz + c_local + nynz]
-        gl_rho = jnp.where(gl_mask, gl_rho, params.rho0)
-        gr_rho = jnp.where(gr_mask, gr_rho, params.rho0)
-        gl_p = jnp.where(gl_mask, gl_p, 0.0)
-        gr_p = jnp.where(gr_mask, gr_p, 0.0)
-
-        sent_rho = jnp.full((1, k), params.rho0, rho_core.dtype)
-        rho_d = jnp.concatenate([gl_rho, rho_core, gr_rho, sent_rho])
-        p_d = jnp.concatenate([gl_p, p_core, gr_p, jnp.zeros((1, k), p_core.dtype)])
-
-        if use_pallas:
+        if continuity:
+            out4_d = _accel_drho_blocks(
+                ext_x, ext_v, rho_d, p_d, ext_mask, nbr_ext, params,
+                kernel, block, delta_sph, mimage=mimage,
+            )
+            acc_d = out4_d[..., :3]
+        elif use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d, p_d, ext_mask, ext_grid, params,
                 kernel=kernel, block=pallas_block, wrap_axes=pallas_wrap,
@@ -503,16 +596,20 @@ def make_distributed_step_fn(
                 ext_x, n_d, rho_d, ext_mask, nbr_ext, params, kernel,
                 block, surface_tension, mimage=mimage,
             )
-        # slice the core planes back out and bundle acc/rho/p (and du)
-        # as columns of ONE particle-order gather - n-element gathers
-        # are the layout cost, one fused pass instead of three/four
-        cols = [
-            acc_d[core],
-            rho_core[..., None],
-            p_core[..., None],
-        ]
-        sent = [jnp.zeros((1, k, 3), acc_d.dtype), sent_rho[..., None],
-                jnp.zeros((1, k, 1), p_core.dtype)]
+        # slice the core planes back out and bundle acc/rho/p (or
+        # acc/drho in continuity mode, and du) as columns of ONE
+        # particle-order gather - n-element gathers are the layout
+        # cost, one fused pass instead of three/four
+        cols = [acc_d[core]]
+        sent = [jnp.zeros((1, k, 3), acc_d.dtype)]
+        if continuity:
+            # drho sentinel is 0: cell-overflow-dropped particles keep
+            # their carried density, as on the single-device path
+            cols.append(out4_d[core][..., 3:4])
+            sent.append(jnp.zeros((1, k, 1), acc_d.dtype))
+        else:
+            cols += [rho_core[..., None], p_core[..., None]]
+            sent += [sent_rho[..., None], jnp.zeros((1, k, 1), p_core.dtype)]
         if compute_energy:
             # third pair pass over the same halo-exchanged fields: the
             # energy equation shares _pair_terms with the momentum
@@ -539,9 +636,21 @@ def make_distributed_step_fn(
         )
         out = _gather(bundle, cid_s, slot, order, c_local, k)
         acc = out[..., :3] + gravity
-        rho = out[..., 3]
-        p = out[..., 4]
-        ecol = 5
+        if continuity:
+            # density update rides the state directly: integrate the
+            # gathered drho, floor, and derive pressure - per particle,
+            # never a second scatter/gather round trip
+            rho = jnp.where(
+                alive,
+                jnp.maximum(rho_in + dt * out[..., 3], 0.1 * params.rho0),
+                params.rho0,
+            )
+            p = jnp.where(alive, tait_pressure(rho, params), 0.0)
+            ecol = 4
+        else:
+            rho = out[..., 3]
+            p = out[..., 4]
+            ecol = 5
         dudt = out[..., ecol] if compute_energy else jnp.zeros_like(rho)
         if compute_energy:
             ecol += 1
@@ -605,9 +714,13 @@ def make_distributed_step_fn(
             go_left = alive & (x_new[:, 0] < slab_lo) & (d > 0)
             go_right = alive & (x_new[:, 0] >= slab_hi) & (d < n_dev - 1)
 
+        # migration payload: [x|v|pid] (+ carried rho in continuity
+        # mode - the density travels WITH the particle)
+        rho_col = [rho[:, None]] if continuity else []
         payload = jnp.concatenate(
-            [x_new, v_new, pid.astype(jnp.float32)[:, None]], axis=1
-        )  # [cap, 7]
+            [x_new, v_new, pid.astype(jnp.float32)[:, None]] + rho_col,
+            axis=1,
+        )  # [cap, 7 (8 continuity)]
 
         buf_r, n_r, ovf_r, sent_r = _pack_migrants(payload, go_right, mig_cap)
         buf_l, n_l, ovf_l, sent_l = _pack_migrants(payload, go_left, mig_cap)
@@ -630,7 +743,9 @@ def make_distributed_step_fn(
 
         x_keep = jnp.concatenate([x_raw_0, x_new[:, 1:3]], axis=1)
         payload_new = jnp.concatenate(
-            [x_keep, v_new, pid_after.astype(jnp.float32)[:, None]], axis=1
+            [x_keep, v_new, pid_after.astype(jnp.float32)[:, None]]
+            + rho_col,
+            axis=1,
         )
         payload_new = jnp.where(
             alive_after[:, None], payload_new, jnp.zeros_like(payload_new)
@@ -643,6 +758,12 @@ def make_distributed_step_fn(
         x_out = merged[:, 0:3]
         v_out = merged[:, 3:6]
         pid_out = merged[:, 6].astype(jnp.int32)
+        if continuity:
+            # post-migration slot-consistent density/pressure: a
+            # migrant's rho arrived in its payload, so state AND aux
+            # stay aligned with the slots they describe
+            rho = jnp.where(pid_out >= 0, merged[:, 7], params.rho0)
+            p = jnp.where(pid_out >= 0, tait_pressure(rho, params), 0.0)
 
         mig_ovf = ovf_r + ovf_l + lost
         outs = (
@@ -671,12 +792,21 @@ def make_distributed_step_fn(
     spec = P(axis_name)
 
     n_out = 9 if _traced_dt else 8
-    fn = local_step if _traced_dt else (
-        lambda x, v, pid: local_step(x, v, pid, params.dt)
-    )
+    if continuity:
+        fn = local_step if _traced_dt else (
+            lambda x, v, pid, rho: local_step(x, v, pid, rho, params.dt)
+        )
+    elif _traced_dt:
+        def fn(x, v, pid, dt):
+            return local_step(x, v, pid, None, dt)
+    else:
+        def fn(x, v, pid):
+            return local_step(x, v, pid, None, params.dt)
     sm_kwargs = dict(
         mesh=mesh,
-        in_specs=(spec, spec, spec) + ((P(),) if _traced_dt else ()),
+        in_specs=(spec, spec, spec)
+        + ((spec,) if continuity else ())
+        + ((P(),) if _traced_dt else ()),
         out_specs=(spec,) * n_out,
     )
     if use_pallas:
@@ -690,44 +820,48 @@ def make_distributed_step_fn(
     else:
         mapped = shard_map(fn, **sm_kwargs)
 
+    st_sh = DistState(x=sh, v=sh, pid=sh, rho=sh if continuity else None)
+
+    def _state_args(state):
+        if continuity:
+            if state.rho is None:
+                raise ValueError(
+                    "density_mode='continuity' needs DistState.rho - "
+                    "seed the global state with tpgsd.sph.init_density "
+                    "before distribute_state"
+                )
+            return (state.x, state.v, state.pid, state.rho)
+        return (state.x, state.v, state.pid)
+
+    def _pack(x, v, pid, rho, p, covf, movf, dudt):
+        return (
+            DistState(x=x, v=v, pid=pid, rho=rho if continuity else None),
+            DistAux(
+                rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf,
+                dudt=dudt,
+            ),
+        )
+
     if _traced_dt:
 
         def step_dt(state, dt):
-            x, v, pid, rho, p, covf, movf, dudt, a2 = mapped(
-                state.x, state.v, state.pid, jnp.float32(dt)
-            )
-            return (
-                DistState(x=x, v=v, pid=pid),
-                DistAux(
-                    rho=rho, p=p, cell_overflow=covf,
-                    migrate_overflow=movf, dudt=dudt,
-                ),
-                a2,
-            )
+            *outs, a2 = mapped(*_state_args(state), jnp.float32(dt))
+            return _pack(*outs) + (a2,)
 
         return step_dt, sh
 
     @partial(
         jax.jit,
-        in_shardings=(DistState(x=sh, v=sh, pid=sh),),
+        in_shardings=(st_sh,),
         out_shardings=(
-            DistState(x=sh, v=sh, pid=sh),
+            st_sh,
             DistAux(
                 rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
             ),
         ),
     )
     def step(state):
-        x, v, pid, rho, p, covf, movf, dudt = mapped(
-            state.x, state.v, state.pid
-        )
-        return (
-            DistState(x=x, v=v, pid=pid),
-            DistAux(
-                rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf,
-                dudt=dudt,
-            ),
-        )
+        return _pack(*mapped(*_state_args(state)))
 
     return step
 
@@ -773,12 +907,14 @@ def make_adaptive_distributed_step_fn(
     c0 = float(params.c0)
     if dt_max is None:
         dt_max = float(params.dt)
+    continuity = kwargs.get("density_mode") == "continuity"
+    st_sh = DistState(x=sh, v=sh, pid=sh, rho=sh if continuity else None)
 
     @partial(
         jax.jit,
-        in_shardings=(DistState(x=sh, v=sh, pid=sh), None),
+        in_shardings=(st_sh, None),
         out_shardings=(
-            DistState(x=sh, v=sh, pid=sh),
+            st_sh,
             DistAux(
                 rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
             ),
@@ -836,9 +972,11 @@ def distribute_state(
     if capacity is None:
         capacity = int(-(-2 * max(int(pops.max()), 1) // 8) * 8)
 
+    rho = None if state.rho is None else np.asarray(state.rho)
     xs = np.zeros((n_dev, capacity, 3), np.float32)
     vs = np.zeros((n_dev, capacity, 3), np.float32)
     pids = np.full((n_dev, capacity), -1, np.int32)
+    rhos = None if rho is None else np.zeros((n_dev, capacity), np.float32)
     for d in range(n_dev):
         sel = np.nonzero(owner == d)[0]
         if len(sel) > capacity:
@@ -849,19 +987,27 @@ def distribute_state(
         xs[d, : len(sel)] = x[sel]
         vs[d, : len(sel)] = v[sel]
         pids[d, : len(sel)] = sel
+        if rhos is not None:
+            rhos[d, : len(sel)] = rho[sel]
 
     sh = NamedSharding(mesh, P(axis_name))
     return DistState(
         x=jax.device_put(xs.reshape(-1, 3), sh),
         v=jax.device_put(vs.reshape(-1, 3), sh),
         pid=jax.device_put(pids.reshape(-1), sh),
+        rho=(
+            None if rhos is None
+            else jax.device_put(rhos.reshape(-1), sh)
+        ),
     ), capacity
 
 
 def collect_state(dist_state, n_global):
     """Gather a :class:`DistState` back to host, in original pid order.
 
-    Returns ``(x, v)`` numpy arrays of shape ``[n_global, 3]``.
+    Returns ``(x, v)`` numpy arrays of shape ``[n_global, 3]``; with a
+    continuity-mode state (``dist_state.rho`` carried), returns
+    ``(x, v, rho)`` instead so a resume can reseed the density.
     """
     x = np.asarray(dist_state.x)
     v = np.asarray(dist_state.v)
@@ -871,7 +1017,11 @@ def collect_state(dist_state, n_global):
     out_v = np.zeros((n_global, 3), np.float32)
     out_x[pid[alive]] = x[alive]
     out_v[pid[alive]] = v[alive]
-    return out_x, out_v
+    if dist_state.rho is None:
+        return out_x, out_v
+    out_rho = np.zeros(n_global, np.float32)
+    out_rho[pid[alive]] = np.asarray(dist_state.rho)[alive]
+    return out_x, out_v, out_rho
 
 
 def collect_aux(dist_state, aux, n_global, params=None):
