@@ -347,3 +347,166 @@ def test_resume_distributed3d_continues(tmp_path):
     xb, _ = collect_state(dist3, 24)
     numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
     writer3.close()
+
+
+def test_resume_continuity_seeds_rho(tmp_path):
+    """Continuity-mode resume loads the last frame's particles/density
+    into state.rho, and the resumed run continues the uninterrupted one
+    exactly (the evolved density is state - re-summing would lose it)."""
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=5)
+    step = jax.jit(make_step_fn(db.grid, db.params, density_mode="continuity"))
+    state0 = init_density(db.state, db.grid, db.params)
+    path = tmp_path / "cont_resume.gsd"
+
+    writer = ShardedFrameWriter(path)
+    state1 = state0
+    for i in range(3):
+        state1, (rho, p, _) = step(state1)
+        writer.write_frame(
+            {
+                "particles/position": state1.x,
+                "particles/velocity": state1.v,
+                "particles/density": state1.rho,
+            },
+            step=i,
+        )
+    writer.close()
+
+    state2, last_step, writer2, _ = resume(path, density_mode="continuity")
+    assert last_step == 2
+    assert state2.rho is not None
+    numpy.testing.assert_array_equal(
+        numpy.asarray(state2.rho)[: db.n], numpy.asarray(state1.rho)
+    )
+    # continue one step from the resumed state: bitwise identical to
+    # continuing the in-memory run (f32 dumps are exact).  Materialize
+    # to host first - the resumed arrays carry the reader's 8-device
+    # sharding, and jitting the step with a different input sharding
+    # legitimately changes fp reduction order.
+    state2 = SPHState(
+        x=numpy.asarray(state2.x)[: db.n],
+        v=numpy.asarray(state2.v)[: db.n],
+        rho=numpy.asarray(state2.rho)[: db.n],
+    )
+    s_resumed, _ = step(state2)
+    s_direct, _ = step(state1)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(s_resumed.x), numpy.asarray(s_direct.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(s_resumed.rho), numpy.asarray(s_direct.rho)
+    )
+    writer2.close()
+
+
+def test_resume_continuity_missing_density_raises(tmp_path):
+    db = dam_break(n_side=4)
+    path = tmp_path / "nodensity.gsd"
+    writer = ShardedFrameWriter(path)
+    writer.write_frame(
+        {
+            "particles/position": db.state.x,
+            "particles/velocity": jnp_zeros_like(db.state.x),
+        },
+        step=0,
+    )
+    writer.close()
+    with pytest.raises(ValueError, match="particles/density"):
+        resume(path, density_mode="continuity")
+    from tpgsd.parallel import make_mesh
+    from tpgsd.sph import resume_distributed
+
+    with pytest.raises(ValueError, match="particles/density"):
+        resume_distributed(
+            path, db.grid, make_mesh(n_devices=1),
+            density_mode="continuity",
+        )
+
+
+def jnp_zeros_like(a):
+    import jax.numpy as jnp
+
+    return jnp.zeros_like(a)
+
+
+def test_resume_distributed_continuity(tmp_path):
+    """Slab resume in continuity mode: the carried density re-slabs
+    with its particle onto a DIFFERENT device count and the run
+    continues exactly."""
+    import jax.numpy as jnp
+
+    from tpgsd.parallel import make_mesh
+    from tpgsd.sph import SPHParams, resume_distributed
+    from tpgsd.sph.cells import make_grid
+    from tpgsd.sph.distributed import (
+        collect_state,
+        distribute_state,
+        make_distributed_step_fn,
+    )
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    grid = make_grid((0, 0, 0), (8.0, 1.0, 1.0), 0.5, capacity=16)
+    assert grid.dims[0] % n_dev == 0
+    params = SPHParams(mass=1.0, h=0.25, dt=0.05, gravity=(0.0, 0.0, 0.0))
+
+    rng = numpy.random.RandomState(3)
+    i = numpy.arange(24)
+    pts = numpy.stack(
+        [
+            0.3 + (i % 12) * 0.62,
+            0.2 + (i // 12) * 0.6,
+            numpy.full(24, 0.5),
+        ],
+        axis=1,
+    ).astype(numpy.float32)
+    vel = rng.randn(24, 3).astype(numpy.float32) * 0.05
+    rho0 = (1000.0 + rng.rand(24) * 50.0).astype(numpy.float32)
+    state = SPHState(x=jnp.asarray(pts), v=jnp.asarray(vel),
+                     rho=jnp.asarray(rho0))
+
+    dist, cap = distribute_state(state, grid, mesh)
+    dstep = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity",
+        delta_sph=0.0,
+    )
+
+    path = tmp_path / "cont_dist_resume.gsd"
+    writer = ShardedFrameWriter(path)
+    for i in range(2):
+        dist, aux = dstep(dist)
+        x_h, v_h, rho_h = collect_state(dist, 24)
+        writer.write_frame(
+            {
+                "particles/position": x_h,
+                "particles/velocity": v_h,
+                "particles/density": rho_h,
+            },
+            step=i,
+        )
+    writer.close()
+
+    mesh4 = make_mesh(n_devices=4)
+    dist4, cap4, step4, writer4 = resume_distributed(
+        path, grid, mesh4, density_mode="continuity"
+    )
+    writer4.close()
+    assert step4 == 1
+    assert dist4.rho is not None
+    x4, v4, r4 = collect_state(dist4, 24)
+    x1, v1, r1 = collect_state(dist, 24)
+    numpy.testing.assert_array_equal(r4, r1)
+    numpy.testing.assert_allclose(x4, x1, rtol=1e-6)
+
+    # continue one step on the new mesh; isolated particles keep their
+    # carried densities exactly
+    step4_fn = make_distributed_step_fn(
+        grid, params, mesh4, capacity=cap4, density_mode="continuity",
+        delta_sph=0.0,
+    )
+    dist4, aux4 = step4_fn(dist4)
+    assert int(jnp.sum(aux4.migrate_overflow)) == 0
+    _, _, r_next = collect_state(dist4, 24)
+    numpy.testing.assert_array_equal(r_next, r1)

@@ -18,12 +18,26 @@ from ..parallel.shard_io import ShardedFrameWriter, ShardedTrajectoryReader
 from .step import SPHState
 
 
+def _require_density(f, last, name):
+    """Guard for continuity-mode resume: the last frame must carry the
+    ``particles/density`` chunk (the evolved density IS state there -
+    re-summing it from positions would discard the advected field)."""
+    if not f.chunk_exists(last, "particles/density"):
+        raise ValueError(
+            "density_mode='continuity' resume needs a particles/density "
+            "chunk in the last frame of %s - dump aux.rho alongside "
+            "positions, or seed with tpgsd.sph.init_density instead"
+            % (name,)
+        )
+
+
 def resume(
     name,
     sharding=None,
     mesh=None,
     extra_chunks=(),
     application="tpgsd.sph",
+    density_mode="summation",
 ):
     """Resume a dump loop from the last complete frame of ``name``.
 
@@ -34,6 +48,10 @@ def resume(
         mesh: mesh to build the default sharding from.
         extra_chunks: additional chunk names to load alongside
             position/velocity.
+        density_mode: pass ``"continuity"`` to also load the last
+            frame's ``particles/density`` chunk into ``state.rho`` (the
+            carried density a continuity-mode stepper needs; raises if
+            the frame has none).
 
     Returns:
         ``(state, step, writer, extras)``: the sharded
@@ -42,19 +60,24 @@ def resume(
         in append mode whose next ``write_frame`` lands at
         ``frame == nframes``, and a dict of the extra chunks.
     """
+    continuity = density_mode == "continuity"
     with ShardedTrajectoryReader(name, sharding=sharding, mesh=mesh) as reader:
         if reader.nframes == 0:
             raise ValueError("cannot resume from an empty trajectory: " + str(name))
         last = reader.nframes - 1
-        chunks = reader.read_frame(
-            last, ["particles/position", "particles/velocity"] + list(extra_chunks)
-        )
+        want = ["particles/position", "particles/velocity"]
+        if continuity:
+            _require_density(reader.file, last, name)
+            want.append("particles/density")
+        chunks = reader.read_frame(last, want + list(extra_chunks))
         if reader.file.chunk_exists(last, "configuration/step"):
             step = int(reader.file.read_chunk(last, "configuration/step")[0])
         else:
             step = last
     state = SPHState(
-        x=chunks["particles/position"], v=chunks["particles/velocity"]
+        x=chunks["particles/position"],
+        v=chunks["particles/velocity"],
+        rho=chunks["particles/density"] if continuity else None,
     )
     writer = ShardedFrameWriter(name, mode="a", application=application)
     extras = {k: chunks[k] for k in extra_chunks}
@@ -68,6 +91,7 @@ def resume_distributed(
     capacity=None,
     application="tpgsd.sph",
     decomp_axis=0,
+    density_mode="summation",
 ):
     """Resume the slab-decomposed distributed loop from a trajectory.
 
@@ -78,6 +102,9 @@ def resume_distributed(
     "reopen with P ranks" append constraint, which this lifts), and
     returns everything the loop needs to continue.  ``decomp_axis``
     selects x- (0) or y-slabs (1), matching the step builder's.
+    ``density_mode="continuity"`` also re-slabs the last frame's
+    ``particles/density`` chunk into ``DistState.rho`` - the carried
+    density migrates with its particle through the re-partition.
 
     Returns:
         ``(dist_state, capacity, step, writer)``: a
@@ -89,18 +116,23 @@ def resume_distributed(
     from .. import fl
     from .distributed import distribute_state
 
+    continuity = density_mode == "continuity"
+    rho = None
     with fl.open(name, "r") as f:
         if f.nframes == 0:
             raise ValueError("cannot resume from an empty trajectory: " + str(name))
         last = f.nframes - 1
         x = numpy.asarray(f.read_chunk(last, "particles/position"))
         v = numpy.asarray(f.read_chunk(last, "particles/velocity"))
+        if continuity:
+            _require_density(f, last, name)
+            rho = numpy.asarray(f.read_chunk(last, "particles/density"))
         if f.chunk_exists(last, "configuration/step"):
             step = int(f.read_chunk(last, "configuration/step")[0])
         else:
             step = last
     dist, cap = distribute_state(
-        SPHState(x=x, v=v), grid, mesh, capacity=capacity,
+        SPHState(x=x, v=v, rho=rho), grid, mesh, capacity=capacity,
         decomp_axis=decomp_axis,
     )
     writer = ShardedFrameWriter(name, mode="a", application=application)
