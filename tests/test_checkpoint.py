@@ -510,3 +510,72 @@ def test_resume_distributed_continuity(tmp_path):
     assert int(jnp.sum(aux4.migrate_overflow)) == 0
     _, _, r_next = collect_state(dist4, 24)
     numpy.testing.assert_array_equal(r_next, r1)
+
+
+def test_resume_continuity_cross_decomposition(tmp_path):
+    """A continuity trajectory written by the 1-D slab loop resumes
+    onto 2-D and 3-D block meshes with the carried density intact (the
+    file records global state only)."""
+    import jax.numpy as jnp
+
+    from tpgsd.parallel import make_mesh, make_mesh2d, make_mesh3d
+    from tpgsd.sph import (
+        SPHParams,
+        resume_distributed2d,
+        resume_distributed3d,
+    )
+    from tpgsd.sph.cells import CellGrid
+    from tpgsd.sph.distributed import (
+        collect_state,
+        distribute_state,
+        make_distributed_step_fn,
+    )
+
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 4, 4),
+                    capacity=16)
+    params = SPHParams(mass=1.0, h=0.12, dt=0.01, gravity=(0.0, 0.0, 0.0))
+    rng = numpy.random.RandomState(11)
+    x = rng.uniform(0.1, 0.9, (32, 3)).astype(numpy.float32)
+    x[:, 0] *= 2.0
+    rho0 = (1000.0 + rng.rand(32) * 40.0).astype(numpy.float32)
+    state = SPHState(
+        x=jnp.asarray(x),
+        v=jnp.zeros((32, 3), jnp.float32),
+        rho=jnp.asarray(rho0),
+    )
+
+    mesh = make_mesh()
+    dist, cap = distribute_state(state, grid, mesh)
+    dstep = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    dist, aux = dstep(dist)
+    x_h, v_h, rho_h = collect_state(dist, 32)
+
+    path = tmp_path / "cross.gsd"
+    w = ShardedFrameWriter(path)
+    w.write_frame(
+        {
+            "particles/position": x_h,
+            "particles/velocity": v_h,
+            "particles/density": rho_h,
+        },
+        step=0,
+    )
+    w.close()
+
+    d2, cap2, _, w2 = resume_distributed2d(
+        path, grid, make_mesh2d(shape=(4, 2)), density_mode="continuity"
+    )
+    w2.close()
+    assert d2.rho is not None
+    _, _, r2 = collect_state(d2, 32)
+    numpy.testing.assert_array_equal(r2, rho_h)
+
+    d3, cap3, _, w3 = resume_distributed3d(
+        path, grid, make_mesh3d(shape=(2, 2, 2)), density_mode="continuity"
+    )
+    w3.close()
+    assert d3.rho is not None
+    _, _, r3 = collect_state(d3, 32)
+    numpy.testing.assert_array_equal(r3, rho_h)

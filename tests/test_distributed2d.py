@@ -469,3 +469,143 @@ def test_2d_surface_tension_matches_single_device():
     numpy.testing.assert_allclose(
         v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# continuity-density mode on the 2-D block decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_2d_continuity_matches_single_device():
+    """Continuity mode on (4, 2) blocks: positions, velocities AND the
+    evolved carried density match the single-device continuity step."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _cloud_setup()
+    state = init_density(state, grid, params)
+    n = state.x.shape[0]
+    mesh = make_mesh2d(shape=(4, 2))
+
+    step_ref = jax.jit(
+        make_step_fn(grid, params, density_mode="continuity")
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state_2d(state, grid, mesh)
+    assert dist.rho is not None
+    step_d = make_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d, rho_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )
+    numpy.testing.assert_allclose(
+        rho_d, numpy.asarray(s_ref.rho), rtol=1e-4
+    )
+
+
+def test_2d_continuity_periodic_matches_single_device():
+    """Continuity blocks under a fully periodic box: the fused
+    x|v|rho|p|mask halo crosses both ring seams."""
+    from tpgsd.sph import init_density
+
+    sc = taylor_green(n_side=21)
+    mesh = make_mesh2d(shape=(4, 2))
+    assert sc.grid.dims[0] % 4 == 0 and sc.grid.dims[1] % 2 == 0
+
+    state = SPHState(x=jnp.asarray(sc.state.x), v=jnp.asarray(sc.state.v))
+    state = init_density(state, sc.grid, sc.params, periodic=True)
+
+    step_ref = jax.jit(
+        make_step_fn(
+            sc.grid, sc.params, periodic=True, density_mode="continuity"
+        )
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state_2d(state, sc.grid, mesh)
+    step_d = make_distributed2d_step_fn(
+        sc.grid, sc.params, mesh, capacity=cap, periodic=True,
+        density_mode="continuity",
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d, rho_d = collect_state(dist, sc.n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        rho_d, numpy.asarray(s_ref.rho), rtol=1e-4
+    )
+
+
+def test_2d_continuity_diagonal_migration_carries_density():
+    """A diagonal mover completes both hops in one step WITH its
+    carried density (isolated particles: drho/dt == 0)."""
+    mesh = make_mesh2d(shape=(2, 2))
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 8, 4),
+                    capacity=16)
+    params = SPHParams(mass=1.0, h=0.12, dt=0.1, gravity=(0.0, 0.0, 0.0))
+
+    # one particle moving diagonally across the (1, 1) block corner
+    x = jnp.asarray([[0.95, 0.95, 0.5]], jnp.float32)
+    v = jnp.asarray([[1.0, 1.0, 0.0]], jnp.float32)
+    rho = jnp.asarray([1111.5], jnp.float32)
+    state = SPHState(x=x, v=v, rho=rho)
+    dist, cap = distribute_state_2d(state, grid, mesh, capacity=8)
+    step = make_distributed2d_step_fn(
+        grid, params, mesh, capacity=8, density_mode="continuity",
+        delta_sph=0.0,
+    )
+    dist, aux = step(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+    x_d, v_d, rho_d = collect_state(dist, 1)
+    numpy.testing.assert_allclose(x_d[0, :2], [1.05, 1.05], rtol=1e-5)
+    numpy.testing.assert_array_equal(
+        rho_d, numpy.asarray([1111.5], numpy.float32)
+    )
+
+
+def test_2d_continuity_adaptive_matches_fixed_at_same_dt():
+    from tpgsd.sph import init_density
+    from tpgsd.sph.distributed2d import make_adaptive_distributed2d_step_fn
+
+    state, grid, params = _cloud_setup()
+    state = init_density(state, grid, params)
+    mesh = make_mesh2d(shape=(4, 2))
+
+    dist_f, cap = distribute_state_2d(state, grid, mesh)
+    dist_a = dist_f
+    step_f = make_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    step_a = make_adaptive_distributed2d_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    dt = jnp.float32(params.dt)
+    for _ in range(2):
+        dist_f, _ = step_f(dist_f)
+        dist_a, _, _dt = step_a(dist_a, dt)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.x), numpy.asarray(dist_f.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.rho), numpy.asarray(dist_f.rho)
+    )

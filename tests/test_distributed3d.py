@@ -543,3 +543,181 @@ def test_3d_surface_tension_matches_single_device():
     numpy.testing.assert_allclose(
         v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# continuity-density mode on the 3-D block decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_3d_continuity_matches_single_device():
+    """Continuity mode on (2, 2, 2) blocks: positions, velocities AND
+    the evolved carried density match the single-device continuity
+    step."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _cloud_setup()
+    state = init_density(state, grid, params)
+    n = state.x.shape[0]
+    mesh = make_mesh3d(shape=(2, 2, 2))
+
+    step_ref = jax.jit(
+        make_step_fn(grid, params, density_mode="continuity")
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state_3d(state, grid, mesh)
+    assert dist.rho is not None
+    step_d = make_distributed3d_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d, rho_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        v_d, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3
+    )
+    numpy.testing.assert_allclose(
+        rho_d, numpy.asarray(s_ref.rho), rtol=1e-4
+    )
+
+
+def test_3d_continuity_periodic_matches_single_device():
+    """Continuity blocks under a fully periodic box: the fused
+    x|v|rho|p|mask halo crosses all three ring seams (faces, edges AND
+    corners)."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _cloud_setup(seed=4)
+    state = init_density(state, grid, params, periodic=True)
+    n = state.x.shape[0]
+    mesh = make_mesh3d(shape=(2, 2, 2))
+
+    step_ref = jax.jit(
+        make_step_fn(
+            grid, params, periodic=True, density_mode="continuity"
+        )
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step_ref(s_ref)
+
+    dist, cap = distribute_state_3d(state, grid, mesh)
+    step_d = make_distributed3d_step_fn(
+        grid, params, mesh, capacity=cap, periodic=True,
+        density_mode="continuity",
+    )
+    for _ in range(3):
+        dist, aux = step_d(dist)
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+
+    x_d, v_d, rho_d = collect_state(dist, n)
+    numpy.testing.assert_allclose(
+        x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
+    )
+    numpy.testing.assert_allclose(
+        rho_d, numpy.asarray(s_ref.rho), rtol=1e-4
+    )
+
+
+def test_3d_continuity_corner_migration_carries_density():
+    """An off-corner mover completes all three hops in one step WITH
+    its carried density (isolated particle: drho/dt == 0)."""
+    mesh = make_mesh3d(shape=(2, 2, 2))
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 8, 8),
+                    capacity=16)
+    params = SPHParams(mass=1.0, h=0.12, dt=0.1, gravity=(0.0, 0.0, 0.0))
+
+    x = jnp.asarray([[0.95, 0.95, 0.95]], jnp.float32)
+    v = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    rho = jnp.asarray([1212.25], jnp.float32)
+    state = SPHState(x=x, v=v, rho=rho)
+    dist, cap = distribute_state_3d(state, grid, mesh, capacity=8)
+    step = make_distributed3d_step_fn(
+        grid, params, mesh, capacity=8, density_mode="continuity",
+        delta_sph=0.0,
+    )
+    dist, aux = step(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+    x_d, v_d, rho_d = collect_state(dist, 1)
+    numpy.testing.assert_allclose(x_d[0], [1.05, 1.05, 1.05], rtol=1e-5)
+    numpy.testing.assert_array_equal(
+        rho_d, numpy.asarray([1212.25], numpy.float32)
+    )
+
+
+def test_3d_continuity_degenerate_matches_1d_slabs():
+    """(8, 1, 1) continuity blocks == the 1-D slab continuity step: the
+    same physics flows through either decomposition's collectives."""
+    from tpgsd.sph import init_density
+
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 4, 4),
+                    capacity=16)
+    rng = numpy.random.RandomState(7)
+    x = rng.uniform(0.05, 0.95, (120, 3)).astype(numpy.float32)
+    x[:, 0] *= 2.0
+    v = (rng.randn(120, 3) * 0.05).astype(numpy.float32)
+    params = SPHParams(mass=2.0, h=0.12, dt=1e-3, c0=20.0,
+                       gravity=(0.0, 0.0, -9.81))
+    state = init_density(
+        SPHState(x=jnp.asarray(x), v=jnp.asarray(v)), grid, params
+    )
+
+    mesh1 = make_mesh()
+    dist1, cap = distribute_state(state, grid, mesh1)
+    step1 = make_distributed_step_fn(
+        grid, params, mesh1, capacity=cap, density_mode="continuity"
+    )
+    for _ in range(3):
+        dist1, _ = step1(dist1)
+    x1, v1, r1 = collect_state(dist1, 120)
+
+    mesh3 = make_mesh3d(shape=(8, 1, 1))
+    dist3, cap3 = distribute_state_3d(state, grid, mesh3, capacity=cap)
+    step3 = make_distributed3d_step_fn(
+        grid, params, mesh3, capacity=cap3, density_mode="continuity"
+    )
+    for _ in range(3):
+        dist3, _ = step3(dist3)
+    x3, v3, r3 = collect_state(dist3, 120)
+
+    numpy.testing.assert_allclose(x3, x1, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(r3, r1, rtol=1e-5)
+
+
+def test_3d_continuity_adaptive_matches_fixed_at_same_dt():
+    from tpgsd.sph import init_density
+    from tpgsd.sph.distributed3d import make_adaptive_distributed3d_step_fn
+
+    state, grid, params = _cloud_setup()
+    state = init_density(state, grid, params)
+    mesh = make_mesh3d(shape=(2, 2, 2))
+
+    dist_f, cap = distribute_state_3d(state, grid, mesh)
+    dist_a = dist_f
+    step_f = make_distributed3d_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    step_a = make_adaptive_distributed3d_step_fn(
+        grid, params, mesh, capacity=cap, density_mode="continuity"
+    )
+    dt = jnp.float32(params.dt)
+    for _ in range(2):
+        dist_f, _ = step_f(dist_f)
+        dist_a, _, _dt = step_a(dist_a, dt)
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.x), numpy.asarray(dist_f.x)
+    )
+    numpy.testing.assert_array_equal(
+        numpy.asarray(dist_a.rho), numpy.asarray(dist_f.rho)
+    )

@@ -145,6 +145,7 @@ def resume_distributed2d(
     mesh,
     capacity=None,
     application="tpgsd.sph",
+    density_mode="summation",
 ):
     """Resume the 2-D block-decomposed loop from a trajectory.
 
@@ -152,7 +153,9 @@ def resume_distributed2d(
     ownership is re-derived from the last frame's positions, so the
     mesh shape may differ from the writing run's (including resuming a
     1-D-slab-written file onto a 2-D mesh, or vice versa - the file
-    records global state only).
+    records global state only).  ``density_mode="continuity"`` also
+    re-blocks the last frame's ``particles/density`` chunk into
+    ``DistState.rho``.
 
     Returns:
         ``(dist_state, capacity, step, writer)`` as
@@ -162,18 +165,23 @@ def resume_distributed2d(
     from .. import fl
     from .distributed2d import distribute_state_2d
 
+    continuity = density_mode == "continuity"
+    rho = None
     with fl.open(name, "r") as f:
         if f.nframes == 0:
             raise ValueError("cannot resume from an empty trajectory: " + str(name))
         last = f.nframes - 1
         x = numpy.asarray(f.read_chunk(last, "particles/position"))
         v = numpy.asarray(f.read_chunk(last, "particles/velocity"))
+        if continuity:
+            _require_density(f, last, name)
+            rho = numpy.asarray(f.read_chunk(last, "particles/density"))
         if f.chunk_exists(last, "configuration/step"):
             step = int(f.read_chunk(last, "configuration/step")[0])
         else:
             step = last
     dist, cap = distribute_state_2d(
-        SPHState(x=x, v=v), grid, mesh, capacity=capacity
+        SPHState(x=x, v=v, rho=rho), grid, mesh, capacity=capacity
     )
     writer = ShardedFrameWriter(name, mode="a", application=application)
     return dist, cap, step, writer
@@ -185,6 +193,7 @@ def resume_distributed3d(
     mesh,
     capacity=None,
     application="tpgsd.sph",
+    density_mode="summation",
 ):
     """Resume the 3-D block-decomposed loop from a trajectory.
 
@@ -192,7 +201,8 @@ def resume_distributed3d(
     ownership is re-derived from the last frame's positions, so the
     mesh shape (and even its dimensionality - 1-D slab, 2-D or 3-D
     block) may differ from the writing run's; the file records global
-    state only.
+    state only.  ``density_mode="continuity"`` also re-blocks the last
+    frame's ``particles/density`` chunk into ``DistState.rho``.
 
     Returns:
         ``(dist_state, capacity, step, writer)`` as
@@ -202,18 +212,23 @@ def resume_distributed3d(
     from .. import fl
     from .distributed3d import distribute_state_3d
 
+    continuity = density_mode == "continuity"
+    rho = None
     with fl.open(name, "r") as f:
         if f.nframes == 0:
             raise ValueError("cannot resume from an empty trajectory: " + str(name))
         last = f.nframes - 1
         x = numpy.asarray(f.read_chunk(last, "particles/position"))
         v = numpy.asarray(f.read_chunk(last, "particles/velocity"))
+        if continuity:
+            _require_density(f, last, name)
+            rho = numpy.asarray(f.read_chunk(last, "particles/density"))
         if f.chunk_exists(last, "configuration/step"):
             step = int(f.read_chunk(last, "configuration/step")[0])
         else:
             step = last
     dist, cap = distribute_state_3d(
-        SPHState(x=x, v=v), grid, mesh, capacity=capacity
+        SPHState(x=x, v=v, rho=rho), grid, mesh, capacity=capacity
     )
     writer = ShardedFrameWriter(name, mode="a", application=application)
     return dist, cap, step, writer

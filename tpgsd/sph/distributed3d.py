@@ -61,6 +61,7 @@ from .distributed2d import _block_perms, _migrate_axis
 from .kernels import WendlandC2
 from .step import (
     _accel_blocks,
+    _accel_drho_blocks,
     _st_force_blocks,
     _st_normals_blocks,
     _density_blocks,
@@ -134,6 +135,8 @@ def make_distributed3d_step_fn(
     xsph=0.0,
     density_renorm=False,
     surface_tension=0.0,
+    density_mode="summation",
+    delta_sph=0.1,
     _traced_dt=False,
 ):
     """Build the 3-D block-decomposed distributed step.
@@ -158,6 +161,13 @@ def make_distributed3d_step_fn(
         compute_energy / xsph / density_renorm: as in the 1-D/2-D
             steps (the density floor lands before the owner rho/p
             exchange, so ghosts carry it too).
+        density_mode / delta_sph: as in the 1-D/2-D steps.
+            ``"continuity"`` carries density as migrating state
+            (``DistState.rho``): ghost densities are exact by
+            construction, so the step runs ONE fused halo round
+            (x|v|rho|p|mask, 6 ppermute pairs) instead of two and ONE
+            fused accel+drho pair pass instead of two sweeps; the
+            density rides all three migration hops.
 
     Returns:
         ``step(state: DistState) -> (DistState, DistAux)``, jitted with
@@ -211,10 +221,29 @@ def make_distributed3d_step_fn(
     )
     nbr_ext = neighbor_table(ext_grid, periodic=False)
 
+    continuity = density_mode == "continuity"
+    if density_mode not in ("summation", "continuity"):
+        raise ValueError("unknown density_mode: %r" % (density_mode,))
+    if continuity and density_renorm:
+        raise ValueError(
+            "density_renorm corrects the summation-density free-surface "
+            "deficit; continuity mode has no deficit to correct - use "
+            "delta_sph for its noise control instead"
+        )
+
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and _po.supported(ext_grid)
+            and not continuity
+        )
+    if continuity and use_pallas:
+        raise NotImplementedError(
+            "density_mode='continuity' runs on the jnp pair path for "
+            "now (as in make_step_fn); pass use_pallas=False or 'auto'"
+        )
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
     if use_pallas:
@@ -227,8 +256,9 @@ def make_distributed3d_step_fn(
     )
     (sx_f, sx_b), (sy_f, sy_b), (sz_f, sz_b) = perms
 
-    def local_step(x, v, pid, dt):
-        # x/v/pid are this device's [cap] slot arrays; dt is the
+    def local_step(x, v, pid, rho_in, dt):
+        # x/v/pid are this device's [cap] slot arrays (rho_in carried
+        # density in continuity mode, None otherwise); dt is the
         # trace-time constant params.dt on the fixed path or a traced
         # replicated scalar on the adaptive path
         i = jax.lax.axis_index(ax_x)
@@ -242,14 +272,39 @@ def make_distributed3d_step_fn(
         cid_s, slot, order, gidx, mask, cell_ovf = _local_cells(
             x, alive, nxl, nyl, nzl, k, lo_local, cell
         )
-        # ONE stacked halo payload: x + v + mask = 7 lanes, 6 ppermutes
-        xvm = _scatter(
-            jnp.concatenate(
-                [x, v, alive.astype(jnp.float32)[:, None]], axis=-1
-            ),
-            order,
-            gidx,
-        )
+        if continuity:
+            # density is CARRIED STATE: ghosts are exact, so x|v|rho|p
+            # |mask ride ONE halo round - no owner rho/p re-exchange
+            xvr = _scatter(
+                jnp.concatenate([x, v, rho_in[:, None]], axis=-1),
+                order, gidx,
+            )
+            rho_dense = jnp.where(
+                mask, jnp.maximum(xvr[..., 6], 0.1 * params.rho0),
+                params.rho0,
+            )
+            p_dense = jnp.where(
+                mask, tait_pressure(rho_dense, params), 0.0
+            )
+            xvm = jnp.concatenate(
+                [
+                    xvr[..., :6],
+                    rho_dense[..., None],
+                    p_dense[..., None],
+                    mask.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+        else:
+            # ONE stacked halo payload: x + v + mask = 7 lanes
+            xvm = _scatter(
+                jnp.concatenate(
+                    [x, v, alive.astype(jnp.float32)[:, None]], axis=-1
+                ),
+                order,
+                gidx,
+            )
+        nlanes = xvm.shape[-1]
         ext = _halo3d(xvm, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms)
 
         # periodic seams: shift ghost-plane coordinates by the box
@@ -260,7 +315,7 @@ def make_distributed3d_step_fn(
         # that axis, so our shift condition is exactly the one it would
         # apply (the 2-D corner argument, once per axis).
         if wrap_x or wrap_y or wrap_z:
-            e4 = ext[:c_ext].reshape(nxl + 2, nyl + 2, nzl + 2, k, 7)
+            e4 = ext[:c_ext].reshape(nxl + 2, nyl + 2, nzl + 2, k, nlanes)
             if wrap_z:
                 sz_lo = jnp.where(kk == 0, -Lz, 0.0).astype(jnp.float32)
                 sz_hi = jnp.where(kk == pz - 1, Lz, 0.0).astype(jnp.float32)
@@ -277,55 +332,78 @@ def make_distributed3d_step_fn(
                 e4 = e4.at[0, ..., 0].add(sx_lo)
                 e4 = e4.at[nxl + 1, ..., 0].add(sx_hi)
             ext = jnp.concatenate(
-                [e4.reshape(c_ext, k, 7), ext[c_ext:]], axis=0
+                [e4.reshape(c_ext, k, nlanes), ext[c_ext:]], axis=0
             )
 
-        ext_x, ext_v, ext_mask = ext[..., :3], ext[..., 3:6], ext[..., 6] > 0.5
+        ext_x, ext_v = ext[..., :3], ext[..., 3:6]
+        ext_mask = ext[..., nlanes - 1] > 0.5
 
-        # density over the extended block; only CORE outputs are correct
-        if use_pallas:
-            rho_d = pallas_ops.density(
-                ext_x, ext_mask, ext_grid, params, kernel=kernel,
-                block=pallas_block,
+        if continuity:
+            # ghost rho/p arrived in the fused payload (edge devices'
+            # ghost planes are zeros - refill dead/absent slots with
+            # rho0 / 0 so p/rho^2 terms stay finite, masked anyway)
+            rho_d2 = jnp.where(
+                ext_mask, jnp.maximum(ext[..., 6], 0.1 * params.rho0),
+                params.rho0,
             )
+            p_d2 = jnp.where(ext_mask, ext[..., 7], 0.0)
         else:
-            rho_d = _density_blocks(
-                ext_x, ext_mask, nbr_ext, params, kernel, block
+            # density over the extended block; only CORE outputs are
+            # correct
+            if use_pallas:
+                rho_d = pallas_ops.density(
+                    ext_x, ext_mask, ext_grid, params, kernel=kernel,
+                    block=pallas_block,
+                )
+            else:
+                rho_d = _density_blocks(
+                    ext_x, ext_mask, nbr_ext, params, kernel, block
+                )
+
+            mask_core = _core3d(ext_mask, nxl, nyl, nzl)
+            rho_core = jnp.where(
+                mask_core,
+                jnp.maximum(
+                    _core3d(rho_d, nxl, nyl, nzl), 0.1 * params.rho0
+                ),
+                params.rho0,
+            )
+            if density_renorm:
+                rho_core = _renormalize_density(rho_core, params)
+            p_core = jnp.where(
+                mask_core, tait_pressure(rho_core, params), 0.0
             )
 
-        mask_core = _core3d(ext_mask, nxl, nyl, nzl)
-        rho_core = jnp.where(
-            mask_core,
-            jnp.maximum(_core3d(rho_d, nxl, nyl, nzl), 0.1 * params.rho0),
-            params.rho0,
-        )
-        if density_renorm:
-            rho_core = _renormalize_density(rho_core, params)
-        p_core = jnp.where(mask_core, tait_pressure(rho_core, params), 0.0)
+            # second halo exchange: OWNER-computed rho/p replace the
+            # locally-miscomputed ghost values before the force pass;
+            # rho and p ride one stacked payload (latency-bound hops)
+            rp = jnp.concatenate(
+                [
+                    jnp.stack([rho_core, p_core], axis=-1),
+                    jnp.stack(
+                        [
+                            jnp.full((1, k), params.rho0, rho_core.dtype),
+                            jnp.zeros((1, k), p_core.dtype),
+                        ],
+                        axis=-1,
+                    ),
+                ],
+                axis=0,
+            )
+            ext_rp = _halo3d(rp, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms)
+            # edge devices' ghosts receive zeros; refill dead/absent
+            # slots with rho0 / 0 so p/rho^2 terms stay finite (masked
+            # anyway)
+            rho_d2 = jnp.where(ext_mask, ext_rp[..., 0], params.rho0)
+            p_d2 = jnp.where(ext_mask, ext_rp[..., 1], 0.0)
 
-        # second halo exchange: OWNER-computed rho/p replace the
-        # locally-miscomputed ghost values before the force pass; rho
-        # and p ride one stacked payload (latency-bound hops)
-        rp = jnp.concatenate(
-            [
-                jnp.stack([rho_core, p_core], axis=-1),
-                jnp.stack(
-                    [
-                        jnp.full((1, k), params.rho0, rho_core.dtype),
-                        jnp.zeros((1, k), p_core.dtype),
-                    ],
-                    axis=-1,
-                ),
-            ],
-            axis=0,
-        )
-        ext_rp = _halo3d(rp, nxl, nyl, nzl, ax_x, ax_y, ax_z, perms)
-        # edge devices' ghosts receive zeros; refill dead/absent slots
-        # with rho0 / 0 so p/rho^2 terms stay finite (masked anyway)
-        rho_d2 = jnp.where(ext_mask, ext_rp[..., 0], params.rho0)
-        p_d2 = jnp.where(ext_mask, ext_rp[..., 1], 0.0)
-
-        if use_pallas:
+        if continuity:
+            out4_d = _accel_drho_blocks(
+                ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
+                kernel, block, delta_sph,
+            )
+            acc_d = out4_d[..., :3]
+        elif use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, ext_grid, params,
                 kernel=kernel, block=pallas_block,
@@ -361,16 +439,19 @@ def make_distributed3d_step_fn(
             )
 
         # bundle core outputs as columns of ONE particle-order gather
-        cols = [
-            _core3d(acc_d, nxl, nyl, nzl),
-            rho_core[..., None],
-            p_core[..., None],
-        ]
-        sent = [
-            jnp.zeros((1, k, 3), acc_d.dtype),
-            jnp.full((1, k, 1), params.rho0, rho_core.dtype),
-            jnp.zeros((1, k, 1), p_core.dtype),
-        ]
+        cols = [_core3d(acc_d, nxl, nyl, nzl)]
+        sent = [jnp.zeros((1, k, 3), acc_d.dtype)]
+        if continuity:
+            # drho sentinel is 0: cell-overflow-dropped particles keep
+            # their carried density
+            cols.append(_core3d(out4_d[..., 3:4], nxl, nyl, nzl))
+            sent.append(jnp.zeros((1, k, 1), acc_d.dtype))
+        else:
+            cols += [rho_core[..., None], p_core[..., None]]
+            sent += [
+                jnp.full((1, k, 1), params.rho0, rho_core.dtype),
+                jnp.zeros((1, k, 1), p_core.dtype),
+            ]
         if compute_energy:
             du_d = _energy_blocks(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
@@ -391,9 +472,19 @@ def make_distributed3d_step_fn(
         )
         out = _gather(bundle, cid_s, slot, order, c_local, k)
         acc = out[..., :3] + gravity
-        rho = out[..., 3]
-        p = out[..., 4]
-        ecol = 5
+        if continuity:
+            # integrate the gathered drho directly on the carried state
+            rho = jnp.where(
+                alive,
+                jnp.maximum(rho_in + dt * out[..., 3], 0.1 * params.rho0),
+                params.rho0,
+            )
+            p = jnp.where(alive, tait_pressure(rho, params), 0.0)
+            ecol = 4
+        else:
+            rho = out[..., 3]
+            p = out[..., 4]
+            ecol = 5
         dudt = out[..., ecol] if compute_energy else jnp.zeros_like(rho)
         if compute_energy:
             ecol += 1
@@ -428,9 +519,13 @@ def make_distributed3d_step_fn(
             v_new = jnp.where(fixed[:, None], 0.0, v_new)
 
         # ---- three-phase migration: x hop, then y, then z ----
+        # (carried rho rides as column 7 in continuity mode; the
+        # migration machinery keys on pid at column 6 regardless)
+        rho_col = [rho[:, None]] if continuity else []
         payload = jnp.concatenate(
-            [x_new, v_new, pid.astype(jnp.float32)[:, None]], axis=1
-        )  # [cap, 7], raw coordinates on every wrapped axis
+            [x_new, v_new, pid.astype(jnp.float32)[:, None]] + rho_col,
+            axis=1,
+        )  # [cap, 7 (8 continuity)], raw coordinates on wrapped axes
         slab_lo_x = lo_g[0] + i * nxl * cell
         merged1, ovf_x = _migrate_axis(
             payload, 0, slab_lo_x, slab_lo_x + nxl * cell, i, px, ax_x,
@@ -450,6 +545,10 @@ def make_distributed3d_step_fn(
         x_out = merged3[:, 0:3]
         v_out = merged3[:, 3:6]
         pid_out = merged3[:, 6].astype(jnp.int32)
+        if continuity:
+            # post-migration slot-consistent density/pressure
+            rho = jnp.where(pid_out >= 0, merged3[:, 7], params.rho0)
+            p = jnp.where(pid_out >= 0, tait_pressure(rho, params), 0.0)
         mig_ovf = ovf_x + ovf_y + ovf_z
         outs = (
             x_out, v_out, pid_out, rho, p, cell_ovf[None], mig_ovf[None],
@@ -468,12 +567,21 @@ def make_distributed3d_step_fn(
     sh = NamedSharding(mesh, spec)
 
     n_out = 9 if _traced_dt else 8
-    fn = local_step if _traced_dt else (
-        lambda x, v, pid: local_step(x, v, pid, params.dt)
-    )
+    if continuity:
+        fn = local_step if _traced_dt else (
+            lambda x, v, pid, rho: local_step(x, v, pid, rho, params.dt)
+        )
+    elif _traced_dt:
+        def fn(x, v, pid, dt):
+            return local_step(x, v, pid, None, dt)
+    else:
+        def fn(x, v, pid):
+            return local_step(x, v, pid, None, params.dt)
     sm_kwargs = dict(
         mesh=mesh,
-        in_specs=(spec, spec, spec) + ((P(),) if _traced_dt else ()),
+        in_specs=(spec, spec, spec)
+        + ((spec,) if continuity else ())
+        + ((P(),) if _traced_dt else ()),
         out_specs=(spec,) * n_out,
     )
     if use_pallas:
@@ -484,44 +592,48 @@ def make_distributed3d_step_fn(
     else:
         mapped = shard_map(fn, **sm_kwargs)
 
+    st_sh = DistState(x=sh, v=sh, pid=sh, rho=sh if continuity else None)
+
+    def _state_args(state):
+        if continuity:
+            if state.rho is None:
+                raise ValueError(
+                    "density_mode='continuity' needs DistState.rho - "
+                    "seed the global state with tpgsd.sph.init_density "
+                    "before distribute_state_3d"
+                )
+            return (state.x, state.v, state.pid, state.rho)
+        return (state.x, state.v, state.pid)
+
+    def _pack(x, v, pid, rho, p, covf, movf, dudt):
+        return (
+            DistState(x=x, v=v, pid=pid, rho=rho if continuity else None),
+            DistAux(
+                rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf,
+                dudt=dudt,
+            ),
+        )
+
     if _traced_dt:
 
         def step_dt(state, dt):
-            x, v, pid, rho, p, covf, movf, dudt, a2 = mapped(
-                state.x, state.v, state.pid, jnp.float32(dt)
-            )
-            return (
-                DistState(x=x, v=v, pid=pid),
-                DistAux(
-                    rho=rho, p=p, cell_overflow=covf,
-                    migrate_overflow=movf, dudt=dudt,
-                ),
-                a2,
-            )
+            *outs, a2 = mapped(*_state_args(state), jnp.float32(dt))
+            return _pack(*outs) + (a2,)
 
         return step_dt, sh
 
     @partial(
         jax.jit,
-        in_shardings=(DistState(x=sh, v=sh, pid=sh),),
+        in_shardings=(st_sh,),
         out_shardings=(
-            DistState(x=sh, v=sh, pid=sh),
+            st_sh,
             DistAux(
                 rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
             ),
         ),
     )
     def step(state):
-        x, v, pid, rho, p, covf, movf, dudt = mapped(
-            state.x, state.v, state.pid
-        )
-        return (
-            DistState(x=x, v=v, pid=pid),
-            DistAux(
-                rho=rho, p=p, cell_overflow=covf, migrate_overflow=movf,
-                dudt=dudt,
-            ),
-        )
+        return _pack(*mapped(*_state_args(state)))
 
     return step
 
@@ -565,12 +677,14 @@ def make_adaptive_distributed3d_step_fn(
     c0 = float(params.c0)
     if dt_max is None:
         dt_max = float(params.dt)
+    continuity = kwargs.get("density_mode") == "continuity"
+    st_sh = DistState(x=sh, v=sh, pid=sh, rho=sh if continuity else None)
 
     @partial(
         jax.jit,
-        in_shardings=(DistState(x=sh, v=sh, pid=sh), None),
+        in_shardings=(st_sh, None),
         out_shardings=(
-            DistState(x=sh, v=sh, pid=sh),
+            st_sh,
             DistAux(
                 rho=sh, p=sh, cell_overflow=sh, migrate_overflow=sh, dudt=sh
             ),
@@ -619,9 +733,11 @@ def distribute_state_3d(state, grid, mesh, capacity=None):
         capacity = int(-(-2 * max(int(pops.max()), 1) // 8) * 8)
 
     n_dev = px * py * pz
+    rho = None if state.rho is None else np.asarray(state.rho)
     xs = np.zeros((n_dev, capacity, 3), np.float32)
     vs = np.zeros((n_dev, capacity, 3), np.float32)
     pids = np.full((n_dev, capacity), -1, np.int32)
+    rhos = None if rho is None else np.zeros((n_dev, capacity), np.float32)
     for d in range(n_dev):
         sel = np.nonzero(owner == d)[0]
         if len(sel) > capacity:
@@ -632,10 +748,16 @@ def distribute_state_3d(state, grid, mesh, capacity=None):
         xs[d, : len(sel)] = x[sel]
         vs[d, : len(sel)] = v[sel]
         pids[d, : len(sel)] = sel
+        if rhos is not None:
+            rhos[d, : len(sel)] = rho[sel]
 
     sh = NamedSharding(mesh, P(mesh.axis_names))
     return DistState(
         x=jax.device_put(xs.reshape(-1, 3), sh),
         v=jax.device_put(vs.reshape(-1, 3), sh),
         pid=jax.device_put(pids.reshape(-1), sh),
+        rho=(
+            None if rhos is None
+            else jax.device_put(rhos.reshape(-1), sh)
+        ),
     ), capacity
