@@ -388,6 +388,170 @@ def _accel_kernel(
         az_ref[:] = az_ref[:] * mc
 
 
+def _accel_drho_kernel(
+    flags_ref, f_hbm, ax_ref, ay_ref, az_ref, dr_ref, fw, sems,
+    *, grid, params, kernel, block, delta_sph
+):
+    """Fused momentum + continuity pair pass: :func:`_accel_kernel`
+    plus a drho/dt output, the Pallas form of
+    ``tpgsd.sph.step._accel_drho_blocks`` (continuity-density mode).
+
+    The continuity equation shares every pair term the momentum
+    equation computes: ``drho_i/dt = m sum_j dwr vdotx`` reuses the
+    kernel's ``t3`` and the MXU-factorized ``vdotx``, so the extra cost
+    is ONE more [B, Kp, Kp] pair matrix and one matvec reduction per
+    window slice.  ``delta_sph > 0`` folds the Molteni-Colagrossi
+    diffusion term into the same pair matrix (``2 delta h c0`` relative
+    to the continuity constant; the shared ``m dw_const`` scales the
+    reduced output once).  Neighbor rho is floored at ``0.1 rho0``
+    before its approximate reciprocal so zero-padded cells stay finite
+    (they are masked out of the reduction anyway).
+    """
+    nx, ny, nz = grid.dims
+    _, _, _, _, pad, _, _, astarts, extras, wlen, kp = _geometry(grid, block)
+    h2eps = params.eps * params.h * params.h
+    cfold, cv = _accel_folds(params, kernel)
+    inv2h = 0.5 / params.h
+    # drho = m dwr vdotx + dcoef (rho_c-rho_n)/rho_n dwr r2/(r2+eta2);
+    # with dwr = dw_const * t3 both terms share A = m*dw_const = -cfold
+    # (cfold folds |dw_const|*m for WendlandC2 and m for generic
+    # kernels whose t3 is already -dw_over_r), so the pair matrix is
+    # t3*(vdotx + ddfold*...) and A scales the reduced sum once
+    adrho = -cfold
+    # the jnp path's dcoef = 2 delta h c0 m; the shared m*dw_const is
+    # adrho, so only 2 delta h c0 remains inside the pair bracket
+    ddfold = 2.0 * delta_sph * params.h * params.c0
+    eta2 = (0.1 * params.h) ** 2
+    rho_floor = 0.1 * params.rho0
+
+    i = pl.program_id(0)
+    base = i * block
+
+    @pl.when(flags_ref[i] & 1 == 0)
+    def _empty():
+        zero = jnp.zeros((block, kp), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        dr_ref[:] = zero
+
+    @pl.when(flags_ref[i] & 1 != 0)
+    def _occupied():
+        for c_ in _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen):
+            c_.wait()
+
+        ix, iy, iz = _cell_coords(i * block, block, ny, nz)
+
+        c00 = i * block
+        ix0 = c00 // (ny * nz)
+        rem0 = c00 - ix0 * (ny * nz)
+        tx = grid.lo[0] + grid.cell_size * ix0.astype(jnp.float32)
+        ty = grid.lo[1] + grid.cell_size * (rem0 // nz).astype(jnp.float32)
+        tz = grid.lo[2] + grid.cell_size * (0.5 * nz)
+
+        e4 = extras[4]
+        cen = fw[4, :8, e4 + 1 : e4 + 1 + block]  # [8, B, Kp]
+        mc = fw[4, 8, e4 + 1 : e4 + 1 + block]
+
+        xcl = (cen[0] - tx, cen[1] - ty, cen[2] - tz)
+        rho_c = cen[6]
+        ptc = cen[7]  # pre-scaled cfold*p/rho^2
+        ccc = cen[3] * xcl[0] + cen[4] * xcl[1] + cen[5] * xcl[2]
+        a6 = jnp.stack(
+            [xcl[0], xcl[1], xcl[2], cen[3], cen[4], cen[5]], axis=1
+        )  # [B, 6, Kp]
+
+        zero = jnp.zeros((block, kp), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        dr_ref[:] = zero
+        for w in range(9):
+            dx, dy = w // 3 - 1, w % 3 - 1
+            e = extras[w]
+
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                sacc = jnp.zeros((block, 4, kp), jnp.float32)
+                sdr = jnp.zeros((block, kp), jnp.float32)
+                for dz in (-1, 0, 1):
+                    nb = fw[w, :8, e + 1 + dz : e + 1 + dz + block]  # [8,B,Kp]
+                    ym = fw[w, 8, e + 1 + dz : e + 1 + dz + block]
+                    valid = _offset_valid(ix, iy, iz, dx, dy, dz, nx, ny, nz)
+                    pm = ym * valid  # [B, Kp]
+
+                    xnl0 = nb[0] - tx
+                    xnl1 = nb[1] - ty
+                    xnl2 = nb[2] - tz
+                    ccn = nb[3] * xnl0 + nb[4] * xnl1 + nb[5] * xnl2
+                    b6 = jnp.stack(
+                        [nb[3], nb[4], nb[5], xnl0, xnl1, xnl2], axis=1
+                    )
+                    cross = jax.lax.dot_general(
+                        a6, b6, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, Kp, Kp]
+
+                    ddx = xcl[0][:, :, None] - xnl0[:, None, :]
+                    ddy = xcl[1][:, :, None] - xnl1[:, None, :]
+                    ddz = xcl[2][:, :, None] - xnl2[:, None, :]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t3 = t * t * t
+                    else:
+                        t3 = -kernel.dw_over_r(r, params.h, dim=params.dim)
+
+                    vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
+                    press = ptc[:, :, None] + nb[7][:, None, :]
+                    den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
+                    scale = (
+                        press
+                        + cv * jnp.minimum(vdotx, 0.0)
+                        * pl.reciprocal(den, approx=True)
+                    ) * t3
+
+                    # continuity pair matrix: vdotx (+ delta-SPH
+                    # diffusion) under the shared t3
+                    if delta_sph > 0.0:
+                        rho_n = jnp.maximum(nb[6], rho_floor)
+                        diff = (
+                            ddfold
+                            * (rho_c[:, :, None] - rho_n[:, None, :])
+                            * pl.reciprocal(rho_n, approx=True)[:, None, :]
+                            * r2
+                            * pl.reciprocal(r2 + eta2, approx=True)
+                        )
+                        scale2 = t3 * (vdotx + diff)
+                    else:
+                        scale2 = t3 * vdotx
+
+                    n4 = jnp.stack(
+                        [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
+                    )  # [B, 4, Kp]
+                    sacc = sacc + jax.lax.dot_general(
+                        n4, scale, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 4, Kp]
+                    sdr = sdr + jax.lax.dot_general(
+                        scale2, pm, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, Kp]
+                ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
+                ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
+                az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
+                dr_ref[:] += sdr
+
+        ax_ref[:] = ax_ref[:] * mc
+        ay_ref[:] = ay_ref[:] * mc
+        az_ref[:] = az_ref[:] * mc
+        dr_ref[:] = dr_ref[:] * (mc * adrho)
+
+
 # ---------------------------------------------------------------------------
 # Packed sub-128 variant: f = 128 // K z-adjacent cells share one 128-lane row
 #
@@ -1874,3 +2038,138 @@ def accel(
         interpret=interpret,
     )(flags, f_soa)
     return jnp.stack([ax[:c, :k], ay[:c, :k], az[:c, :k]], axis=-1)
+
+
+def accel_drho_supported(grid):
+    """True when :func:`accel_drho` has a kernel for this capacity -
+    the lane-native multiples of 128 (the packed sub-128 fused variant
+    is pending; continuity mode falls back to the jnp pair path
+    there)."""
+    return grid.capacity % 128 == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "params", "kernel", "delta_sph", "block", "interpret",
+        "wrap_axes", "soa",
+    ),
+)
+def accel_drho(
+    dense_x,
+    dense_v,
+    dense_rho,
+    dense_p,
+    mask,
+    grid,
+    params,
+    kernel=WendlandC2,
+    delta_sph=0.1,
+    block=DEFAULT_BLOCK,
+    interpret=None,
+    wrap_axes=None,
+    soa=False,
+):
+    """Fused momentum + continuity pair pass (continuity-density mode).
+
+    Same contract as ``tpgsd.sph.step._accel_drho_blocks``: returns
+    ``[n_cells, K, 4]`` float32 with columns [acc_x, acc_y, acc_z,
+    drho/dt] - ONE neighbor sweep produces both, sharing every pair
+    term (see :func:`_accel_drho_kernel`).  ``wrap_axes``/``soa`` as in
+    :func:`accel`.  Only lane-native capacities (multiples of 128) have
+    a kernel; gate with :func:`accel_drho_supported`.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if not accel_drho_supported(grid):
+        raise NotImplementedError(
+            "accel_drho needs a lane-native capacity (multiple of 128); "
+            "got %d - the packed sub-128 fused variant is pending"
+            % grid.capacity
+        )
+    if wrap_axes is not None and any(wrap_axes):
+        g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
+        if soa:
+            ghost_x = (
+                dense_x[:, src]
+                + jnp.moveaxis(jnp.asarray(shift), -1, 0)[:, :, None]
+            )
+            ghost_v = dense_v[:, src]
+        else:
+            ghost_x = dense_x[src] + shift[:, None, :]
+            ghost_v = dense_v[src]
+        out_g = accel_drho(
+            ghost_x,
+            ghost_v,
+            dense_rho[src],
+            dense_p[src],
+            mask[src],
+            g,
+            params,
+            kernel=kernel,
+            delta_sph=delta_sph,
+            block=block,
+            interpret=interpret,
+            soa=soa,
+        )
+        return out_g[interior]
+    nx, ny, nz, c, pad, nblocks, cp, astarts, extras, wlen, kp = _geometry(
+        grid, block
+    )
+    k = grid.capacity
+
+    cfold, _ = _accel_folds(params, kernel)
+    rho_f = dense_rho[:c].astype(jnp.float32)
+    pt = cfold * dense_p[:c].astype(jnp.float32) / (rho_f * rho_f + 1e-30)
+    if soa:
+        x_soa = dense_x[:, :c].astype(jnp.float32)
+        v_soa = dense_v[:, :c].astype(jnp.float32)
+    else:
+        x_soa = jnp.moveaxis(dense_x[:c].astype(jnp.float32), -1, 0)
+        v_soa = jnp.moveaxis(dense_v[:c].astype(jnp.float32), -1, 0)
+    fields = jnp.concatenate(
+        [
+            x_soa,
+            v_soa,
+            rho_f[None],
+            pt[None],
+            mask[:c].astype(jnp.float32)[None],
+        ],
+        axis=0,
+    )  # [9, C, K]
+    f_soa = _pad_cells_to(fields, c, pad, cp, kp)
+    flags = _block_flags(f_soa[8], pad, nblocks, block, astarts, wlen)
+
+    kern = functools.partial(
+        _accel_drho_kernel, grid=grid, params=params, kernel=kernel,
+        block=block, delta_sph=float(delta_sph),
+    )
+    ax, ay, az, dr = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (block, kp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(4)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 9, wlen, kp), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, kp), jnp.float32)
+            for _ in range(4)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, f_soa)
+    return jnp.stack(
+        [ax[:c, :k], ay[:c, :k], az[:c, :k], dr[:c, :k]], axis=-1
+    )
