@@ -272,6 +272,25 @@ def test_read_log(tmp_path):
     numpy.testing.assert_array_equal(scalars["log/value/energy"], [0, 2, 4, 6])
 
 
+def test_read_log_warns_on_late_quantities(tmp_path):
+    """Quantities first logged after frame 0 cannot form a full time
+    series; the reference drops them SILENTLY (reference:
+    pgsd/pgsd/hoomd.py:1045-1050) - tpgsd names them in a warning."""
+    with tpgsd.hoomd.open(tmp_path / "t.gsd", mode="w") as hf:
+        for i in range(3):
+            frame = tpgsd.hoomd.Frame()
+            frame.configuration.step = i
+            frame.log["value/energy"] = [float(i)]
+            if i > 0:
+                frame.log["value/late"] = [float(i * 10)]
+            hf.append(frame)
+
+    with pytest.warns(RuntimeWarning, match="log/value/late"):
+        logs = tpgsd.hoomd.read_log(tmp_path / "t.gsd")
+    assert "log/value/late" not in logs
+    numpy.testing.assert_array_equal(logs["log/value/energy"], [0, 1, 2])
+
+
 def test_pickle(tmp_path, open_mode):
     with tpgsd.hoomd.open(tmp_path / "t.gsd", mode=open_mode.write) as traj:
         traj.extend(create_frame(i) for i in range(20))

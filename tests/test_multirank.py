@@ -326,3 +326,113 @@ def test_flush_metadata_is_batched(tmp_path):
     if errors:
         rank, err = errors[0]
         raise AssertionError("rank %d failed: %r" % (rank, err)) from err
+
+
+def test_buffer_cap_overflow_multirank(tmp_path):
+    """Buffered chunks crossing the write-buffer cap mid-frame: the
+    overflow flush is a COLLECTIVE decision, so every rank must take it
+    together even though only the controller stages bytes.  Before the
+    round-4 fix the controller entered ``_flush_write_buffer``'s
+    allgather alone (gated on its local buffer length) and the ranks
+    desynchronized - the reference decides collectively via
+    Allreduce(MAX) (reference: pgsd/pgsd/pgsd.c:2156-2160)."""
+    fname = str(tmp_path / "mr_bufcap.gsd")
+    nchunks, nframes = 30, 2
+    payload = numpy.arange(64, dtype=numpy.float64)  # 512 B/chunk
+
+    def work(rank, comm):
+        f = tpgsd.fl.PGSDFile(
+            fname, "w", application="mr", schema="none",
+            schema_version=(1, 0), comm=comm,
+        )
+        # shrink the cap so ~8 chunks overflow it (30 * 512 B >> 4096 B)
+        f.maximum_write_buffer_size = 4096
+        for frame in range(nframes):
+            for c in range(nchunks):
+                f.write_chunk(
+                    "log/q%02d" % c, payload + frame * nchunks + c,
+                    write_all=False,
+                )
+            f.end_frame()
+        f.close()
+
+    run_ranks(2, work)
+
+    for opener in (
+        lambda: tpgsd.fl.open(fname, "r"),
+        lambda: tpgsd.pypgsd.PGSDFile(open(fname, "rb")),
+    ):
+        with opener() as f:
+            assert f.nframes == nframes
+            for frame in range(nframes):
+                for c in range(nchunks):
+                    numpy.testing.assert_array_equal(
+                        f.read_chunk(frame, "log/q%02d" % c),
+                        payload + frame * nchunks + c,
+                    )
+
+
+def test_upgrade_multirank(tmp_path):
+    """Collective v1 -> v2 upgrade: only the controller writes the
+    relocated namelist/index and the header (the controller-commit
+    discipline every other metadata path follows); every rank's handle
+    ends consistent and can keep appending."""
+    from tests.test_compat import _make_v1_file
+
+    rng = numpy.random.RandomState(3)
+    frames = [
+        [("d", rng.rand(6).astype(numpy.float32))] for _ in range(2)
+    ]
+    fname = tmp_path / "mr_upgrade.gsd"
+    _make_v1_file(fname, frames, nframes=2)
+    fname = str(fname)
+    writes = [0, 0]
+
+    def work(rank, comm):
+        class CountingFH:
+            """Wrap the file handle to count mutating calls per rank."""
+
+            def __init__(self, fh):
+                self._fh = fh
+
+            def __getattr__(self, name):
+                attr = getattr(self._fh, name)
+                if name in ("pwrite", "pwrite_many", "truncate", "fsync"):
+                    def counted(*a, **kw):
+                        writes[rank] += 1
+                        return attr(*a, **kw)
+
+                    return counted
+                return attr
+
+        f = tpgsd.fl.PGSDFile(
+            fname, "r+", comm=comm,
+        )
+        f._fh = CountingFH(f._fh)
+        assert f.pgsd_version == (1, 0)
+        before = writes[rank]
+        f.upgrade()
+        assert f.pgsd_version == (2, 0)
+        if rank != 0:
+            # non-controller ranks issue ZERO file mutations
+            assert writes[rank] == before
+        # both handles stay usable: append one more frame collectively
+        counts = numpy.array([3, 3], dtype=numpy.uint64)
+        lo = 3 * rank
+        data = numpy.arange(6, dtype=numpy.float32)
+        f.write_chunk("d", data[lo:lo + 3], offset=counts, rank=rank)
+        f.end_frame()
+        f.close()
+
+    run_ranks(2, work)
+
+    with tpgsd.pypgsd.PGSDFile(open(fname, "rb")) as f:
+        assert f.gsd_version == (2, 0)
+        assert f.nframes == 3
+        for i, chunks in enumerate(frames):
+            numpy.testing.assert_array_equal(
+                f.read_chunk(i, "d"), chunks[0][1]
+            )
+        numpy.testing.assert_array_equal(
+            f.read_chunk(2, "d"), numpy.arange(6, dtype=numpy.float32)
+        )

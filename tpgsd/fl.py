@@ -327,12 +327,17 @@ class PGSDFile:
         app = self.application
         schema = self.schema
         schema_version = self.schema_version
+        # controller-commit discipline: only process 0 mutates the file
+        # (matching every other metadata write in this layer); the
+        # barrier orders the truncate before any process re-reads
         self._initialize_file(app, schema, schema_version)
-        self._fh.truncate(
-            HEADER_SIZE
-            + INITIAL_INDEX_SIZE * INDEX_ENTRY_SIZE
-            + INITIAL_NAME_BUFFER_SIZE
-        )
+        if self._comm.rank == 0:
+            self._fh.truncate(
+                HEADER_SIZE
+                + INITIAL_INDEX_SIZE * INDEX_ENTRY_SIZE
+                + INITIAL_NAME_BUFFER_SIZE
+            )
+        self._comm.barrier()
         self._initialize_handle(readonly=False)
 
     def upgrade(self):
@@ -356,25 +361,34 @@ class PGSDFile:
             return  # already v2
         self.flush()
 
-        # v2 namelist packing never exceeds the v1 fixed-slot block
+        # Every process derives the identical new layout locally (names
+        # and index are replicated at flush, and the packing/sort are
+        # deterministic), but ONLY the controller touches the file -
+        # the controller-commit discipline every other metadata write in
+        # this layer follows.  The closing barrier orders the header
+        # switch before any process trusts the new pointers.
         packed = validate.pack_namelist_v2(self._names, self._namelist_reserved)
         namelist_loc = self._file_size
-        self._fh.pwrite(namelist_loc, packed)
-
         index_loc = namelist_loc + len(packed)
         n_alloc = int(self._header["index_allocated_entries"])
         if len(self._file_index):
             self._file_index = validate.sort_index(self._file_index)
-        block = structs.new_index_block(n_alloc)
-        block[: len(self._file_index)] = self._file_index
-        self._fh.pwrite(index_loc, block.tobytes())
-        self._fh.fsync()  # new blocks durable before the header points at them
+
+        if self._comm.rank == 0:
+            # v2 namelist packing never exceeds the v1 fixed-slot block
+            self._fh.pwrite(namelist_loc, packed)
+            block = structs.new_index_block(n_alloc)
+            block[: len(self._file_index)] = self._file_index
+            self._fh.pwrite(index_loc, block.tobytes())
+            self._fh.fsync()  # new blocks durable before the header points at them
 
         self._header["pgsd_version"] = make_version(2, 0)
         self._header["namelist_location"] = namelist_loc
         self._header["index_location"] = index_loc
-        self._fh.pwrite(0, structs.pack_header(self._header))
-        self._fh.fsync()
+        if self._comm.rank == 0:
+            self._fh.pwrite(0, structs.pack_header(self._header))
+            self._fh.fsync()
+        self._comm.barrier()
 
         self._namelist_used = sum(
             len(n.encode("utf-8")) + 1 for n in self._names
@@ -529,9 +543,28 @@ class PGSDFile:
                 chunk_id = self._append_name(name)
             entry = [self._cur_frame, N_global, 0, M, chunk_id, type_code, 0]
 
-        # collective buffered-vs-direct decision
-        # (reference: pgsd/pgsd/pgsd.c:2156-2160)
-        max_size = self._comm.allreduce_max(local_size)
+        # collective buffered-vs-direct decision AND overflow-flush
+        # decision, derived from ONE collective so every process takes
+        # the same branches (reference: pgsd/pgsd/pgsd.c:2156-2160).
+        # The projected occupancy travels alongside the size because the
+        # write buffer fills on the controller only: gating the
+        # (collective) overflow flush on local buffer length would have
+        # the controller enter _flush_write_buffer's allgather alone -
+        # deadlock.  max-of-projected triggers exactly when the
+        # controller's buffer would overflow (non-controller buffers
+        # stay empty, so their projection is just local_size).
+        if self._comm.size > 1:
+            gathered = self._comm.allgather(
+                numpy.array(
+                    [local_size, len(self._write_buffer) + local_size],
+                    dtype=numpy.int64,
+                )
+            )
+            max_size = max(int(g[0]) for g in gathered)
+            max_projected = max(int(g[1]) for g in gathered)
+        else:
+            max_size = local_size
+            max_projected = len(self._write_buffer) + local_size
 
         if max_size < self._maximum_write_buffer_size and not write_all:
             # ---- buffered path: stage bytes in the write buffer ----
@@ -540,7 +573,7 @@ class PGSDFile:
             # rank and leaves the non-root bytes dead in the file -
             # SURVEY.md 2.6#2; skipping them here produces a denser,
             # still spec-valid file.)
-            if local_size > self._maximum_write_buffer_size - len(self._write_buffer):
+            if max_projected > self._maximum_write_buffer_size:
                 self._flush_write_buffer()
             if self._comm.rank == 0:
                 entry[2] = len(self._write_buffer)  # location in the buffer
@@ -1243,7 +1276,13 @@ class PGSDFile:
 
     @property
     def maximum_write_buffer_size(self):
-        """int: maximum size of the write buffer in bytes (settable)."""
+        """int: maximum size of the write buffer in bytes (settable).
+
+        On a multi-process handle, set it to the SAME value on every
+        process (like every knob the reference exposes,
+        reference: pgsd/pgsd/pgsd.c:2643-2683): the buffered-vs-direct
+        decision compares against it after a collective.
+        """
         return self._maximum_write_buffer_size
 
     @maximum_write_buffer_size.setter

@@ -747,15 +747,25 @@ def read_log(name, scalar_only=False):
         # semantics as the frame reader
         frame0 = f.read_all_chunks(0, names=wanted)
         fill = {}
+        dropped = []
         for nm in wanted:
             v = frame0.get(nm)
             if v is None:
                 if nm != "configuration/step":
+                    dropped.append(nm)
                     continue
                 v = numpy.zeros(1, dtype=numpy.uint64)
             if scalar_only and v.shape[0] != 1:
                 continue
             fill[nm] = v
+        if dropped:
+            # the reference drops these silently
+            # (reference: pgsd/pgsd/hoomd.py:1045-1050); name them instead
+            warnings.warn(
+                "read_log skipped quantities not logged at frame 0: "
+                + ", ".join(sorted(dropped)),
+                RuntimeWarning,
+            )
 
         # one batched positioned read per frame, restricted to the log
         # quantities (never the frame's bulk particle data) - replaces
