@@ -165,21 +165,16 @@ def main(argv=None):
         if nd == 1:
             mesh = make_mesh(n_devices=shape[0])
             dist, dcap = distribute_state(db.state, db.grid, mesh)
-            step_d = make_distributed_step_fn(
-                db.grid, db.params, mesh, capacity=dcap
-            )
+            builder = make_distributed_step_fn
         elif nd == 2:
             mesh = make_mesh2d(shape=shape)
             dist, dcap = distribute_state_2d(db.state, db.grid, mesh)
-            step_d = make_distributed2d_step_fn(
-                db.grid, db.params, mesh, capacity=dcap
-            )
+            builder = make_distributed2d_step_fn
         else:
             mesh = make_mesh3d(shape=shape)
             dist, dcap = distribute_state_3d(db.state, db.grid, mesh)
-            step_d = make_distributed3d_step_fn(
-                db.grid, db.params, mesh, capacity=dcap
-            )
+            builder = make_distributed3d_step_fn
+        step_d = builder(db.grid, db.params, mesh, capacity=dcap)
         dt_d, _ = bench_step(step_d, dist, args.steps)
         print(
             "%s%-5s: %7.2f ms/step  %12.3g particle-steps/s  "
@@ -187,6 +182,28 @@ def main(argv=None):
             % (args.decomp, str(shape), dt_d * 1e3, db.n / dt_d,
                dt / dt_d, shape, dcap)
         )
+        if args.spill:
+            # the champion at scale: spill kernels inside the
+            # decomposed block step (main tier at 1.15x typical
+            # occupancy, per-device 2K-slot layout)
+            import numpy as _np
+            from tpgsd.sph.cells import auto_capacity as _ac
+
+            ka = _ac(
+                _np.asarray(db.state.x), (0.0, 0.0, 0.0), db.box,
+                2.0 * db.params.h, headroom=1.15,
+            )
+            ka = min(max(ka, 24), 64)
+            step_ds = builder(
+                db.grid._replace(capacity=ka), db.params, mesh,
+                capacity=dcap, use_pallas=True, spill=True,
+            )
+            dt_ds, _ = bench_step(step_ds, dist, args.steps)
+            print(
+                "%s+spill%-2d: %7.2f ms/step  %12.3g particle-steps/s  "
+                "(%.2fx vs global)"
+                % (args.decomp, ka, dt_ds * 1e3, db.n / dt_ds, dt / dt_ds)
+            )
 
     if args.slabs:
         from tpgsd.sph import make_slab_step_fn

@@ -114,8 +114,6 @@ def main(argv=None):
 
     if args.decomp and args.sharded:
         raise SystemExit("--decomp and --sharded are exclusive")
-    if args.decomp and args.spill:
-        raise SystemExit("--spill does not compose with --decomp yet")
     if args.sharded and args.spill:
         print("--spill runs unsharded (pallas_call under GSPMD); "
               "dropping --sharded")
@@ -173,7 +171,9 @@ def main(argv=None):
 
         kw = dict(n_fixed=n_fixed, periodic=periodic, xsph=args.xsph,
                   density_renorm=args.density_renorm,
-                  surface_tension=args.surface_tension)
+                  surface_tension=args.surface_tension,
+                  spill=args.spill,
+                  use_pallas=True if args.spill else "auto")
         if args.adaptive:
             kw["cfl"] = args.cfl
         if decomp == "slab":
@@ -235,8 +235,6 @@ def main(argv=None):
         )
         print("sharded over %d devices" % n_dev)
     else:
-        if args.spill and args.xsph > 0:
-            raise SystemExit("--spill does not compose with --xsph yet")
         build = make_adaptive_step_fn if args.adaptive else make_step_fn
         kw = dict(
             n_fixed=n_fixed, periodic=periodic,
@@ -278,7 +276,7 @@ def main(argv=None):
                     # cross-process production path streams the sharded
                     # slot arrays directly - see
                     # tests/test_multiprocess.py dump-cycle test)
-                    xh, vh = collect_state(state, db.n)
+                    xh, vh, _ = collect_state(state, db.n)
                     rho_h, pres_h, _du = collect_aux(
                         state, aux, db.n, params=db.params
                     )

@@ -148,7 +148,7 @@ def test_resume_distributed_continues(tmp_path):
     writer = ShardedFrameWriter(path)
     for i in range(2):
         dist, aux = dstep(dist)
-        x_h, v_h = collect_state(dist, 24)
+        x_h, v_h, _ = collect_state(dist, 24)
         writer.write_frame(
             {"particles/position": x_h, "particles/velocity": v_h}, step=i
         )
@@ -161,8 +161,8 @@ def test_resume_distributed_continues(tmp_path):
     dist4, cap4, step4, writer4 = resume_distributed(path, grid, mesh4)
     writer4.close()
     assert step4 == 1
-    x4, v4 = collect_state(dist4, 24)
-    x1, v1 = collect_state(dist, 24)
+    x4, v4, _ = collect_state(dist4, 24)
+    x1, v1, _ = collect_state(dist, 24)
     numpy.testing.assert_allclose(x4, x1, rtol=1e-6)
     numpy.testing.assert_allclose(v4, v1, rtol=1e-6, atol=1e-7)
     # and it continues on the smaller mesh
@@ -174,15 +174,15 @@ def test_resume_distributed_continues(tmp_path):
         path, grid, mesh, capacity=cap
     )
     assert last_step == 1
-    x2, v2 = collect_state(dist2, 24)
+    x2, v2, _ = collect_state(dist2, 24)
     numpy.testing.assert_allclose(x2, x1, rtol=1e-6)
     numpy.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-7)
 
     # continue one step on each and compare
     dist, _ = dstep(dist)
     dist2, _ = dstep(dist2)
-    xa, _ = collect_state(dist, 24)
-    xb, _ = collect_state(dist2, 24)
+    xa, _, _ = collect_state(dist, 24)
+    xb, _, _ = collect_state(dist2, 24)
     numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
 
     writer2.write_frame({"particles/position": xb}, step=2)
@@ -241,12 +241,12 @@ def test_resume_distributed2d_continues(tmp_path):
     writer = ShardedFrameWriter(path)
     for s in range(2):
         dist, _aux = dstep(dist)
-        x_h, v_h = collect_state(dist, 24)
+        x_h, v_h, _ = collect_state(dist, 24)
         writer.write_frame(
             {"particles/position": x_h, "particles/velocity": v_h}, step=s
         )
     writer.close()
-    x1, v1 = collect_state(dist, 24)
+    x1, v1, _ = collect_state(dist, 24)
 
     # resume onto a (2, 2) block mesh and verify state parity
     mesh2d = make_mesh2d(shape=(2, 2))
@@ -255,7 +255,7 @@ def test_resume_distributed2d_continues(tmp_path):
         path, grid, mesh2d
     )
     assert last_step == 1
-    x2, v2 = collect_state(dist2, 24)
+    x2, v2, _ = collect_state(dist2, 24)
     numpy.testing.assert_allclose(x2, x1, rtol=1e-6)
     numpy.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-7)
 
@@ -265,8 +265,8 @@ def test_resume_distributed2d_continues(tmp_path):
     dist2, aux2 = step2d(dist2)
     assert int(jnp.sum(aux2.migrate_overflow)) == 0
     dist, _ = dstep(dist)
-    xa, _ = collect_state(dist, 24)
-    xb, _ = collect_state(dist2, 24)
+    xa, _, _ = collect_state(dist, 24)
+    xb, _, _ = collect_state(dist2, 24)
     numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
 
     writer2.write_frame({"particles/position": xb}, step=2)
@@ -320,12 +320,12 @@ def test_resume_distributed3d_continues(tmp_path):
     writer = ShardedFrameWriter(path)
     for s in range(2):
         dist, _aux = dstep(dist)
-        x_h, v_h = collect_state(dist, 24)
+        x_h, v_h, _ = collect_state(dist, 24)
         writer.write_frame(
             {"particles/position": x_h, "particles/velocity": v_h}, step=s
         )
     writer.close()
-    x1, v1 = collect_state(dist, 24)
+    x1, v1, _ = collect_state(dist, 24)
 
     # resume onto a (2, 2, 2) block mesh and verify state parity
     mesh3d = make_mesh3d(shape=(2, 2, 2))
@@ -333,7 +333,7 @@ def test_resume_distributed3d_continues(tmp_path):
         path, grid, mesh3d
     )
     assert last_step == 1
-    x3, v3 = collect_state(dist3, 24)
+    x3, v3, _ = collect_state(dist3, 24)
     numpy.testing.assert_allclose(x3, x1, rtol=1e-6)
     numpy.testing.assert_allclose(v3, v1, rtol=1e-6, atol=1e-7)
 
@@ -343,8 +343,8 @@ def test_resume_distributed3d_continues(tmp_path):
     dist3, aux3 = step3d(dist3)
     assert int(jnp.sum(aux3.migrate_overflow)) == 0
     dist, _ = dstep(dist)
-    xa, _ = collect_state(dist, 24)
-    xb, _ = collect_state(dist3, 24)
+    xa, _, _ = collect_state(dist, 24)
+    xb, _, _ = collect_state(dist3, 24)
     numpy.testing.assert_allclose(xb, xa, rtol=1e-5, atol=1e-6)
     writer3.close()
 

@@ -254,3 +254,61 @@ def test_upstream_reader_consumes_tpgsd_output(tmp_path):
             for name, arr in payload.items():
                 got = f.read_chunk(frame=nframe, name=name)
                 numpy.testing.assert_array_equal(got, (arr + nframe).squeeze())
+
+
+def test_vendored_oracle_consumes_tpgsd_output(tmp_path):
+    """Hermetic third oracle: the VENDORED copy of the reference's own
+    pure-Python reader (tests/oracle/vendored_pypgsd.py, upstream GSD
+    3.2.0's spec reader - the one the reference's test suite itself
+    relies on, reference: pgsd/pgsd/test/test_fl.py:6-7) must parse
+    tpgsd-written v2 files bit-for-bit.  Unlike
+    ``test_upstream_reader_consumes_tpgsd_output`` this never skips:
+    the oracle ships with the tests."""
+    from tests.oracle import vendored_pypgsd
+
+    fname = tmp_path / "ours_for_vendored.gsd"
+    rng = numpy.random.RandomState(9)
+    payload = {
+        "particles/position": rng.rand(40, 3).astype(numpy.float32),
+        "particles/typeid": rng.randint(0, 4, size=40).astype(numpy.uint32),
+        "log/energy": numpy.array([2.5], dtype=numpy.float64),
+    }
+    with tpgsd.fl.open(
+        name=fname, mode="w", application="tpgsd", schema="hoomd",
+        schema_version=[1, 4],
+    ) as f:
+        for nframe in range(3):
+            for name, arr in payload.items():
+                f.write_chunk(name=name, data=arr + nframe)
+            f.end_frame()
+
+    with vendored_pypgsd.PGSDFile(open(str(fname), "rb")) as f:
+        assert f.nframes == 3
+        assert f.schema == "hoomd"
+        assert f.pgsd_version == (2, 0)
+        for nframe in range(3):
+            for name, arr in payload.items():
+                got = f.read_chunk(frame=nframe, name=name)
+                numpy.testing.assert_array_equal(got, (arr + nframe).squeeze())
+
+
+def test_vendored_oracle_reads_golden_fixtures():
+    """The vendored oracle agrees with tpgsd's readers on the golden
+    binary fixtures (v1 and v2), pinning all three implementations to
+    the same on-disk bytes."""
+    from tests.oracle import vendored_pypgsd
+
+    for fixture in (_V1_FIXTURE, _V2_FIXTURE):
+        with tpgsd.fl.open(name=fixture, mode="r") as ours, \
+                vendored_pypgsd.PGSDFile(open(str(fixture), "rb")) as oracle:
+            assert oracle.nframes == ours.nframes
+            for frame in range(ours.nframes):
+                for name in ours.find_matching_chunk_names(""):
+                    if not ours.chunk_exists(frame, name):
+                        continue
+                    numpy.testing.assert_array_equal(
+                        oracle.read_chunk(frame=frame, name=name),
+                        ours.read_chunk(frame, name),
+                        err_msg="frame %d chunk %s of %s"
+                        % (frame, name, fixture),
+                    )

@@ -94,7 +94,7 @@ def test_distributed_matches_single_device():
     assert len(alive) == n
     assert len(set(alive.tolist())) == n
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -124,7 +124,7 @@ def test_migration_across_slabs():
         dist, aux = step(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, 2)
+    x_d, v_d, _ = collect_state(dist, 2)
     # both particles moved right ~0.2 and kept their ids
     numpy.testing.assert_allclose(x_d[0, 0], 0.95 + 0.2, rtol=1e-5)
     numpy.testing.assert_allclose(x_d[1, 0], 4.05 + 0.2, rtol=1e-5)
@@ -191,7 +191,7 @@ def test_distributed_boundary_particles():
     assert int(jnp.sum(aux.cell_overflow)) == 0
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     # fixed particles exactly where they started, zero velocity
     numpy.testing.assert_array_equal(x_d[:n_fixed], x0[:n_fixed])
     numpy.testing.assert_array_equal(v_d[:n_fixed], 0.0)
@@ -226,7 +226,7 @@ def test_periodic_ring_migration():
     dist, aux = step(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, 2)
+    x_d, v_d, _ = collect_state(dist, 2)
     numpy.testing.assert_allclose(x_d[0, 0], 8.0 - 0.05, rtol=1e-5)
     numpy.testing.assert_allclose(x_d[1, 0], 0.05, rtol=1e-4, atol=1e-5)
     # identities preserved through the ring
@@ -262,7 +262,7 @@ def test_periodic_distributed_matches_single_device():
     assert int(jnp.sum(aux.cell_overflow)) == 0
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, sc.n)
+    x_d, v_d, _ = collect_state(dist, sc.n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -346,7 +346,7 @@ def test_scan_simulate_distributed(tmp_path):
         pos = traj[1].particles.position
         assert pos.shape[0] == final.x.shape[0]
         assert numpy.isfinite(pos).all()
-    x_d, v_d = collect_state(final, n)
+    x_d, v_d, _ = collect_state(final, n)
     assert numpy.isfinite(x_d).all()
 
 
@@ -483,8 +483,8 @@ def test_periodic_distributed_pallas_matches_jnp():
             dist, aux = step_d(dist)
         return collect_state(dist, sc.n)
 
-    x_j, v_j = run()
-    x_p, v_p = run(use_pallas=True)
+    x_j, v_j, _ = run()
+    x_p, v_p, _ = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
 
@@ -510,7 +510,7 @@ def test_xsph_distributed_matches_single_device():
     for _ in range(3):
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.cell_overflow)) == 0
-    x_d, v_d = collect_state(dist, db.n)
+    x_d, v_d, _ = collect_state(dist, db.n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=1e-5
     )
@@ -593,7 +593,7 @@ def test_adaptive_distributed_matches_fixed_at_same_dt():
     numpy.testing.assert_array_equal(
         numpy.asarray(dist_a.pid), numpy.asarray(dist_f.pid)
     )
-    x_a, _ = collect_state(dist_a, n)
+    x_a, _, _ = collect_state(dist_a, n)
     assert numpy.isfinite(x_a).all()
 
 
@@ -644,7 +644,7 @@ def test_adaptive_distributed_rollout_with_migration():
     pid = numpy.asarray(dist.pid)
     alive = pid[pid >= 0]
     assert len(alive) == n and len(set(alive.tolist())) == n
-    x_d, _ = collect_state(dist, n)
+    x_d, _, _ = collect_state(dist, n)
     assert numpy.isfinite(x_d).all()
 
 
@@ -672,7 +672,7 @@ def test_adaptive_distributed_y_decomposition():
         dist, aux, dt = step(dist, dt)
     assert 0.0 < float(dt) <= float(jnp.float32(db.params.dt))
     assert int(jnp.sum(aux.cell_overflow)) == 0
-    x_d, _ = collect_state(dist, state.x.shape[0])
+    x_d, _, _ = collect_state(dist, state.x.shape[0])
     assert numpy.isfinite(x_d).all()
 
 
@@ -701,7 +701,7 @@ def test_density_renorm_matches_single_device():
     rho = numpy.asarray(aux.rho)
     assert (rho[pid >= 0] >= params.rho0 - 1e-3).all()
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -732,7 +732,7 @@ def test_surface_tension_matches_single_device():
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )

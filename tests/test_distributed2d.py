@@ -81,7 +81,7 @@ def test_2d_matches_single_device():
     alive = pid[pid >= 0]
     assert len(alive) == n and len(set(alive.tolist())) == n
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -117,7 +117,7 @@ def test_2d_migration_x_y_and_diagonal():
     dist, aux = step(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, 3)
+    x_d, v_d, _ = collect_state(dist, 3)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(x) + 0.1 * numpy.asarray(v), rtol=1e-5
     )
@@ -146,7 +146,7 @@ def test_2d_periodic_corner_wrap():
     dist, aux = step(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, _ = collect_state(dist, 2)
+    x_d, _, _ = collect_state(dist, 2)
     numpy.testing.assert_allclose(x_d[0, 0], 0.94, rtol=1e-5)
     numpy.testing.assert_allclose(x_d[0, 1], 0.96, rtol=1e-5)
     pid = numpy.asarray(dist.pid)
@@ -181,7 +181,7 @@ def test_2d_periodic_matches_single_device():
     assert int(jnp.sum(aux.cell_overflow)) == 0
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, sc.n)
+    x_d, v_d, _ = collect_state(dist, sc.n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -201,7 +201,7 @@ def test_degenerate_mesh_matches_1d_slabs():
                                      capacity=cap1)
     for _ in range(3):
         dist1, _ = step1(dist1)
-    x1, v1 = collect_state(dist1, n)
+    x1, v1, _ = collect_state(dist1, n)
 
     mesh2 = make_mesh2d(shape=(8, 1))
     dist2, cap2 = distribute_state_2d(state, grid, mesh2, capacity=cap1)
@@ -209,7 +209,7 @@ def test_degenerate_mesh_matches_1d_slabs():
     for _ in range(3):
         dist2, aux = step2(dist2)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
-    x2, v2 = collect_state(dist2, n)
+    x2, v2, _ = collect_state(dist2, n)
 
     numpy.testing.assert_allclose(x2, x1, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v2, v1, rtol=1e-4, atol=1e-5)
@@ -270,7 +270,7 @@ def test_2d_fixed_boundary_particles():
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_array_equal(
         x_d[:n_fixed], numpy.asarray(state.x)[:n_fixed]
     )
@@ -299,8 +299,8 @@ def test_2d_pallas_matches_jnp():
         assert int(jnp.sum(aux.migrate_overflow)) == 0
         return collect_state(dist, n)
 
-    x_j, v_j = run()
-    x_p, v_p = run(use_pallas=True)
+    x_j, v_j, _ = run()
+    x_p, v_p, _ = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
 
@@ -324,8 +324,8 @@ def test_2d_periodic_pallas_matches_jnp():
             dist, aux = step_d(dist)
         return collect_state(dist, sc.n)
 
-    x_j, v_j = run()
-    x_p, v_p = run(use_pallas=True)
+    x_j, v_j, _ = run()
+    x_p, v_p, _ = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
 
@@ -407,7 +407,7 @@ def test_2d_adaptive_rollout():
     pid = numpy.asarray(out.pid)
     alive = pid[pid >= 0]
     assert len(alive) == n and len(set(alive.tolist())) == n
-    x, v = collect_state(out, n)
+    x, v, _ = collect_state(out, n)
     assert numpy.isfinite(x).all() and numpy.isfinite(v).all()
 
 
@@ -431,7 +431,7 @@ def test_2d_density_renorm_matches_single_device():
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -462,7 +462,7 @@ def test_2d_surface_tension_matches_single_device():
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )

@@ -83,7 +83,7 @@ def test_3d_matches_single_device():
     alive = pid[pid >= 0]
     assert len(alive) == n and len(set(alive.tolist())) == n
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -126,7 +126,7 @@ def test_3d_migration_xyz_and_corner():
     dist, aux = step(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, 4)
+    x_d, v_d, _ = collect_state(dist, 4)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(x) + 0.1 * numpy.asarray(v), rtol=1e-5
     )
@@ -155,7 +155,7 @@ def test_3d_periodic_corner_wrap():
     dist, aux = step(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, _ = collect_state(dist, 2)
+    x_d, _, _ = collect_state(dist, 2)
     numpy.testing.assert_allclose(x_d[0, 0], 0.94, rtol=1e-5)
     numpy.testing.assert_allclose(x_d[0, 1], 0.96, rtol=1e-5)
     numpy.testing.assert_allclose(x_d[0, 2], 0.98, rtol=1e-5)
@@ -188,7 +188,7 @@ def test_3d_periodic_matches_single_device():
     assert int(jnp.sum(aux.cell_overflow)) == 0
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -216,7 +216,7 @@ def test_degenerate_mesh_matches_1d_slabs():
                                      capacity=cap1)
     for _ in range(3):
         dist1, _ = step1(dist1)
-    x1, v1 = collect_state(dist1, n)
+    x1, v1, _ = collect_state(dist1, n)
 
     mesh3 = make_mesh3d(shape=(8, 1, 1))
     dist3, cap3 = distribute_state_3d(state, grid, mesh3, capacity=cap1)
@@ -224,7 +224,7 @@ def test_degenerate_mesh_matches_1d_slabs():
     for _ in range(3):
         dist3, aux = step3(dist3)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
-    x3, v3 = collect_state(dist3, n)
+    x3, v3, _ = collect_state(dist3, n)
 
     numpy.testing.assert_allclose(x3, x1, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v3, v1, rtol=1e-4, atol=1e-5)
@@ -250,7 +250,7 @@ def test_degenerate_mesh_matches_2d_blocks():
     step2 = make_distributed2d_step_fn(grid, params, mesh2, capacity=cap)
     for _ in range(3):
         dist2, _ = step2(dist2)
-    x2, v2 = collect_state(dist2, n)
+    x2, v2, _ = collect_state(dist2, n)
 
     mesh3 = make_mesh3d(shape=(4, 2, 1))
     dist3, cap3 = distribute_state_3d(state, grid, mesh3, capacity=cap)
@@ -258,7 +258,7 @@ def test_degenerate_mesh_matches_2d_blocks():
     for _ in range(3):
         dist3, aux = step3(dist3)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
-    x3, v3 = collect_state(dist3, n)
+    x3, v3, _ = collect_state(dist3, n)
 
     numpy.testing.assert_allclose(x3, x2, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v3, v2, rtol=1e-4, atol=1e-5)
@@ -319,7 +319,7 @@ def test_3d_fixed_boundary_particles():
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_array_equal(
         x_d[:n_fixed], numpy.asarray(state.x)[:n_fixed]
     )
@@ -349,8 +349,8 @@ def test_3d_pallas_matches_jnp():
         assert int(jnp.sum(aux.migrate_overflow)) == 0
         return collect_state(dist, n)
 
-    x_j, v_j = run()
-    x_p, v_p = run(use_pallas=True)
+    x_j, v_j, _ = run()
+    x_p, v_p, _ = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
 
@@ -372,8 +372,8 @@ def test_3d_periodic_pallas_matches_jnp():
             dist, aux = step_d(dist)
         return collect_state(dist, n)
 
-    x_j, v_j = run()
-    x_p, v_p = run(use_pallas=True)
+    x_j, v_j, _ = run()
+    x_p, v_p, _ = run(use_pallas=True)
     numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
 
@@ -451,7 +451,7 @@ def test_3d_adaptive_scan_rollout_with_dumps(tmp_path):
         pos = traj[1].particles.position
         assert pos.shape[0] == final.x.shape[0]
         assert numpy.isfinite(pos).all()
-    x_d, _v_d = collect_state(final, n)
+    x_d, _v_d, _ = collect_state(final, n)
     assert numpy.isfinite(x_d).all()
 
 
@@ -505,7 +505,7 @@ def test_3d_density_renorm_matches_single_device():
     rho = numpy.asarray(aux.rho)
     assert (rho[pid >= 0] >= params.rho0 - 1e-3).all()
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )
@@ -536,7 +536,7 @@ def test_3d_surface_tension_matches_single_device():
         dist, aux = step_d(dist)
     assert int(jnp.sum(aux.migrate_overflow)) == 0
 
-    x_d, v_d = collect_state(dist, n)
+    x_d, v_d, _ = collect_state(dist, n)
     numpy.testing.assert_allclose(
         x_d, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5
     )

@@ -83,9 +83,16 @@ def test_fuzz_roundtrip(tmp_path, seed):
                 f.end_frame()
                 expected.append(frame)
 
+    # three independent readers must agree bit-for-bit: tpgsd's two,
+    # plus the VENDORED copy of the reference's own pure-Python reader
+    # (tests/oracle/vendored_pypgsd.py - hermetic, never skipped), plus
+    # the live reference checkout when present
+    from tests.oracle import vendored_pypgsd
+
     readers = [
         lambda: tpgsd.fl.open(fname, "r"),
         lambda: tpgsd.pypgsd.PGSDFile(open(fname, "rb")),
+        lambda: vendored_pypgsd.PGSDFile(open(fname, "rb")),
     ]
     if _REF_READER.exists():
         ref = _ref_reader()

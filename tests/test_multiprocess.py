@@ -561,3 +561,138 @@ def test_distributed3d_sph_multiprocess(tmp_path, nprocs):
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, out[-2000:]
         assert "OK" in out
+
+
+# Pod-shape preamble: each worker process models a HOST with FOUR local
+# devices (the real TPU-host shape), so the global mesh spans processes
+# AND local devices at once - the regime where the addressable-shards
+# dedup, the JaxProcessComm offset protocol, and ShardedFrameWriter all
+# have to compose (the reference's open-ranks constraint governs
+# exactly this regime, reference: pgsd/INSTALLING.rst:178-183).
+_PREAMBLE_POD = _PREAMBLE.replace(
+    'jax.config.update("jax_num_cpu_devices", 1)',
+    'jax.config.update("jax_num_cpu_devices", 4)',
+)
+
+POD_WORKER = _PREAMBLE_POD + textwrap.dedent(
+    """
+    import jax.numpy as jnp
+    import numpy.testing
+    import tpgsd.fl
+    from tpgsd.parallel import ShardedFrameWriter, make_mesh
+    from tpgsd.parallel.mesh import row_sharding
+    from tpgsd.parallel.shard_io import read_sharded_chunk
+
+    assert len(jax.devices()) == 4 * nprocs
+    assert len(jax.local_devices()) == 4
+
+    mesh = make_mesh()  # global: nprocs * 4 devices
+    sharding = row_sharding(mesh)
+    rows = 5
+    total = rows * 4 * nprocs
+    data = numpy.arange(total * 2, dtype=numpy.float64).reshape(total, 2)
+
+    # build the cross-process sharded array from per-device local shards
+    idxmap = sharding.addressable_devices_indices_map((total, 2))
+    bufs = [jax.device_put(data[idx], d) for d, idx in idxmap.items()]
+    garr = jax.make_array_from_single_device_arrays(
+        (total, 2), sharding, bufs)
+
+    # ---- striped writes: each PROCESS pwrites its 4 devices' rows ----
+    w = ShardedFrameWriter(fname, schema="none", schema_version=(1, 0),
+                           comm=comm)
+    for frame in range(2):
+        w.write_frame({"log/d": garr + float(frame)}, step=frame)
+    # in-session read (metadata replication across processes)
+    numpy.testing.assert_array_equal(
+        w.file.read_chunk(1, "log/d"), data + 1.0)
+    w.close()
+
+    # ---- sharded read-back: per-device stripe preads reassemble the
+    # global array with the writer's partitioning ----
+    f = tpgsd.fl.open(fname, "r")
+    back = read_sharded_chunk(f, 0, "log/d", sharding)
+    assert back.sharding.is_equivalent_to(sharding, back.ndim)
+    for shard in back.addressable_shards:
+        numpy.testing.assert_array_equal(
+            numpy.asarray(shard.data), data[shard.index])
+    f.close()
+
+    # ---- distributed slab SPH step over the pod mesh + dump cycle ----
+    from jax.experimental import multihost_utils
+    from tpgsd.sph import SPHParams, SPHState, distribute_state
+    from tpgsd.sph import make_distributed_step_fn, make_step_fn
+    from tpgsd.sph.cells import CellGrid
+
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25,
+                    dims=(4 * nprocs, 4, 4), capacity=16)
+    rng = numpy.random.RandomState(7)
+    n = 40 * nprocs
+    x = rng.uniform(0.05, 0.95, (n, 3)).astype(numpy.float32)
+    x[:, 0] *= nprocs
+    v = (rng.randn(n, 3) * 0.05).astype(numpy.float32)
+    params = SPHParams(mass=2.0, h=0.12, dt=1e-3, c0=20.0,
+                       gravity=(0.0, 0.0, -9.81))
+    state = SPHState(x=jnp.asarray(x), v=jnp.asarray(v))
+
+    step_ref = jax.jit(make_step_fn(grid, params))
+    s_ref = state
+    for _ in range(2):
+        s_ref, _aux = step_ref(s_ref)
+
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(grid, params, mesh, capacity=cap)
+    wri = ShardedFrameWriter(fname + ".traj", comm=comm)
+    for s in range(2):
+        dist, aux = step_d(dist)
+        wri.write_frame(
+            {"particles/position": dist.x, "log/pid": dist.pid}, step=s)
+    wri.close()
+
+    movf = multihost_utils.process_allgather(aux.migrate_overflow, tiled=True)
+    covf = multihost_utils.process_allgather(aux.cell_overflow, tiled=True)
+    assert movf.sum() == 0 and covf.sum() == 0
+    xg = multihost_utils.process_allgather(dist.x, tiled=True)
+    pidg = multihost_utils.process_allgather(dist.pid, tiled=True)
+    alive = pidg >= 0
+    assert alive.sum() == n and len(set(pidg[alive].tolist())) == n
+    out_x = numpy.zeros((n, 3), numpy.float32)
+    out_x[pidg[alive]] = xg[alive]
+    numpy.testing.assert_allclose(
+        out_x, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5)
+    print("proc", pid, "CAP", cap, "OK")
+    """
+)
+
+
+@pytest.mark.parametrize("nprocs", [2])
+def test_pod_shape_write_read_sph(tmp_path, nprocs):
+    """Pod shape: 2 processes x 4 local devices each.  One global mesh
+    spans both; each process writes ONLY its addressable shards at
+    their sharding-derived offsets while the controller commits the
+    metadata; the sharded read-back reassembles the partitioning; and
+    the slab SPH step + dump cycle runs over the same mesh - the full
+    multi-host TPU composition in one worker."""
+    n = 40 * nprocs
+    fname = str(tmp_path / "pod.gsd")
+    procs, outputs = _launch(tmp_path, POD_WORKER, nprocs, fname)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+        assert "OK" in out
+
+    with tpgsd.pypgsd.PGSDFile(open(fname, "rb")) as f:
+        assert f.nframes == 2
+        total = 5 * 4 * nprocs
+        data = numpy.arange(total * 2, dtype=numpy.float64).reshape(total, 2)
+        for frame in range(2):
+            numpy.testing.assert_array_equal(
+                f.read_chunk(frame, "log/d"), data + frame)
+    with tpgsd.pypgsd.PGSDFile(open(fname + ".traj", "rb")) as f:
+        assert f.nframes == 2
+        pid = f.read_chunk(1, "log/pid")
+        alive = pid >= 0
+        assert alive.sum() == n
+        assert sorted(pid[alive].tolist()) == list(range(n))
+    with open(fname, "rb") as fobj:
+        report = tpgsd.pypgsd.verify(fobj, deep=True)
+    assert report["ok"], report["errors"]

@@ -257,3 +257,80 @@ def test_density_small_grid_edge_cells():
     numpy.testing.assert_allclose(
         numpy.asarray(rho_pl), numpy.asarray(rho_ref), rtol=1e-5, atol=1e-3
     )
+
+
+def test_accel_drho_matches_jnp():
+    """The fused momentum+continuity kernel vs the jnp pair blocks
+    (lane-native capacity - the only regime the kernel covers; the
+    step builders fall back to jnp elsewhere)."""
+    from tpgsd.sph.step import _accel_drho_blocks
+
+    db = dam_break(n_side=6, capacity=128)
+    x = db.state.x
+    rng = numpy.random.RandomState(2)
+    v = jnp.asarray(rng.randn(*x.shape).astype(numpy.float32) * 0.1)
+    cells = build_cells(x, db.grid)
+    dense_x = scatter_to_cells(x, cells, db.grid)
+    dense_v = scatter_to_cells(v, cells, db.grid)
+    nbr = neighbor_table(db.grid)
+
+    rho = _density_blocks(dense_x, cells.mask, nbr, db.params, WendlandC2, 32)
+    rho = jnp.concatenate(
+        [rho, jnp.full((1, db.grid.capacity), db.params.rho0, rho.dtype)]
+    )
+    rho = jnp.where(
+        cells.mask, jnp.maximum(rho, 0.1 * db.params.rho0), db.params.rho0
+    )
+    p = jnp.where(cells.mask, tait_pressure(rho, db.params), 0.0)
+
+    for delta in (0.0, 0.1):
+        out_ref = _accel_drho_blocks(
+            dense_x, dense_v, rho, p, cells.mask, nbr, db.params,
+            WendlandC2, 32, delta,
+        )
+        out_pl = pallas_ops.accel_drho(
+            dense_x, dense_v, rho, p, cells.mask, db.grid, db.params,
+            kernel=WendlandC2, delta_sph=delta, interpret=True,
+        )
+        assert out_pl.shape == out_ref.shape
+        ref = numpy.asarray(out_ref)
+        got = numpy.asarray(out_pl)
+        for col in range(4):
+            scale = numpy.abs(ref[..., col]).max() or 1.0
+            # the delta-SPH diffusion term uses the TPU approximate
+            # reciprocal twice (1/rho_n, 1/(r2+eta2)): ~2.4e-4 of the
+            # column scale; the acc columns share the accel kernels'
+            # tolerance
+            atol = 5e-4 if (col == 3 and delta > 0) else 1e-5
+            numpy.testing.assert_allclose(
+                got[..., col] / scale, ref[..., col] / scale,
+                rtol=1e-4, atol=atol, err_msg="column %d" % col,
+            )
+
+
+def test_step_continuity_with_pallas_matches():
+    """Continuity-density step on the fused Pallas kernel vs the jnp
+    pair path - the builder wiring, not just the raw kernel."""
+    from tpgsd.sph import SPHState, init_density, make_step_fn
+
+    db = dam_break(n_side=6, capacity=128)
+    state = init_density(db.state, db.grid, db.params)
+    step_ref = jax.jit(make_step_fn(db.grid, db.params,
+                                    density_mode="continuity"))
+    step_pl = jax.jit(
+        make_step_fn(db.grid, db.params, density_mode="continuity",
+                     use_pallas=True, pallas_interpret=True)
+    )
+    s_ref, s_pl = state, state
+    for _ in range(2):
+        s_ref, (rho_ref, p_ref, _) = step_ref(s_ref)
+        s_pl, (rho_pl, p_pl, _) = step_pl(s_pl)
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_pl.x), numpy.asarray(s_ref.x), rtol=1e-5, atol=1e-6
+    )
+    # the approximate reciprocals in the kernel's diffusion term leave
+    # ~4e-5 relative on the integrated density
+    numpy.testing.assert_allclose(
+        numpy.asarray(s_pl.rho), numpy.asarray(s_ref.rho),
+        rtol=1e-4, atol=1e-2,
+    )

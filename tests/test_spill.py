@@ -101,8 +101,9 @@ def test_spill_soa_scatter_matches_aos(dense_cloud):
     numpy.testing.assert_array_equal(got, numpy.asarray(aos_b)[m])
 
 
-def _spill_vs_single_tier(n_side, k):
-    """One spill step vs the single-tier step at capacity 2K."""
+def _spill_vs_single_tier(n_side, k, **kw):
+    """One spill step vs the single-tier step at capacity 2K; extra
+    kwargs (xsph, surface_tension, ...) apply to BOTH steps."""
     db = dam_break(n_side=n_side, capacity=2 * k)
     grid_a = db.grid._replace(capacity=k)
 
@@ -114,7 +115,7 @@ def _spill_vs_single_tier(n_side, k):
 
     step_ref = jax.jit(
         make_step_fn(db.grid, db.params, use_pallas=True,
-                     pallas_interpret=True)
+                     pallas_interpret=True, **kw)
     )
     state = db.state
     for _ in range(3):
@@ -122,7 +123,7 @@ def _spill_vs_single_tier(n_side, k):
 
     step_sp = jax.jit(
         make_step_fn(grid_a, db.params, use_pallas=True,
-                     pallas_interpret=True, spill=True)
+                     pallas_interpret=True, spill=True, **kw)
     )
     s1, (rho1, p1, ov1) = step_ref(state)
     s2, (rho2, p2, ov2) = step_sp(state)
@@ -267,9 +268,6 @@ def test_spill_build_time_validation():
     db = dam_break(n_side=6, capacity=32)
     with pytest.raises(ValueError, match="use_pallas"):
         make_step_fn(db.grid, db.params, spill=True)
-    with pytest.raises(NotImplementedError, match="xsph"):
-        make_step_fn(db.grid, db.params, use_pallas=True,
-                     pallas_interpret=True, xsph=0.5, spill=True)
     bad = db.grid._replace(capacity=128)
     with pytest.raises(ValueError, match="packed capacity"):
         make_step_fn(bad, db.params, use_pallas=True,
@@ -297,3 +295,187 @@ def test_spill_step_under_scan():
     assert state.x.shape == db.state.x.shape
     assert bool(jnp.all(jnp.isfinite(state.x)))
     assert int(ovs.max()) == 0
+
+
+def test_spill_xsph_matches_single_tier():
+    """spill + xsph: the XSPH pair pass runs over the two tiers
+    concatenated along the slot axis, which is slot-identical to the
+    single 2K tier - parity must hold."""
+    (s1, rho1, p1, ov1), (s2, rho2, p2, ov2) = _spill_vs_single_tier(
+        10, 24, xsph=0.5
+    )
+    assert ov1 == 0 and ov2 == 0
+    rsc = float(jnp.abs(rho1).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(rho2) / rsc, numpy.asarray(rho1) / rsc,
+        rtol=1e-5, atol=1e-6,
+    )
+    vsc = float(jnp.abs(s1.v).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.v) / vsc, numpy.asarray(s1.v) / vsc,
+        rtol=1e-4, atol=1e-5,
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.x), numpy.asarray(s1.x), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_spill_surface_tension_matches_single_tier():
+    """spill + Akinci surface tension: the normals and cohesion passes
+    run over the concatenated tiers; parity vs single-tier 2K."""
+    (s1, rho1, p1, ov1), (s2, rho2, p2, ov2) = _spill_vs_single_tier(
+        10, 24, surface_tension=0.05
+    )
+    assert ov1 == 0 and ov2 == 0
+    vsc = float(jnp.abs(s1.v).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.v) / vsc, numpy.asarray(s1.v) / vsc,
+        rtol=1e-4, atol=1e-5,
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.x), numpy.asarray(s1.x), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_spill_auto_resolves_to_champion():
+    """spill='auto' turns the two-tier layout on exactly when the
+    resolved Pallas path supports it, producing the spill=True result."""
+    db = dam_break(n_side=8, capacity=64)
+    grid_a = db.grid._replace(capacity=32)
+    step_auto = jax.jit(
+        make_step_fn(grid_a, db.params, use_pallas=True,
+                     pallas_interpret=True, spill="auto")
+    )
+    step_sp = jax.jit(
+        make_step_fn(grid_a, db.params, use_pallas=True,
+                     pallas_interpret=True, spill=True)
+    )
+    s1, (r1, p1, o1) = step_auto(db.state)
+    s2, (r2, p2, o2) = step_sp(db.state)
+    numpy.testing.assert_array_equal(numpy.asarray(s1.x), numpy.asarray(s2.x))
+    numpy.testing.assert_array_equal(numpy.asarray(r1), numpy.asarray(r2))
+    # lane-native capacity: no spill kernel -> auto stays single-tier
+    step_off = make_step_fn(db.grid._replace(capacity=128), db.params,
+                            use_pallas=True, pallas_interpret=True,
+                            spill="auto")
+    assert step_off is not None  # builds without the packed-capacity check
+
+
+# ---------------------------------------------------------------------------
+# spill under the explicit decompositions: the two tiers ride the local
+# layout / halo / gather machinery CONCATENATED (2K slot width); only the
+# density/accel pair passes split into the cross-tier kernels.  Parity is
+# against the SAME decomposition on the jnp path with a single tier big
+# enough for the worst cell.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decomp_cloud():
+    """Dense-corner cloud on an (8, 4, 4) grid over a 2 x 1 x 1 box:
+    20 cells exceed the K=24 main tier (max 42 < 2K = 48, so nothing
+    overflows), and the grid divides the (8,), (4, 2) and (2, 2, 2)
+    meshes."""
+    from tpgsd.sph import SPHParams, SPHState
+    from tpgsd.sph.cells import CellGrid
+
+    rng = numpy.random.default_rng(3)
+    n = 2400
+    x = rng.uniform(0.02, 0.98, (n, 3)).astype(numpy.float32)
+    x[:, 0] *= 2.0
+    x[:140, 0] = rng.uniform(0.02, 0.51, 140)
+    x[:140, 1] = rng.uniform(0.02, 0.51, 140)
+    x[:140, 2] = rng.uniform(0.02, 0.51, 140)
+    v = (rng.normal(size=(n, 3)) * 0.05).astype(numpy.float32)
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 4, 4),
+                    capacity=24)
+    # gentle parameters: the random cloud is far from equilibrium, and
+    # the test pins LAYOUT parity, not violent dynamics - a small dt
+    # keeps the 2-step motion bounded so no cell exceeds 2K anywhere
+    params = SPHParams(mass=0.8, h=0.12, dt=1e-4, c0=20.0,
+                       gravity=(0.0, 0.0, -9.81))
+
+    occ = numpy.bincount(
+        numpy.asarray(build_cells(jnp.asarray(x), grid).cid),
+        minlength=grid.n_cells,
+    )
+    assert (occ > 24).sum() >= 10 and occ.max() <= 44, occ.max()
+    state = SPHState(x=jnp.asarray(x), v=jnp.asarray(v))
+    return state, grid, params
+
+
+def _run_decomp(kind, state, grid, params, **kw):
+    from tpgsd.parallel import make_mesh, make_mesh2d, make_mesh3d
+    from tpgsd.sph import (
+        collect_state,
+        distribute_state,
+        distribute_state_2d,
+        distribute_state_3d,
+        make_distributed2d_step_fn,
+        make_distributed3d_step_fn,
+        make_distributed_step_fn,
+    )
+
+    n = state.x.shape[0]
+    if kind == "slab":
+        mesh = make_mesh()
+        dist, cap = distribute_state(state, grid, mesh)
+        step = make_distributed_step_fn(grid, params, mesh, capacity=cap, **kw)
+    elif kind == "2d":
+        mesh = make_mesh2d(shape=(4, 2))
+        dist, cap = distribute_state_2d(state, grid, mesh)
+        step = make_distributed2d_step_fn(
+            grid, params, mesh, capacity=cap, **kw
+        )
+    else:
+        mesh = make_mesh3d(shape=(2, 2, 2))
+        dist, cap = distribute_state_3d(state, grid, mesh)
+        step = make_distributed3d_step_fn(
+            grid, params, mesh, capacity=cap, **kw
+        )
+    for _ in range(2):
+        dist, aux = step(dist)
+    assert int(jnp.sum(aux.migrate_overflow)) == 0
+    assert int(jnp.sum(aux.cell_overflow)) == 0
+    return collect_state(dist, n)
+
+
+@pytest.mark.parametrize("kind", ["slab", "2d", "3d"])
+def test_spill_distributed_matches_jnp(kind, decomp_cloud):
+    state, grid, params = decomp_cloud
+    # jnp reference: single tier sized for the worst cell
+    x_j, v_j, _ = _run_decomp(kind, state, grid._replace(capacity=48), params)
+    x_s, v_s, _ = _run_decomp(kind, state, grid, params,
+                           use_pallas=True, spill=True)
+    numpy.testing.assert_allclose(x_s, x_j, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(v_s, v_j, rtol=5e-4, atol=5e-4)
+
+
+def test_spill_distributed_periodic_matches_jnp(decomp_cloud):
+    """Periodic spill on the 2-D block decomposition: x/y wrap through
+    ring halos with coordinate-shifted seam ghosts, z wraps locally as
+    a ghost-halo tier pair inside the spill kernels."""
+    state, grid, params = decomp_cloud
+    x_j, v_j, _ = _run_decomp(
+        "2d", state, grid._replace(capacity=48), params, periodic=True
+    )
+    x_s, v_s, _ = _run_decomp(
+        "2d", state, grid, params, use_pallas=True, spill=True,
+        periodic=True,
+    )
+    numpy.testing.assert_allclose(x_s, x_j, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(v_s, v_j, rtol=5e-4, atol=5e-4)
+
+
+def test_spill_distributed_xsph_matches_jnp(decomp_cloud):
+    """spill + xsph on the slab decomposition: the XSPH pair pass runs
+    over the concatenated tiers of the extended slab."""
+    state, grid, params = decomp_cloud
+    x_j, v_j, _ = _run_decomp(
+        "slab", state, grid._replace(capacity=48), params, xsph=0.5
+    )
+    x_s, v_s, _ = _run_decomp(
+        "slab", state, grid, params, use_pallas=True, spill=True, xsph=0.5
+    )
+    numpy.testing.assert_allclose(x_s, x_j, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(v_s, v_j, rtol=5e-4, atol=5e-4)

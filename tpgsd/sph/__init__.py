@@ -55,6 +55,7 @@ from .checkpoint import (  # noqa: F401
 from .distributed import (  # noqa: F401
     DistAux,
     DistState,
+    CollectedState,
     collect_aux,
     collect_state,
     distribute_state,

@@ -218,6 +218,7 @@ def make_distributed_step_fn(
     xsph=0.0,
     density_renorm=False,
     surface_tension=0.0,
+    spill=False,
     density_mode="summation",
     delta_sph=0.1,
     _traced_dt=False,
@@ -264,6 +265,18 @@ def make_distributed_step_fn(
             grid, gravity, and state is exact - one column permutation
             per step each way, no second slab implementation to keep
             in sync.
+        spill: two-tier cell layout (Pallas path only), as in
+            :func:`tpgsd.sph.make_step_fn`: ``grid.capacity`` sizes the
+            MAIN tier at the typical cell occupancy and denser cells
+            overflow into an equal-capacity, flag-skipped spill tier.
+            The local dense layout, halo payloads and particle gather
+            simply run at ``2 * capacity`` slot width (the concatenated
+            tiers are slot-identical to a single tier of capacity 2K);
+            only the density/accel pair passes split into the
+            cross-tier spill kernels.  ``"auto"`` turns it on when the
+            resolved Pallas path supports it.  Extra jnp pair passes
+            (xsph / energy / surface tension) run over the concatenated
+            tiers at single-tier-2K cost.
         density_mode: ``"summation"`` (default) re-sums density each
             step; ``"continuity"`` evolves it as carried per-particle
             state (``DistState.rho``, seeded globally with
@@ -309,6 +322,7 @@ def make_distributed_step_fn(
             xsph=xsph,
             density_renorm=density_renorm,
             surface_tension=surface_tension,
+            spill=spill,
             density_mode=density_mode,
             delta_sph=delta_sph,
             _traced_dt=_traced_dt,
@@ -400,6 +414,27 @@ def make_distributed_step_fn(
             "density_mode='continuity' runs on the jnp pair path for "
             "now (as in make_step_fn); pass use_pallas=False or 'auto'"
         )
+    if spill == "auto":
+        spill = (
+            bool(use_pallas)
+            and not continuity
+            and _po.spill_supported(ext_grid)
+        )
+    if spill:
+        if not use_pallas:
+            raise ValueError(
+                "spill=True requires use_pallas - the two-tier layout "
+                "exists for the packed Pallas kernels"
+            )
+        if not _po.spill_supported(ext_grid):
+            raise ValueError(
+                "spill needs a packed capacity (24 <= K <= 64, multiple "
+                "of 8); got %d" % k
+            )
+    # dense slot width of the local layout: the two spill tiers ride
+    # the layout/halo/gather machinery CONCATENATED (slot-identical to
+    # a single tier of capacity 2K); only the pair passes split tiers
+    kd = 2 * k if spill else k
     # the slab's x periodicity flows through the ring halo; only the
     # LOCAL y/z wraps reach the kernels, as ghost-cell halos
     pallas_wrap = (
@@ -428,7 +463,7 @@ def make_distributed_step_fn(
         lo_local = lo_g + jnp.asarray([d * nxl * cell, 0.0, 0.0], jnp.float32)
 
         cid_s, slot, order, gidx, mask, cell_ovf = _local_cells(
-            x, alive, nxl, ny, nz, k, lo_local, cell
+            x, alive, nxl, ny, nz, kd, lo_local, cell
         )
         core = slice(nynz, nynz + c_local)
 
@@ -499,13 +534,24 @@ def make_distributed_step_fn(
             ext_x = ext_x.at[:nynz, :, 0].add(sl)
             ext_x = ext_x.at[nynz + c_local : 2 * nynz + c_local, :, 0].add(sr)
 
-        sent_rho = jnp.full((1, k), params.rho0, jnp.float32)
+        sent_rho = jnp.full((1, kd), params.rho0, jnp.float32)
         if not continuity:
             # density over the extended slab; only CORE outputs are
             # correct (a ghost cell's own neighborhood extends one plane
             # further out than the halo carries - its locally-computed
             # density misses those contributions)
-            if use_pallas:
+            if spill:
+                # tier split happens HERE only: slots < K are the main
+                # tier, slots >= K the spill tier (the concatenated
+                # layout is slot-identical to build_cells_spill's)
+                rho_ab = pallas_ops.density_spill(
+                    ext_x[:, :k], ext_mask[:, :k],
+                    ext_x[:, k:], ext_mask[:, k:],
+                    ext_grid, params, kernel=kernel, block=pallas_block,
+                    wrap_axes=pallas_wrap,
+                )
+                rho_d = jnp.concatenate(rho_ab, axis=1)
+            elif use_pallas:
                 rho_d = pallas_ops.density(
                     ext_x, ext_mask, ext_grid, params, kernel=kernel,
                     block=pallas_block, wrap_axes=pallas_wrap,
@@ -556,7 +602,7 @@ def make_distributed_step_fn(
 
             rho_d = jnp.concatenate([gl_rho, rho_core, gr_rho, sent_rho])
             p_d = jnp.concatenate(
-                [gl_p, p_core, gr_p, jnp.zeros((1, k), p_core.dtype)]
+                [gl_p, p_core, gr_p, jnp.zeros((1, kd), p_core.dtype)]
             )
 
         if continuity:
@@ -565,6 +611,16 @@ def make_distributed_step_fn(
                 kernel, block, delta_sph, mimage=mimage,
             )
             acc_d = out4_d[..., :3]
+        elif spill:
+            acc_ab = pallas_ops.accel_spill(
+                ext_x[:, :k], ext_v[:, :k], rho_d[:, :k], p_d[:, :k],
+                ext_mask[:, :k],
+                ext_x[:, k:], ext_v[:, k:], rho_d[:, k:], p_d[:, k:],
+                ext_mask[:, k:],
+                ext_grid, params, kernel=kernel, block=pallas_block,
+                wrap_axes=pallas_wrap,
+            )
+            acc_d = jnp.concatenate(acc_ab, axis=1)
         elif use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d, p_d, ext_mask, ext_grid, params,
@@ -589,7 +645,7 @@ def make_distributed_step_fn(
             )
             gr_n = jax.lax.ppermute(n_core[:nynz], axis_name, send_left)
             n_d = jnp.concatenate(
-                [gl_n, n_core, gr_n, jnp.zeros((1, k, 3), n_core.dtype)]
+                [gl_n, n_core, gr_n, jnp.zeros((1, kd, 3), n_core.dtype)]
             )
             n_d = jnp.where(ext_mask[..., None], n_d, 0.0)
             acc_d = acc_d + _st_force_blocks(
@@ -601,15 +657,15 @@ def make_distributed_step_fn(
         # particle-order gather - n-element gathers are the layout
         # cost, one fused pass instead of three/four
         cols = [acc_d[core]]
-        sent = [jnp.zeros((1, k, 3), acc_d.dtype)]
+        sent = [jnp.zeros((1, kd, 3), acc_d.dtype)]
         if continuity:
             # drho sentinel is 0: cell-overflow-dropped particles keep
             # their carried density, as on the single-device path
             cols.append(out4_d[core][..., 3:4])
-            sent.append(jnp.zeros((1, k, 1), acc_d.dtype))
+            sent.append(jnp.zeros((1, kd, 1), acc_d.dtype))
         else:
             cols += [rho_core[..., None], p_core[..., None]]
-            sent += [sent_rho[..., None], jnp.zeros((1, k, 1), p_core.dtype)]
+            sent += [sent_rho[..., None], jnp.zeros((1, kd, 1), p_core.dtype)]
         if compute_energy:
             # third pair pass over the same halo-exchanged fields: the
             # energy equation shares _pair_terms with the momentum
@@ -619,7 +675,7 @@ def make_distributed_step_fn(
                 block, mimage=mimage,
             )
             cols.append(du_d[core][..., None])
-            sent.append(jnp.zeros((1, k, 1), du_d.dtype))
+            sent.append(jnp.zeros((1, kd, 1), du_d.dtype))
         if xsph > 0:
             # XSPH over the halo-exchanged velocities and owner-correct
             # rho (an extra pair pass; same semantics as single-device)
@@ -628,13 +684,13 @@ def make_distributed_step_fn(
                 block, mimage=mimage,
             )
             cols.append(dvc_d[core])
-            sent.append(jnp.zeros((1, k, 3), dvc_d.dtype))
+            sent.append(jnp.zeros((1, kd, 3), dvc_d.dtype))
         bundle = jnp.concatenate(
             [jnp.concatenate(cols, axis=-1),
              jnp.concatenate(sent, axis=-1)],
             axis=0,
         )
-        out = _gather(bundle, cid_s, slot, order, c_local, k)
+        out = _gather(bundle, cid_s, slot, order, c_local, kd)
         acc = out[..., :3] + gravity
         if continuity:
             # density update rides the state directly: integrate the
@@ -1002,12 +1058,25 @@ def distribute_state(
     ), capacity
 
 
+class CollectedState(NamedTuple):
+    """Host-side gather of a :class:`DistState`, in original pid order.
+
+    Fixed arity regardless of density mode: ``rho`` is ``None`` unless
+    the state carried continuity-mode density (mode-dependent tuple
+    length was easy to misuse in generic callers).
+    """
+
+    x: "np.ndarray"  # [n_global, 3]
+    v: "np.ndarray"  # [n_global, 3]
+    rho: "np.ndarray" = None  # [n_global] or None (summation mode)
+
+
 def collect_state(dist_state, n_global):
     """Gather a :class:`DistState` back to host, in original pid order.
 
-    Returns ``(x, v)`` numpy arrays of shape ``[n_global, 3]``; with a
-    continuity-mode state (``dist_state.rho`` carried), returns
-    ``(x, v, rho)`` instead so a resume can reseed the density.
+    Returns a :class:`CollectedState` ``(x, v, rho)``; ``rho`` is
+    ``None`` for summation-mode states and the carried density for
+    continuity-mode ones (so a resume can reseed it).
     """
     x = np.asarray(dist_state.x)
     v = np.asarray(dist_state.v)
@@ -1018,10 +1087,10 @@ def collect_state(dist_state, n_global):
     out_x[pid[alive]] = x[alive]
     out_v[pid[alive]] = v[alive]
     if dist_state.rho is None:
-        return out_x, out_v
+        return CollectedState(x=out_x, v=out_v, rho=None)
     out_rho = np.zeros(n_global, np.float32)
     out_rho[pid[alive]] = np.asarray(dist_state.rho)[alive]
-    return out_x, out_v, out_rho
+    return CollectedState(x=out_x, v=out_v, rho=out_rho)
 
 
 def collect_aux(dist_state, aux, n_global, params=None):

@@ -187,6 +187,7 @@ def make_distributed2d_step_fn(
     xsph=0.0,
     density_renorm=False,
     surface_tension=0.0,
+    spill=False,
     density_mode="summation",
     delta_sph=0.1,
     _traced_dt=False,
@@ -214,6 +215,12 @@ def make_distributed2d_step_fn(
         compute_energy / xsph / density_renorm: as in the 1-D slab
             step (the density floor lands before the owner rho/p
             exchange, so ghosts carry it too).
+        spill: two-tier cell layout (Pallas path only), as in the 1-D
+            slab step: the local dense layout, halo payloads and
+            particle gather run at ``2 * capacity`` slot width and only
+            the density/accel pair passes split into the cross-tier
+            spill kernels.  ``"auto"`` turns it on when the resolved
+            Pallas path supports it.
         density_mode / delta_sph: as in the 1-D slab step.
             ``"continuity"`` carries density as migrating state
             (``DistState.rho``): ghost densities are exact by
@@ -299,6 +306,26 @@ def make_distributed2d_step_fn(
             "density_mode='continuity' runs on the jnp pair path for "
             "now (as in make_step_fn); pass use_pallas=False or 'auto'"
         )
+    if spill == "auto":
+        spill = (
+            bool(use_pallas)
+            and not continuity
+            and _po.spill_supported(ext_grid)
+        )
+    if spill:
+        if not use_pallas:
+            raise ValueError(
+                "spill=True requires use_pallas - the two-tier layout "
+                "exists for the packed Pallas kernels"
+            )
+        if not _po.spill_supported(ext_grid):
+            raise ValueError(
+                "spill needs a packed capacity (24 <= K <= 64, multiple "
+                "of 8); got %d" % k
+            )
+    # dense slot width of the local layout (two spill tiers ride the
+    # layout/halo/gather machinery concatenated; see the 1-D slab step)
+    kd = 2 * k if spill else k
     pallas_wrap = (False, False, wrap_z) if periodic else None
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
@@ -328,7 +355,7 @@ def make_distributed2d_step_fn(
         )
 
         cid_s, slot, order, gidx, mask, cell_ovf = _local_cells(
-            x, alive, nxl, nyl, nz, k, lo_local, cell
+            x, alive, nxl, nyl, nz, kd, lo_local, cell
         )
         if continuity:
             # density is CARRIED STATE: ghosts are exact, so x|v|rho|p
@@ -371,7 +398,7 @@ def make_distributed2d_step_fn(
         # corner columns too - the x-neighbor that sent them shares our
         # j, so our shift condition is exactly the one it would apply.
         if wrap_x or wrap_y:
-            e4 = ext[:c_ext].reshape(nxl + 2, nyl + 2, nz, k, nlanes)
+            e4 = ext[:c_ext].reshape(nxl + 2, nyl + 2, nz, kd, nlanes)
             if wrap_y:
                 sy_lo = jnp.where(j == 0, -Ly, 0.0).astype(jnp.float32)
                 sy_hi = jnp.where(j == py - 1, Ly, 0.0).astype(jnp.float32)
@@ -383,7 +410,7 @@ def make_distributed2d_step_fn(
                 e4 = e4.at[0, ..., 0].add(sx_lo)
                 e4 = e4.at[nxl + 1, ..., 0].add(sx_hi)
             ext = jnp.concatenate(
-                [e4.reshape(c_ext, k, nlanes), ext[c_ext:]], axis=0
+                [e4.reshape(c_ext, kd, nlanes), ext[c_ext:]], axis=0
             )
 
         ext_x, ext_v = ext[..., :3], ext[..., 3:6]
@@ -401,7 +428,17 @@ def make_distributed2d_step_fn(
         else:
             # density over the extended block; only CORE outputs are
             # correct
-            if use_pallas:
+            if spill:
+                # tier split happens HERE only: slots < K are the main
+                # tier, slots >= K the spill tier
+                rho_ab = pallas_ops.density_spill(
+                    ext_x[:, :k], ext_mask[:, :k],
+                    ext_x[:, k:], ext_mask[:, k:],
+                    ext_grid, params, kernel=kernel, block=pallas_block,
+                    wrap_axes=pallas_wrap,
+                )
+                rho_d = jnp.concatenate(rho_ab, axis=1)
+            elif use_pallas:
                 rho_d = pallas_ops.density(
                     ext_x, ext_mask, ext_grid, params, kernel=kernel,
                     block=pallas_block, wrap_axes=pallas_wrap,
@@ -432,8 +469,8 @@ def make_distributed2d_step_fn(
                     jnp.stack([rho_core, p_core], axis=-1),
                     jnp.stack(
                         [
-                            jnp.full((1, k), params.rho0, rho_core.dtype),
-                            jnp.zeros((1, k), p_core.dtype),
+                            jnp.full((1, kd), params.rho0, rho_core.dtype),
+                            jnp.zeros((1, kd), p_core.dtype),
                         ],
                         axis=-1,
                     ),
@@ -453,6 +490,16 @@ def make_distributed2d_step_fn(
                 kernel, block, delta_sph, mimage=mimage,
             )
             acc_d = out4_d[..., :3]
+        elif spill:
+            acc_ab = pallas_ops.accel_spill(
+                ext_x[:, :k], ext_v[:, :k], rho_d2[:, :k], p_d2[:, :k],
+                ext_mask[:, :k],
+                ext_x[:, k:], ext_v[:, k:], rho_d2[:, k:], p_d2[:, k:],
+                ext_mask[:, k:],
+                ext_grid, params, kernel=kernel, block=pallas_block,
+                wrap_axes=pallas_wrap,
+            )
+            acc_d = jnp.concatenate(acc_ab, axis=1)
         elif use_pallas:
             acc_d = pallas_ops.accel(
                 ext_x, ext_v, rho_d2, p_d2, ext_mask, ext_grid, params,
@@ -475,7 +522,7 @@ def make_distributed2d_step_fn(
             n_pay = jnp.concatenate(
                 [
                     _core2d(n_loc, nxl, nyl, nz),
-                    jnp.zeros((1, k, 3), n_loc.dtype),
+                    jnp.zeros((1, kd, 3), n_loc.dtype),
                 ],
                 axis=0,
             )
@@ -491,17 +538,17 @@ def make_distributed2d_step_fn(
 
         # bundle core outputs as columns of ONE particle-order gather
         cols = [_core2d(acc_d, nxl, nyl, nz)]
-        sent = [jnp.zeros((1, k, 3), acc_d.dtype)]
+        sent = [jnp.zeros((1, kd, 3), acc_d.dtype)]
         if continuity:
             # drho sentinel is 0: cell-overflow-dropped particles keep
             # their carried density
             cols.append(_core2d(out4_d[..., 3:4], nxl, nyl, nz))
-            sent.append(jnp.zeros((1, k, 1), acc_d.dtype))
+            sent.append(jnp.zeros((1, kd, 1), acc_d.dtype))
         else:
             cols += [rho_core[..., None], p_core[..., None]]
             sent += [
-                jnp.full((1, k, 1), params.rho0, rho_core.dtype),
-                jnp.zeros((1, k, 1), p_core.dtype),
+                jnp.full((1, kd, 1), params.rho0, rho_core.dtype),
+                jnp.zeros((1, kd, 1), p_core.dtype),
             ]
         if compute_energy:
             du_d = _energy_blocks(
@@ -509,19 +556,19 @@ def make_distributed2d_step_fn(
                 kernel, block, mimage=mimage,
             )
             cols.append(_core2d(du_d, nxl, nyl, nz)[..., None])
-            sent.append(jnp.zeros((1, k, 1), du_d.dtype))
+            sent.append(jnp.zeros((1, kd, 1), du_d.dtype))
         if xsph > 0:
             dvc_d = _xsph_blocks(
                 ext_x, ext_v, rho_d2, ext_mask, nbr_ext, params, kernel,
                 block, mimage=mimage,
             )
             cols.append(_core2d(dvc_d, nxl, nyl, nz))
-            sent.append(jnp.zeros((1, k, 3), dvc_d.dtype))
+            sent.append(jnp.zeros((1, kd, 3), dvc_d.dtype))
         bundle = jnp.concatenate(
             [jnp.concatenate(cols, axis=-1), jnp.concatenate(sent, axis=-1)],
             axis=0,
         )
-        out = _gather(bundle, cid_s, slot, order, c_local, k)
+        out = _gather(bundle, cid_s, slot, order, c_local, kd)
         acc = out[..., :3] + gravity
         if continuity:
             # integrate the gathered drho directly on the carried state

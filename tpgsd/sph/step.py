@@ -705,8 +705,13 @@ def make_step_fn(
             so main-tier 32 runs ~2x the pair math rate of the
             single-tier worst-case 48+ while keeping every particle in
             the sums (overflow only past ``2 * capacity``).  Requires
-            ``use_pallas``, a packed capacity (24-64, multiple of 8),
-            and is not yet composed with ``periodic`` or ``xsph``.
+            ``use_pallas`` and a packed capacity (24-64, multiple of 8);
+            composes with ``periodic`` (ghost-halo tiers), with
+            ``density_renorm``, and with ``xsph``/``surface_tension``
+            (those extra jnp pair passes run over the two tiers
+            concatenated, at single-tier-2K cost).  ``"auto"`` turns it
+            on exactly when the resolved Pallas path supports it - the
+            measured-fastest configuration.
         density_mode: ``"summation"`` (default) re-sums density from
             positions every step - self-correcting, parameter-free,
             but needs its own neighbor sweep and carries the kernel's
@@ -744,22 +749,32 @@ def make_step_fn(
             "deficit; continuity mode has no deficit to correct - use "
             "delta_sph for its noise control instead"
         )
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu" and (
+            _po.accel_drho_supported(grid)
+            if continuity
+            else _po.supported(grid)
+        )
+    if spill == "auto":
+        # the measured champion wherever it applies: packed capacities
+        # on the Pallas path (docs/performance.md - 1.68x at 100k,
+        # 1.50x at 1M over single-tier)
+        spill = (
+            bool(use_pallas)
+            and not continuity
+            and _po.spill_supported(grid)
+        )
     if continuity and spill:
         raise NotImplementedError(
             "density_mode='continuity' does not yet compose with the "
             "two-tier spill layout"
         )
-    if use_pallas == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and _po.supported(grid)
-            and not continuity
-        )
-    if continuity and use_pallas:
+    if continuity and use_pallas and not _po.accel_drho_supported(grid):
         raise NotImplementedError(
-            "density_mode='continuity' runs on the jnp pair path for "
-            "now (the fused accel+drho Pallas kernel is pending); pass "
-            "use_pallas=False or 'auto'"
+            "density_mode='continuity' has a Pallas kernel only for "
+            "lane-native capacities (multiples of 128, see "
+            "pallas_ops.accel_drho); pass use_pallas=False or 'auto' "
+            "for capacity %d" % grid.capacity
         )
     if pallas_block is None:
         pallas_block = _po.default_block(grid)
@@ -854,17 +869,6 @@ def make_step_fn(
                 "spill=True requires use_pallas - the two-tier layout "
                 "exists for the packed Pallas kernels"
             )
-        if xsph > 0:
-            raise NotImplementedError(
-                "spill mode does not yet compose with xsph (the XSPH "
-                "pair pass runs on the single-tier jnp layout)"
-            )
-        if surface_tension > 0:
-            raise NotImplementedError(
-                "spill mode does not yet compose with surface_tension "
-                "(the cohesion pair pass runs on the single-tier jnp "
-                "layout)"
-            )
         if not _po.spill_supported(grid):
             raise ValueError(
                 "spill needs a packed capacity (24 <= K <= 64, multiple "
@@ -907,19 +911,60 @@ def make_step_fn(
                 grid, params, kernel=kernel, block=pallas_block,
                 interpret=pallas_interpret, wrap_axes=pallas_wrap, soa=True,
             )
+            acc2 = jnp.concatenate([acc_a, acc_b], axis=1)  # [C, 2K, 3]
+            rho2 = jnp.concatenate([rho_a, rho_b], axis=1)
+            p2 = jnp.concatenate([p_a, p_b], axis=1)
 
-            def tier(acc, rho, p):
-                return jnp.concatenate(
-                    [acc, rho[..., None], p[..., None]], axis=-1
+            extra = []
+            if xsph > 0 or surface_tension > 0:
+                # the (jnp) XSPH/cohesion pair passes run over the two
+                # tiers CONCATENATED along the slot axis - the [C, 2K]
+                # layout is slot-identical to a single-tier layout of
+                # capacity 2K (tpgsd.sph.cells.build_cells_spill), so
+                # the capacity-agnostic pair blocks apply unchanged
+                # (sentinel row appended; SoA dead slots carry masked
+                # garbage, which every pair path masks).  These passes
+                # pay single-tier-2K pair cost; the density/accel bulk
+                # still rides the flag-skipped spill kernels.
+                mask2 = jnp.concatenate([cells.mask, sp.mask], axis=1)
+                dense_xv2 = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [
+                                jnp.moveaxis(soa_a, 0, -1),
+                                jnp.moveaxis(soa_b, 0, -1),
+                            ],
+                            axis=1,
+                        ),
+                        jnp.zeros((1, 2 * k, 6), soa_a.dtype),
+                    ]
                 )
+                dense_x2 = dense_xv2[..., :3]
+                dense_v2 = dense_xv2[..., 3:]
+                rho2_s = jnp.concatenate(
+                    [rho2, jnp.full((1, 2 * k), params.rho0, rho2.dtype)]
+                )
+                if surface_tension > 0:
+                    acc2 = acc2 + _cohesion_blocks(
+                        dense_x2, rho2_s, mask2, nbr_static, params,
+                        kernel, block, surface_tension, mimage=mimage,
+                    )
+                if xsph > 0:
+                    extra.append(
+                        _xsph_blocks(
+                            dense_x2, dense_v2, rho2_s, mask2, nbr_static,
+                            params, kernel, block, mimage=mimage,
+                        )
+                    )
 
             bundle = jnp.concatenate(
-                [tier(acc_a, rho_a, p_a), tier(acc_b, rho_b, p_b)], axis=1
-            )  # [C, 2K, 5]
+                [acc2, rho2[..., None], p2[..., None]] + extra, axis=-1
+            )  # [C, 2K, 5 (+3 xsph)]
+            ncol = bundle.shape[-1]
             # sentinel row for dropped particles: rho0, zero p/acc
             # (matches the single-tier path's sentinel semantics)
             sent = (
-                jnp.zeros((1, 2 * k, 5), bundle.dtype)
+                jnp.zeros((1, 2 * k, ncol), bundle.dtype)
                 .at[..., 3]
                 .set(params.rho0)
             )
@@ -952,10 +997,22 @@ def make_step_fn(
             p_dense = jnp.where(
                 cells.mask, tait_pressure(rho_dense, params), 0.0
             )
-            out4 = _accel_drho_blocks(
-                dense_x, dense_v, rho_dense, p_dense, cells.mask,
-                nbr_static, params, kernel, block, delta_sph, mimage=mimage,
-            )
+            if use_pallas:
+                # the fused momentum+continuity kernel: one MXU pair
+                # sweep produces acc AND drho (lane-native capacities;
+                # parity-tested against the jnp blocks below)
+                out4 = pallas_ops.accel_drho(
+                    dense_x, dense_v, rho_dense, p_dense, cells.mask,
+                    grid, params, kernel=kernel, delta_sph=delta_sph,
+                    block=pallas_block, interpret=pallas_interpret,
+                    wrap_axes=pallas_wrap,
+                )
+            else:
+                out4 = _accel_drho_blocks(
+                    dense_x, dense_v, rho_dense, p_dense, cells.mask,
+                    nbr_static, params, kernel, block, delta_sph,
+                    mimage=mimage,
+                )
             if surface_tension > 0:
                 coh = _cohesion_blocks(
                     dense_x, rho_dense, cells.mask, nbr_static, params,
