@@ -482,14 +482,14 @@ def make_distributed_step_fn(
                 mask, jnp.maximum(xvr[..., 6], 0.1 * params.rho0),
                 params.rho0,
             )
-            p_dense = jnp.where(
-                mask, tait_pressure(rho_dense, params), 0.0
-            )
+            # pressure does NOT ride the halo: it is pure per-element
+            # math on rho (Tait), so the receiver recomputes it from the
+            # exchanged density - ~11% less halo traffic, bit-identical
+            # values (same rho bits -> same p bits)
             big = jnp.concatenate(
                 [
                     xvr[..., :6],
                     rho_dense[..., None],
-                    p_dense[..., None],
                     mask.astype(jnp.float32)[..., None],
                 ],
                 axis=-1,
@@ -498,7 +498,7 @@ def make_distributed_step_fn(
                 [big], nynz, axis_name, send_right, send_left
             )
             ext_x, ext_v = ext[..., :3], ext[..., 3:6]
-            ext_mask = ext[..., 8] > 0.5
+            ext_mask = ext[..., 7] > 0.5
             # edge devices receive zero planes; refill dead/absent
             # slots with rho0 so p/rho^2 terms stay finite (masked out
             # of every sum anyway)
@@ -506,7 +506,7 @@ def make_distributed_step_fn(
                 ext_mask, jnp.maximum(ext[..., 6], 0.1 * params.rho0),
                 params.rho0,
             )
-            p_d = jnp.where(ext_mask, ext[..., 7], 0.0)
+            p_d = jnp.where(ext_mask, tait_pressure(rho_d, params), 0.0)
         else:
             # one fused layout gather for x AND v
             xv = _scatter(jnp.concatenate([x, v], axis=-1), order, gidx)

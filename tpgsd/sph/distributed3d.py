@@ -310,14 +310,13 @@ def make_distributed3d_step_fn(
                 mask, jnp.maximum(xvr[..., 6], 0.1 * params.rho0),
                 params.rho0,
             )
-            p_dense = jnp.where(
-                mask, tait_pressure(rho_dense, params), 0.0
-            )
+            # pressure does NOT ride the halo: the receiver recomputes
+            # it from the exchanged rho (pure per-element Tait math) -
+            # ~11% less halo traffic, bit-identical values
             xvm = jnp.concatenate(
                 [
                     xvr[..., :6],
                     rho_dense[..., None],
-                    p_dense[..., None],
                     mask.astype(jnp.float32)[..., None],
                 ],
                 axis=-1,
@@ -373,7 +372,7 @@ def make_distributed3d_step_fn(
                 ext_mask, jnp.maximum(ext[..., 6], 0.1 * params.rho0),
                 params.rho0,
             )
-            p_d2 = jnp.where(ext_mask, ext[..., 7], 0.0)
+            p_d2 = jnp.where(ext_mask, tait_pressure(rho_d2, params), 0.0)
         else:
             # density over the extended block; only CORE outputs are
             # correct
