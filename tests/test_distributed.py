@@ -794,6 +794,40 @@ def test_continuity_distributed_matches_single_device():
     )
 
 
+def test_continuity_distributed_pallas_matches_jnp():
+    """Continuity slabs on the fused accel+drho Pallas kernel (interpret
+    mode on the CPU mesh) vs the decomposed jnp pair path: same halo
+    rounds, same migration - only the pair sweep differs."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _divisible_setup()
+    state = init_density(state, grid, params)
+    n = state.x.shape[0]
+    mesh = make_mesh()
+
+    def run(**kw):
+        dist, cap = distribute_state(state, grid, mesh)
+        step_d = make_distributed_step_fn(
+            grid, params, mesh, capacity=cap, density_mode="continuity",
+            **kw,
+        )
+        for _ in range(2):
+            dist, aux = step_d(dist)
+        assert int(jnp.sum(aux.migrate_overflow)) == 0
+        return collect_state(dist, n)
+
+    x_j, v_j, r_j = run()
+    x_p, v_p, r_p = run(use_pallas=True)
+    # x atol is wider than the summation-mode pallas tests': positions
+    # integrate a density that itself integrates the noisier drho
+    numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-5)
+    numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
+    # carried density integrates the drho column; the delta-SPH
+    # diffusion term's approximate reciprocals bound the gap (see
+    # test_pallas_ops.test_accel_drho_matches_jnp)
+    numpy.testing.assert_allclose(r_p, r_j, rtol=5e-4)
+
+
 def test_continuity_migration_carries_density():
     """A migrating particle's density travels in the migration payload
     and arrives bit-intact (isolated particles: drho/dt == 0)."""
@@ -921,11 +955,12 @@ def test_continuity_distributed_guards():
             grid, params, mesh, capacity=64, density_mode="continuity",
             density_renorm=True,
         )
-    with pytest.raises(NotImplementedError, match="continuity"):
-        make_distributed_step_fn(
-            grid, params, mesh, capacity=64, density_mode="continuity",
-            use_pallas=True,
-        )
+    # continuity + Pallas is supported (round 4): the builder constructs
+    # with the fused accel_drho kernel on the ext grid
+    make_distributed_step_fn(
+        grid, params, mesh, capacity=64, density_mode="continuity",
+        use_pallas=True,
+    )
     with pytest.raises(ValueError, match="density_mode"):
         make_distributed_step_fn(
             grid, params, mesh, capacity=64, density_mode="bogus"

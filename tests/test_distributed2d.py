@@ -516,6 +516,36 @@ def test_2d_continuity_matches_single_device():
     )
 
 
+def test_2d_continuity_pallas_matches_jnp():
+    """Continuity (4, 2) blocks on the fused accel+drho Pallas kernel
+    (interpret mode) vs the decomposed jnp pair path."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = _cloud_setup(seed=13)
+    state = init_density(state, grid, params)
+    n = state.x.shape[0]
+    mesh = make_mesh2d(shape=(4, 2))
+
+    def run(**kw):
+        dist, cap = distribute_state_2d(state, grid, mesh)
+        step_d = make_distributed2d_step_fn(
+            grid, params, mesh, capacity=cap, density_mode="continuity",
+            **kw,
+        )
+        for _ in range(2):
+            dist, aux = step_d(dist)
+        assert int(jnp.sum(aux.migrate_overflow)) == 0
+        return collect_state(dist, n)
+
+    x_j, v_j, r_j = run()
+    x_p, v_p, r_p = run(use_pallas=True)
+    # x atol is wider than the summation-mode pallas tests': positions
+    # integrate a density that itself integrates the noisier drho
+    numpy.testing.assert_allclose(x_p, x_j, rtol=1e-5, atol=1e-5)
+    numpy.testing.assert_allclose(v_p, v_j, rtol=5e-4, atol=5e-4)
+    numpy.testing.assert_allclose(r_p, r_j, rtol=5e-4)
+
+
 def test_2d_continuity_periodic_matches_single_device():
     """Continuity blocks under a fully periodic box: the fused
     x|v|rho|p|mask halo crosses both ring seams."""

@@ -665,15 +665,16 @@ def test_continuity_step_requires_seed_and_rejects_bad_compositions():
             db.grid, db.params, density_mode="continuity",
             density_renorm=True,
         )
-    with pytest.raises(NotImplementedError):
-        make_step_fn(
-            db.grid, db.params, density_mode="continuity", spill=True,
-            use_pallas=True,
-        )
-    with pytest.raises(NotImplementedError):
-        make_step_fn(
-            db.grid, db.params, density_mode="continuity", use_pallas=True
-        )
+    # continuity + Pallas (and continuity + spill) are supported
+    # (round 4): the builders construct with the fused accel_drho
+    # kernels at packed/lane-native capacities
+    make_step_fn(
+        db.grid, db.params, density_mode="continuity", spill=True,
+        use_pallas=True,
+    )
+    make_step_fn(
+        db.grid, db.params, density_mode="continuity", use_pallas=True
+    )
     with pytest.raises(ValueError, match="density_mode"):
         make_step_fn(db.grid, db.params, density_mode="bogus")
 

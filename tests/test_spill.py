@@ -337,11 +337,89 @@ def test_spill_surface_tension_matches_single_tier():
     )
 
 
-def test_spill_auto_resolves_to_champion():
-    """spill='auto' turns the two-tier layout on exactly when the
-    resolved Pallas path supports it, producing the spill=True result."""
+def test_spill_continuity_matches_single_tier():
+    """Continuity-density mode on the spill layout: the fused
+    accel+drho CROSS-TIER kernels (accel_drho_spill's AA/AB/BA/BB
+    passes) vs the single-tier 2K continuity step on the same Pallas
+    path - positions, velocities AND the evolved carried density."""
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=10, capacity=48)
+    grid_a = db.grid._replace(capacity=24)
+    occ = numpy.bincount(
+        numpy.asarray(build_cells(jnp.asarray(db.state.x), db.grid).cid),
+        minlength=db.grid.n_cells,
+    )
+    assert (occ > 24).sum() > 0, "workload must exercise the spill tier"
+    state = init_density(db.state, db.grid, db.params)
+
+    step_ref = jax.jit(
+        make_step_fn(db.grid, db.params, use_pallas=True,
+                     pallas_interpret=True, density_mode="continuity")
+    )
+    for _ in range(3):
+        state, _ = step_ref(state)
+    step_sp = jax.jit(
+        make_step_fn(grid_a, db.params, use_pallas=True,
+                     pallas_interpret=True, spill=True,
+                     density_mode="continuity")
+    )
+    s1, (rho1, p1, ov1) = step_ref(state)
+    s2, (rho2, p2, ov2) = step_sp(state)
+    assert int(ov1) == 0 and int(ov2) == 0
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.x), numpy.asarray(s1.x), rtol=1e-5, atol=1e-7
+    )
+    vsc = float(jnp.abs(s1.v).max())
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.v) / vsc, numpy.asarray(s1.v) / vsc,
+        rtol=1e-4, atol=1e-5,
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.rho), numpy.asarray(s1.rho), rtol=5e-4
+    )
+
+
+def test_spill_continuity_xsph_matches_single_tier():
+    """Continuity + spill + XSPH: the XSPH pass runs over the
+    concatenated tiers while accel+drho splits into the cross-tier
+    kernels."""
+    from tpgsd.sph import init_density
+
+    db = dam_break(n_side=10, capacity=48)
+    grid_a = db.grid._replace(capacity=24)
+    state = init_density(db.state, db.grid, db.params)
+    step_ref = jax.jit(
+        make_step_fn(db.grid, db.params, use_pallas=True,
+                     pallas_interpret=True, density_mode="continuity",
+                     xsph=0.5)
+    )
+    for _ in range(2):
+        state, _ = step_ref(state)
+    step_sp = jax.jit(
+        make_step_fn(grid_a, db.params, use_pallas=True,
+                     pallas_interpret=True, spill=True,
+                     density_mode="continuity", xsph=0.5)
+    )
+    s1, _ = step_ref(state)
+    s2, _ = step_sp(state)
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.x), numpy.asarray(s1.x), rtol=1e-5, atol=1e-7
+    )
+    numpy.testing.assert_allclose(
+        numpy.asarray(s2.rho), numpy.asarray(s1.rho), rtol=5e-4
+    )
+
+
+def test_spill_auto_resolves_to_champion(monkeypatch):
+    """spill='auto' (now the builder DEFAULT) turns the two-tier layout
+    on exactly when running on a TPU backend AND the resolved Pallas
+    path supports it, producing the spill=True result.  The backend is
+    monkeypatched to 'tpu' so the resolution logic is exercised on the
+    CPU suite; the kernels still run in interpret mode."""
     db = dam_break(n_side=8, capacity=64)
     grid_a = db.grid._replace(capacity=32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     step_auto = jax.jit(
         make_step_fn(grid_a, db.params, use_pallas=True,
                      pallas_interpret=True, spill="auto")
@@ -359,6 +437,19 @@ def test_spill_auto_resolves_to_champion():
                             use_pallas=True, pallas_interpret=True,
                             spill="auto")
     assert step_off is not None  # builds without the packed-capacity check
+    monkeypatch.undo()
+    # off-TPU, auto never flips spill on - CPU runs stay single-tier
+    # even with use_pallas forced (interpret-mode testing)
+    step_cpu = jax.jit(
+        make_step_fn(grid_a, db.params, use_pallas=True,
+                     pallas_interpret=True, spill="auto")
+    )
+    s3, (r3, _, o3) = step_cpu(db.state)
+    # capacity 32 single-tier on this workload overflows where the
+    # two-tier layout would not - proving spill stayed OFF
+    assert int(o3) != int(o1) or not numpy.array_equal(
+        numpy.asarray(r3), numpy.asarray(r1)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +556,29 @@ def test_spill_distributed_periodic_matches_jnp(decomp_cloud):
     )
     numpy.testing.assert_allclose(x_s, x_j, rtol=1e-5, atol=1e-6)
     numpy.testing.assert_allclose(v_s, v_j, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("kind", ["slab", "2d", "3d"])
+def test_spill_distributed_continuity_matches_jnp(kind, decomp_cloud):
+    """Continuity + spill on every decomposition: the carried density
+    rides the concatenated-tier halos and migration; only the fused
+    accel+drho pass splits into the cross-tier kernels.  Reference:
+    the same decomposition, jnp pair path, single tier at 2K."""
+    from tpgsd.sph import init_density
+
+    state, grid, params = decomp_cloud
+    state = init_density(state, grid._replace(capacity=48), params)
+    x_j, v_j, r_j = _run_decomp(
+        kind, state, grid._replace(capacity=48), params,
+        density_mode="continuity",
+    )
+    x_s, v_s, r_s = _run_decomp(
+        kind, state, grid, params, use_pallas=True, spill=True,
+        density_mode="continuity",
+    )
+    numpy.testing.assert_allclose(x_s, x_j, rtol=1e-5, atol=1e-5)
+    numpy.testing.assert_allclose(v_s, v_j, rtol=5e-4, atol=5e-4)
+    numpy.testing.assert_allclose(r_s, r_j, rtol=5e-4)
 
 
 def test_spill_distributed_xsph_matches_jnp(decomp_cloud):

@@ -67,7 +67,7 @@ def make_slab_step_fn(
     pallas_interpret=None,
     n_fixed=0,
     density_renorm=False,
-    spill=False,
+    spill="auto",
 ):
     """Build the memory-bounded slab-sequential step.
 
@@ -118,6 +118,12 @@ def make_slab_step_fn(
         use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
+    if spill == "auto":
+        spill = (
+            jax.default_backend() == "tpu"
+            and bool(use_pallas)
+            and _po.spill_supported(ext_grid)
+        )
     if spill:
         if not use_pallas:
             raise ValueError(

@@ -127,7 +127,7 @@ def make_distributed3d_step_fn(
     migrate_cap=None,
     kernel=WendlandC2,
     block=32,
-    use_pallas=False,
+    use_pallas="auto",
     pallas_block=None,
     n_fixed=0,
     periodic=False,
@@ -135,7 +135,7 @@ def make_distributed3d_step_fn(
     xsph=0.0,
     density_renorm=False,
     surface_tension=0.0,
-    spill=False,
+    spill="auto",
     density_mode="summation",
     delta_sph=0.1,
     _traced_dt=False,
@@ -241,20 +241,15 @@ def make_distributed3d_step_fn(
     from . import pallas_ops as _po
 
     if use_pallas == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and _po.supported(ext_grid)
-            and not continuity
-        )
-    if continuity and use_pallas:
-        raise NotImplementedError(
-            "density_mode='continuity' runs on the jnp pair path for "
-            "now (as in make_step_fn); pass use_pallas=False or 'auto'"
+        use_pallas = jax.default_backend() == "tpu" and (
+            _po.accel_drho_supported(ext_grid)
+            if continuity
+            else _po.supported(ext_grid)
         )
     if spill == "auto":
         spill = (
-            bool(use_pallas)
-            and not continuity
+            jax.default_backend() == "tpu"
+            and bool(use_pallas)
             and _po.spill_supported(ext_grid)
         )
     if spill:
@@ -433,10 +428,33 @@ def make_distributed3d_step_fn(
             p_d2 = jnp.where(ext_mask, ext_rp[..., 1], 0.0)
 
         if continuity:
-            out4_d = _accel_drho_blocks(
-                ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
-                kernel, block, delta_sph,
-            )
+            if spill:
+                # cross-tier fused accel+drho: the tiers ride the
+                # layout/halo concatenated (kd = 2K); only this pair
+                # pass splits them (same contract as the summation
+                # spill branch below)
+                out_ab = pallas_ops.accel_drho_spill(
+                    ext_x[:, :k], ext_v[:, :k], rho_d2[:, :k], p_d2[:, :k],
+                    ext_mask[:, :k],
+                    ext_x[:, k:], ext_v[:, k:], rho_d2[:, k:], p_d2[:, k:],
+                    ext_mask[:, k:],
+                    ext_grid, params, kernel=kernel, delta_sph=delta_sph,
+                    block=pallas_block,
+                )
+                out4_d = jnp.concatenate(out_ab, axis=1)
+            elif use_pallas:
+                # fused accel+drho Pallas kernel on the extended block
+                # grid (same ext-grid contract as density/accel; every
+                # axis is ring-haloed, so no wrap_axes)
+                out4_d = pallas_ops.accel_drho(
+                    ext_x, ext_v, rho_d2, p_d2, ext_mask, ext_grid, params,
+                    kernel=kernel, delta_sph=delta_sph, block=pallas_block,
+                )
+            else:
+                out4_d = _accel_drho_blocks(
+                    ext_x, ext_v, rho_d2, p_d2, ext_mask, nbr_ext, params,
+                    kernel, block, delta_sph,
+                )
             acc_d = out4_d[..., :3]
         elif spill:
             acc_ab = pallas_ops.accel_spill(

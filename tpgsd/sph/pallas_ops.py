@@ -473,7 +473,7 @@ def _accel_drho_kernel(
             @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
             def _window(w=w, dx=dx, dy=dy, e=e):
                 sacc = jnp.zeros((block, 4, kp), jnp.float32)
-                sdr = jnp.zeros((block, kp), jnp.float32)
+                sdr = jnp.zeros((block, 1, kp), jnp.float32)
                 for dz in (-1, 0, 1):
                     nb = fw[w, :8, e + 1 + dz : e + 1 + dz + block]  # [8,B,Kp]
                     ym = fw[w, 8, e + 1 + dz : e + 1 + dz + block]
@@ -536,15 +536,19 @@ def _accel_drho_kernel(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )  # [B, 4, Kp]
+                    # 1-row batched matmul (same MXU form as the
+                    # momentum reduction): a [B,Kp,Kp]x[B,Kp] matvec
+                    # lowers to vector.multi_reduction, which Mosaic
+                    # rejects
                     sdr = sdr + jax.lax.dot_general(
-                        scale2, pm, (((2,), (1,)), ((0,), (0,))),
+                        pm[:, None, :], scale2, (((2,), (2,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
-                    )  # [B, Kp]
+                    )  # [B, 1, Kp]
                 ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
                 ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
                 az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
-                dr_ref[:] += sdr
+                dr_ref[:] += sdr[:, 0]
 
         ax_ref[:] = ax_ref[:] * mc
         ay_ref[:] = ay_ref[:] * mc
@@ -1005,6 +1009,354 @@ def _accel_kernel_packed(
         az_ref[:] = az_ref[:] * mc
 
 
+def _accel_drho_kernel_packed(
+    flags_ref, f_hbm, ax_ref, ay_ref, az_ref, dr_ref, fw, sems,
+    *, grid, params, kernel, block, f, nzp, delta_sph
+):
+    """Packed-layout fused momentum + continuity pair pass.
+
+    :func:`_accel_kernel_packed` with the drho/dt output of
+    :func:`_accel_drho_kernel`: the continuity pair matrix
+    ``t3 * (vdotx + delta-SPH diffusion)`` shares the factorized
+    ``vdotx`` (CCc + CCn - CROSS), the exact ``r2``, and the ``t3``
+    transcendental the momentum term already computed, so at every
+    packing depth f the extra cost over the momentum-only kernel is one
+    [B, 128, 128] pair matrix and one K=128 matvec reduction per slice
+    - same marginal cost as in the lane-native kernel, at 1/f the rows.
+    The static lane-quadrant validity ``D`` masks the continuity matrix
+    exactly as it masks the momentum one.
+    """
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+    h2eps = params.eps * params.h * params.h
+    cfold, cv = _accel_folds(params, kernel)
+    inv2h = 0.5 / params.h
+    # shared-constant folding as in _accel_drho_kernel: with
+    # dwr = dw_const * t3, both continuity terms share A = m*dw_const =
+    # -cfold, so the pair bracket is t3*(vdotx + ddfold*...) and A
+    # scales the reduced sum once
+    adrho = -cfold
+    ddfold = 2.0 * delta_sph * params.h * params.c0
+    eta2 = (0.1 * params.h) ** 2
+    rho_floor = 0.1 * params.rho0
+
+    i = pl.program_id(0)
+    base = i * block
+
+    @pl.when(flags_ref[i] & 1 == 0)
+    def _empty():
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        dr_ref[:] = zero
+
+    @pl.when(flags_ref[i] & 1 != 0)
+    def _occupied():
+        for c_ in _start_window_dmas(f_hbm, fw, sems, 0, base, astarts, wlen):
+            c_.wait()
+
+        row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        cell0 = f * row
+        ix = cell0 // (ny * nzp)
+        rem = cell0 - ix * (ny * nzp)
+        iy = rem // nzp
+        izb = rem - iy * nzp  # [B, 1]
+
+        a_n, dh = _lane_half_vectors(k)
+
+        c00 = f * (i * block)
+        ix0 = c00 // (ny * nzp)
+        rem0 = c00 - ix0 * (ny * nzp)
+        tx = grid.lo[0] + grid.cell_size * ix0.astype(jnp.float32)
+        ty = grid.lo[1] + grid.cell_size * (rem0 // nzp).astype(jnp.float32)
+        tz = grid.lo[2] + grid.cell_size * (0.5 * nzp)
+
+        e4 = extras[4]
+        cen = fw[4, :8, e4 + 1 : e4 + 1 + block]  # [8, B, 128]
+        mc = fw[4, 8, e4 + 1 : e4 + 1 + block]
+
+        xcl = (cen[0] - tx, cen[1] - ty, cen[2] - tz)
+        rho_c = cen[6]
+        ptc = cen[7]  # pre-scaled cfold*p/rho^2
+        ccc = cen[3] * xcl[0] + cen[4] * xcl[1] + cen[5] * xcl[2]
+        a6 = jnp.stack(
+            [xcl[0], xcl[1], xcl[2], cen[3], cen[4], cen[5]], axis=1
+        )  # [B, 6, 128]
+
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        dr_ref[:] = zero
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
+
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                xy_ok = (
+                    (ix + dx >= 0)
+                    & (ix + dx < nx)
+                    & (iy + dy >= 0)
+                    & (iy + dy < ny)
+                ).astype(jnp.float32)  # [B, 1]
+                sacc = jnp.zeros((block, 4, 128), jnp.float32)
+                sdr = jnp.zeros((block, 1, 128), jnp.float32)
+                for nb, ym, D, zn in _packed_slices(
+                    fw, w, e, block, f, k, izb, a_n, dh, nzp
+                ):
+                    z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+                    pm = ym * z_ok * xy_ok  # [B, 128]
+
+                    xnl0 = nb[0] - tx
+                    xnl1 = nb[1] - ty
+                    xnl2 = nb[2] - tz
+                    ccn = nb[3] * xnl0 + nb[4] * xnl1 + nb[5] * xnl2
+                    b6 = jnp.stack(
+                        [nb[3], nb[4], nb[5], xnl0, xnl1, xnl2], axis=1
+                    )
+                    cross = jax.lax.dot_general(
+                        a6, b6, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 128, 128]
+
+                    ddx = xcl[0][:, :, None] - xnl0[:, None, :]
+                    ddy = xcl[1][:, :, None] - xnl1[:, None, :]
+                    ddz = xcl[2][:, :, None] - xnl2[:, None, :]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t3 = t * t * t
+                    else:
+                        t3 = -kernel.dw_over_r(r, params.h, dim=params.dim)
+
+                    vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
+                    press = ptc[:, :, None] + nb[7][:, None, :]
+                    den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
+                    scale = (
+                        press
+                        + cv * jnp.minimum(vdotx, 0.0)
+                        * pl.reciprocal(den, approx=True)
+                    ) * t3
+
+                    if delta_sph > 0.0:
+                        rho_n = jnp.maximum(nb[6], rho_floor)
+                        diff = (
+                            ddfold
+                            * (rho_c[:, :, None] - rho_n[:, None, :])
+                            * pl.reciprocal(rho_n, approx=True)[:, None, :]
+                            * r2
+                            * pl.reciprocal(r2 + eta2, approx=True)
+                        )
+                        scale2 = t3 * (vdotx + diff)
+                    else:
+                        scale2 = t3 * vdotx
+                    if D is not None:
+                        scale = scale * D[None, :, :]
+                        scale2 = scale2 * D[None, :, :]
+
+                    n4 = jnp.stack(
+                        [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
+                    )  # [B, 4, 128]
+                    sacc = sacc + jax.lax.dot_general(
+                        n4, scale, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 4, 128]
+                    # 1-row batched matmul (same MXU form as the
+                    # momentum reduction): a [B,Kp,128]x[B,128] matvec
+                    # lowers to vector.multi_reduction, which Mosaic
+                    # rejects
+                    sdr = sdr + jax.lax.dot_general(
+                        pm[:, None, :], scale2, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, 1, 128]
+                ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
+                ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
+                az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
+                dr_ref[:] += sdr[:, 0]
+
+        ax_ref[:] = ax_ref[:] * mc
+        ay_ref[:] = ay_ref[:] * mc
+        az_ref[:] = az_ref[:] * mc
+        dr_ref[:] = dr_ref[:] * (mc * adrho)
+
+
+def _accel_drho_kernel_packed_cross(
+    flags_ref, f_self, f_other, ax_ref, ay_ref, az_ref, dr_ref, fw, cw, sems,
+    *, grid, params, kernel, block, f, nzp, delta_sph
+):
+    """Cross-tier fused momentum + continuity pair pass: centers from
+    ``f_self``, neighbors from ``f_other`` - the drho counterpart of
+    :func:`_accel_kernel_packed_cross`, math identical to
+    :func:`_accel_drho_kernel_packed`."""
+    nx, ny, nz = grid.dims
+    k = grid.capacity
+    _, _, _, pad_r, _, _, astarts, extras, wlen = _packed_geometry(grid, block)
+    h2eps = params.eps * params.h * params.h
+    cfold, cv = _accel_folds(params, kernel)
+    inv2h = 0.5 / params.h
+    adrho = -cfold
+    ddfold = 2.0 * delta_sph * params.h * params.c0
+    eta2 = (0.1 * params.h) ** 2
+    rho_floor = 0.1 * params.rho0
+
+    i = pl.program_id(0)
+    base = i * block
+
+    @pl.when(flags_ref[i] & 1 == 0)
+    def _empty():
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        dr_ref[:] = zero
+
+    @pl.when(flags_ref[i] & 1 != 0)
+    def _occupied():
+        copies = _start_window_dmas(f_other, fw, sems, 0, base, astarts, wlen)
+        ccopy = pltpu.make_async_copy(
+            f_self.at[:, pl.ds(pl.multiple_of(base + astarts[4], 8), wlen), :],
+            cw,
+            sems.at[9],
+        )
+        ccopy.start()
+        for c_ in copies:
+            c_.wait()
+        ccopy.wait()
+
+        row = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        cell0 = f * row
+        ix = cell0 // (ny * nzp)
+        rem = cell0 - ix * (ny * nzp)
+        iy = rem // nzp
+        izb = rem - iy * nzp
+
+        a_n, dh = _lane_half_vectors(k)
+
+        c00 = f * (i * block)
+        ix0 = c00 // (ny * nzp)
+        rem0 = c00 - ix0 * (ny * nzp)
+        tx = grid.lo[0] + grid.cell_size * ix0.astype(jnp.float32)
+        ty = grid.lo[1] + grid.cell_size * (rem0 // nzp).astype(jnp.float32)
+        tz = grid.lo[2] + grid.cell_size * (0.5 * nzp)
+
+        e4 = extras[4]
+        cen = cw[:8, e4 + 1 : e4 + 1 + block]  # [8, B, 128] self centers
+        mc = cw[8, e4 + 1 : e4 + 1 + block]
+
+        xcl = (cen[0] - tx, cen[1] - ty, cen[2] - tz)
+        rho_c = cen[6]
+        ptc = cen[7]
+        ccc = cen[3] * xcl[0] + cen[4] * xcl[1] + cen[5] * xcl[2]
+        a6 = jnp.stack(
+            [xcl[0], xcl[1], xcl[2], cen[3], cen[4], cen[5]], axis=1
+        )
+
+        zero = jnp.zeros((block, 128), jnp.float32)
+        ax_ref[:] = zero
+        ay_ref[:] = zero
+        az_ref[:] = zero
+        dr_ref[:] = zero
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        for w, (dx, dy) in enumerate(offs):
+            e = extras[w]
+
+            @pl.when((flags_ref[i] >> (1 + w)) & 1 != 0)
+            def _window(w=w, dx=dx, dy=dy, e=e):
+                xy_ok = (
+                    (ix + dx >= 0)
+                    & (ix + dx < nx)
+                    & (iy + dy >= 0)
+                    & (iy + dy < ny)
+                ).astype(jnp.float32)
+                sacc = jnp.zeros((block, 4, 128), jnp.float32)
+                sdr = jnp.zeros((block, 1, 128), jnp.float32)
+                for nb, ym, D, zn in _packed_slices(
+                    fw, w, e, block, f, k, izb, a_n, dh, nzp
+                ):
+                    z_ok = ((zn >= 0) & (zn < nzp)).astype(jnp.float32)
+                    pm = ym * z_ok * xy_ok
+
+                    xnl0 = nb[0] - tx
+                    xnl1 = nb[1] - ty
+                    xnl2 = nb[2] - tz
+                    ccn = nb[3] * xnl0 + nb[4] * xnl1 + nb[5] * xnl2
+                    b6 = jnp.stack(
+                        [nb[3], nb[4], nb[5], xnl0, xnl1, xnl2], axis=1
+                    )
+                    cross = jax.lax.dot_general(
+                        a6, b6, (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                    ddx = xcl[0][:, :, None] - xnl0[:, None, :]
+                    ddy = xcl[1][:, :, None] - xnl1[:, None, :]
+                    ddz = xcl[2][:, :, None] - xnl2[:, None, :]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    if kernel is WendlandC2:
+                        t = jnp.maximum(1.0 - inv2h * r, 0.0)
+                        t3 = t * t * t
+                    else:
+                        t3 = -kernel.dw_over_r(r, params.h, dim=params.dim)
+
+                    vdotx = ccc[:, :, None] + ccn[:, None, :] - cross
+                    press = ptc[:, :, None] + nb[7][:, None, :]
+                    den = (r2 + h2eps) * (rho_c[:, :, None] + nb[6][:, None, :])
+                    scale = (
+                        press
+                        + cv * jnp.minimum(vdotx, 0.0)
+                        * pl.reciprocal(den, approx=True)
+                    ) * t3
+
+                    if delta_sph > 0.0:
+                        rho_n = jnp.maximum(nb[6], rho_floor)
+                        diff = (
+                            ddfold
+                            * (rho_c[:, :, None] - rho_n[:, None, :])
+                            * pl.reciprocal(rho_n, approx=True)[:, None, :]
+                            * r2
+                            * pl.reciprocal(r2 + eta2, approx=True)
+                        )
+                        scale2 = t3 * (vdotx + diff)
+                    else:
+                        scale2 = t3 * vdotx
+                    if D is not None:
+                        scale = scale * D[None, :, :]
+                        scale2 = scale2 * D[None, :, :]
+
+                    n4 = jnp.stack(
+                        [pm, pm * xnl0, pm * xnl1, pm * xnl2], axis=1
+                    )
+                    sacc = sacc + jax.lax.dot_general(
+                        n4, scale, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    # 1-row batched matmul (see _accel_drho_kernel_packed)
+                    sdr = sdr + jax.lax.dot_general(
+                        pm[:, None, :], scale2, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                ax_ref[:] += xcl[0] * sacc[:, 0] - sacc[:, 1]
+                ay_ref[:] += xcl[1] * sacc[:, 0] - sacc[:, 2]
+                az_ref[:] += xcl[2] * sacc[:, 0] - sacc[:, 3]
+                dr_ref[:] += sdr[:, 0]
+
+        ax_ref[:] = ax_ref[:] * mc
+        ay_ref[:] = ay_ref[:] * mc
+        az_ref[:] = az_ref[:] * mc
+        dr_ref[:] = dr_ref[:] * (mc * adrho)
+
+
 def _density_kernel_packed_cross(
     flags_ref, xm_self, xm_other, rho_ref, xw, cw, sems,
     *, grid, params, kernel, block, f, nzp
@@ -1434,6 +1786,40 @@ def _accel_packed(
     )
 
 
+def _accel_drho_packed(
+    dense_x, dense_v, dense_rho, dense_p, mask, grid, params, kernel,
+    delta_sph, block, interpret, soa=False,
+):
+    """Packed-layout driver for :func:`_accel_drho_kernel_packed`.
+
+    Same field packing as :func:`_accel_packed` (the fused kernel
+    consumes the identical 9 planes: x, v, rho, pre-scaled pterm,
+    mask), one extra [rows, 128] output for drho/dt.
+    """
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = _packed_geometry(
+        grid, block
+    )
+    f_pk = _pack_accel_fields(
+        dense_x, dense_v, dense_rho, dense_p, mask, grid, soa, params,
+        kernel, f, nzp, pad_r, cp_r,
+    )
+
+    flags = _block_flags(f_pk[8], pad_r, nblocks, block, astarts, wlen)
+
+    ax, ay, az, dr = _accel_drho_call_self(
+        flags, f_pk, grid, params, kernel, delta_sph, block, interpret
+    )
+    return jnp.stack(
+        [
+            _unpack_rows(ax, grid, f, nzp, rows),
+            _unpack_rows(ay, grid, f, nzp, rows),
+            _unpack_rows(az, grid, f, nzp, rows),
+            _unpack_rows(dr, grid, f, nzp, rows),
+        ],
+        axis=-1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-tier spill layout: main tier sized to the TYPICAL cell occupancy
 #
@@ -1598,6 +1984,87 @@ def _accel_call_cross(
     )(flags, f_self, f_other)
 
 
+def _accel_drho_call_self(
+    flags, f_pk, grid, params, kernel, delta_sph, block, interpret
+):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    kern = functools.partial(
+        _accel_drho_kernel_packed, grid=grid, params=params, kernel=kernel,
+        block=block, f=f, nzp=nzp, delta_sph=float(delta_sph),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(4)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32)
+            for _ in range(4)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, f_pk)
+
+
+def _accel_drho_call_cross(
+    flags, f_self, f_other, grid, params, kernel, delta_sph, block, interpret
+):
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    kern = functools.partial(
+        _accel_drho_kernel_packed_cross, grid=grid, params=params,
+        kernel=kernel, block=block, f=f, nzp=nzp,
+        delta_sph=float(delta_sph),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (block, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                )
+                for _ in range(4)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((9, 9, wlen, 128), jnp.float32),
+                pltpu.VMEM((9, wlen, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((10,)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * block, 128), jnp.float32)
+            for _ in range(4)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(flags, f_self, f_other)
+
+
 def spill_supported(grid):
     """True when the two-tier spill path applies: packed-capacity grids
     only (both tiers share the packed row geometry)."""
@@ -1731,6 +2198,64 @@ def accel_spill(
     acc_a = unpack3([aa[i] + ab[i] for i in range(3)])
     acc_b = unpack3([bb[i] + ba[i] for i in range(3)])
     return acc_a, acc_b
+
+
+def accel_drho_spill(
+    dense_x_a, dense_v_a, dense_rho_a, dense_p_a, mask_a,
+    dense_x_b, dense_v_b, dense_rho_b, dense_p_b, mask_b,
+    grid, params,
+    kernel=WendlandC2, delta_sph=0.1, block=DEFAULT_BLOCK, interpret=None,
+    wrap_axes=None, soa=False,
+):
+    """Two-tier fused momentum + continuity pair pass (continuity-density
+    mode on the spill layout); the drho counterpart of
+    :func:`accel_spill`.  Returns ``(out4_a, out4_b)``, each
+    ``[n_cells, K, 4]`` float32 with columns [acc_x, acc_y, acc_z,
+    drho/dt] - four flag-gated tier passes (AA, AB, BA, BB), each ONE
+    MXU sweep producing both outputs."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if wrap_axes is not None and any(wrap_axes):
+        g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
+        xa, ma = _ghost_tier(dense_x_a, mask_a, src, shift, soa)
+        xb, mb = _ghost_tier(dense_x_b, mask_b, src, shift, soa)
+        va = dense_v_a[:, src] if soa else dense_v_a[src]
+        vb = dense_v_b[:, src] if soa else dense_v_b[src]
+        oa, ob = accel_drho_spill(
+            xa, va, dense_rho_a[src], dense_p_a[src], ma,
+            xb, vb, dense_rho_b[src], dense_p_b[src], mb,
+            g, params, kernel=kernel, delta_sph=delta_sph, block=block,
+            interpret=interpret, soa=soa,
+        )
+        return oa[interior], ob[interior]
+    f, nzp, rows, pad_r, nblocks, cp_r, astarts, extras, wlen = (
+        _packed_geometry(grid, block)
+    )
+    pa = _pack_accel_fields(
+        dense_x_a, dense_v_a, dense_rho_a, dense_p_a, mask_a, grid, soa,
+        params, kernel, f, nzp, pad_r, cp_r,
+    )
+    pb = _pack_accel_fields(
+        dense_x_b, dense_v_b, dense_rho_b, dense_p_b, mask_b, grid, soa,
+        params, kernel, f, nzp, pad_r, cp_r,
+    )
+    fa = _block_flags(pa[8], pad_r, nblocks, block, astarts, wlen)
+    fb = _block_flags(pb[8], pad_r, nblocks, block, astarts, wlen)
+
+    args = (grid, params, kernel, delta_sph, block, interpret)
+    aa = _accel_drho_call_self(fa, pa, *args)
+    ab = _accel_drho_call_cross(_cross_flags(fa, fb), pa, pb, *args)
+    ba = _accel_drho_call_cross(_cross_flags(fb, fa), pb, pa, *args)
+    bb = _accel_drho_call_self(fb, pb, *args)
+
+    def unpack4(parts):
+        return jnp.stack(
+            [_unpack_rows(p_, grid, f, nzp, rows) for p_ in parts], axis=-1
+        )
+
+    out_a = unpack4([aa[i] + ab[i] for i in range(4)])
+    out_b = unpack4([bb[i] + ba[i] for i in range(4)])
+    return out_a, out_b
 
 
 # ---------------------------------------------------------------------------
@@ -2042,10 +2567,11 @@ def accel(
 
 def accel_drho_supported(grid):
     """True when :func:`accel_drho` has a kernel for this capacity -
-    the lane-native multiples of 128 (the packed sub-128 fused variant
-    is pending; continuity mode falls back to the jnp pair path
-    there)."""
-    return grid.capacity % 128 == 0
+    the same regimes as :func:`supported`: lane-native multiples of
+    128, and the packed ragged layout for 24 <= K <= 64 (the fused
+    kernel reuses the momentum kernel's packing verbatim, see
+    :func:`_accel_drho_kernel_packed`)."""
+    return supported(grid)
 
 
 @functools.partial(
@@ -2076,16 +2602,17 @@ def accel_drho(
     ``[n_cells, K, 4]`` float32 with columns [acc_x, acc_y, acc_z,
     drho/dt] - ONE neighbor sweep produces both, sharing every pair
     term (see :func:`_accel_drho_kernel`).  ``wrap_axes``/``soa`` as in
-    :func:`accel`.  Only lane-native capacities (multiples of 128) have
-    a kernel; gate with :func:`accel_drho_supported`.
+    :func:`accel`.  Kernels exist for the same capacity regimes as
+    :func:`accel` (lane-native multiples of 128, packed 24-64); gate
+    with :func:`accel_drho_supported`.
     """
     if interpret is None:
         interpret = _interpret_default()
-    if not accel_drho_supported(grid):
+    k = grid.capacity
+    if k % 128 != 0 and k > 64:
         raise NotImplementedError(
-            "accel_drho needs a lane-native capacity (multiple of 128); "
-            "got %d - the packed sub-128 fused variant is pending"
-            % grid.capacity
+            "accel_drho has kernels for lane-native (multiple of 128) "
+            "and packed (<= 64) capacities; got %d" % k
         )
     if wrap_axes is not None and any(wrap_axes):
         g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
@@ -2113,6 +2640,11 @@ def accel_drho(
             soa=soa,
         )
         return out_g[interior]
+    if _use_packed(grid):
+        return _accel_drho_packed(
+            dense_x, dense_v, dense_rho, dense_p, mask, grid, params,
+            kernel, delta_sph, block, interpret, soa=soa,
+        )
     nx, ny, nz, c, pad, nblocks, cp, astarts, extras, wlen, kp = _geometry(
         grid, block
     )

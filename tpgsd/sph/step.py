@@ -623,7 +623,7 @@ def make_step_fn(
     params,
     kernel=WendlandC2,
     block=32,
-    use_pallas=False,
+    use_pallas="auto",
     pallas_interpret=None,
     pallas_block=None,
     n_fixed=0,
@@ -631,7 +631,7 @@ def make_step_fn(
     density_renorm=False,
     xsph=0.0,
     surface_tension=0.0,
-    spill=False,
+    spill="auto",
     density_mode="summation",
     delta_sph=0.1,
     _traced_dt=False,
@@ -654,8 +654,9 @@ def make_step_fn(
             than the jnp path when ``grid.capacity`` is a multiple of
             128 (lane-native), 1.15x at capacities dividing 128 (the
             packed two-cells-per-row layout); see
-            ``tpgsd.sph.pallas_ops``.  ``"auto"`` selects them exactly
-            in those regimes (TPU backend and a supported capacity).
+            ``tpgsd.sph.pallas_ops``.  ``"auto"`` (the default) selects
+            them exactly in those regimes (TPU backend and a supported
+            capacity); elsewhere it resolves to the jnp path.
         pallas_interpret: force/disable Pallas interpreter mode (default:
             interpret everywhere except on real TPU hardware).
         pallas_block: cells per kernel program (default: the
@@ -707,11 +708,15 @@ def make_step_fn(
             the sums (overflow only past ``2 * capacity``).  Requires
             ``use_pallas`` and a packed capacity (24-64, multiple of 8);
             composes with ``periodic`` (ghost-halo tiers), with
-            ``density_renorm``, and with ``xsph``/``surface_tension``
+            ``density_renorm``, with ``xsph``/``surface_tension``
             (those extra jnp pair passes run over the two tiers
-            concatenated, at single-tier-2K cost).  ``"auto"`` turns it
-            on exactly when the resolved Pallas path supports it - the
-            measured-fastest configuration.
+            concatenated, at single-tier-2K cost), and with
+            ``density_mode="continuity"`` (the fused accel+drho pass
+            splits into the four cross-tier sweeps of
+            ``pallas_ops.accel_drho_spill``).  ``"auto"`` (the
+            default) turns it on exactly when running on a TPU backend
+            and the resolved Pallas path supports it - the
+            measured-fastest configuration is the default one.
         density_mode: ``"summation"`` (default) re-sums density from
             positions every step - self-correcting, parameter-free,
             but needs its own neighbor sweep and carries the kernel's
@@ -758,23 +763,11 @@ def make_step_fn(
     if spill == "auto":
         # the measured champion wherever it applies: packed capacities
         # on the Pallas path (docs/performance.md - 1.68x at 100k,
-        # 1.50x at 1M over single-tier)
+        # 1.50x at 1M over single-tier), in BOTH density formulations
         spill = (
-            bool(use_pallas)
-            and not continuity
+            jax.default_backend() == "tpu"
+            and bool(use_pallas)
             and _po.spill_supported(grid)
-        )
-    if continuity and spill:
-        raise NotImplementedError(
-            "density_mode='continuity' does not yet compose with the "
-            "two-tier spill layout"
-        )
-    if continuity and use_pallas and not _po.accel_drho_supported(grid):
-        raise NotImplementedError(
-            "density_mode='continuity' has a Pallas kernel only for "
-            "lane-native capacities (multiples of 128, see "
-            "pallas_ops.accel_drho); pass use_pallas=False or 'auto' "
-            "for capacity %d" % grid.capacity
         )
     if pallas_block is None:
         pallas_block = _po.default_block(grid)
@@ -875,6 +868,105 @@ def make_step_fn(
                 "of 8); got %d" % grid.capacity
             )
         k = grid.capacity
+
+        if continuity:
+
+            def step_continuity_spill(state, dt=params.dt):
+                if state.rho is None:
+                    raise ValueError(
+                        "density_mode='continuity' needs state.rho - seed "
+                        "it with tpgsd.sph.init_density(state, grid, "
+                        "params)"
+                    )
+                x, v, rho = state.x, state.v, state.rho
+                cells, sp = build_cells_spill(x, grid, k)
+                # one fused 7-column layout scatter per tier (x|v|rho)
+                xvr = jnp.concatenate([x, v, rho[:, None]], axis=-1)
+                soa_a = scatter_to_cells_soa(xvr, cells, grid)
+                soa_b = scatter_to_cells_soa(
+                    xvr, cells, grid, slot_base=k, capacity=k
+                )
+
+                def tier_rho(plane, mask):
+                    # carried density is exact; dead slots hold rho0 so
+                    # p/rho^2 terms stay finite (masked from every sum)
+                    rho_t = jnp.where(
+                        mask[: grid.n_cells],
+                        jnp.maximum(plane, 0.1 * params.rho0),
+                        params.rho0,
+                    )
+                    p_t = jnp.where(
+                        mask[: grid.n_cells],
+                        tait_pressure(rho_t, params),
+                        0.0,
+                    )
+                    return rho_t, p_t
+
+                rho_a, p_a = tier_rho(soa_a[6], cells.mask)
+                rho_b, p_b = tier_rho(soa_b[6], sp.mask)
+                out_a, out_b = pallas_ops.accel_drho_spill(
+                    soa_a[:3], soa_a[3:6], rho_a, p_a, cells.mask,
+                    soa_b[:3], soa_b[3:6], rho_b, p_b, sp.mask,
+                    grid, params, kernel=kernel, delta_sph=delta_sph,
+                    block=pallas_block, interpret=pallas_interpret,
+                    wrap_axes=pallas_wrap, soa=True,
+                )
+                out4 = jnp.concatenate([out_a, out_b], axis=1)  # [C,2K,4]
+
+                extra = []
+                if xsph > 0 or surface_tension > 0:
+                    # concatenated-tier (jnp) pair passes, as in the
+                    # summation spill step
+                    mask2 = jnp.concatenate([cells.mask, sp.mask], axis=1)
+                    dense2 = jnp.concatenate(
+                        [
+                            jnp.concatenate(
+                                [
+                                    jnp.moveaxis(soa_a, 0, -1),
+                                    jnp.moveaxis(soa_b, 0, -1),
+                                ],
+                                axis=1,
+                            ),
+                            jnp.zeros((1, 2 * k, 7), soa_a.dtype),
+                        ]
+                    )
+                    dense_x2 = dense2[..., :3]
+                    dense_v2 = dense2[..., 3:6]
+                    rho2 = jnp.concatenate([rho_a, rho_b], axis=1)
+                    rho2_s = jnp.concatenate(
+                        [rho2, jnp.full((1, 2 * k), params.rho0, rho2.dtype)]
+                    )
+                    if surface_tension > 0:
+                        coh = _cohesion_blocks(
+                            dense_x2, rho2_s, mask2, nbr_static, params,
+                            kernel, block, surface_tension, mimage=mimage,
+                        )
+                        out4 = jnp.concatenate(
+                            [out4[..., :3] + coh, out4[..., 3:]], axis=-1
+                        )
+                    if xsph > 0:
+                        extra.append(
+                            _xsph_blocks(
+                                dense_x2, dense_v2, rho2_s, mask2,
+                                nbr_static, params, kernel, block,
+                                mimage=mimage,
+                            )
+                        )
+                bundle = (
+                    out4 if not extra
+                    else jnp.concatenate([out4] + extra, axis=-1)
+                )
+                ncol = bundle.shape[-1]
+                # sentinel: drho = 0 - dropped particles keep their
+                # carried density (single-tier continuity semantics)
+                sent = jnp.zeros((1, 2 * k, ncol), bundle.dtype)
+                out = gather_from_cells(
+                    jnp.concatenate([bundle, sent]), cells, grid,
+                    capacity=2 * k,
+                )
+                return _finish(x, v, out, cells.overflow, dt, rho_cur=rho)
+
+            return step_continuity_spill
 
         def step_spill(state, dt=params.dt):
             x, v = state.x, state.v
