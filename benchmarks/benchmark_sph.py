@@ -73,6 +73,11 @@ def main(argv=None):
                         "best-fit mesh over the available devices - on one "
                         "device this measures the pure halo-machinery "
                         "overhead vs the global step")
+    p.add_argument("--density-mode", choices=["summation", "continuity"],
+                   default="summation",
+                   help="density formulation for the jnp/pallas/spill/"
+                        "decomp rows (continuity seeds rho with "
+                        "init_density; the fused accel+drho kernels)")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
                    help="force N virtual CPU devices")
     args = p.parse_args(argv)
@@ -83,16 +88,21 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
 
-    from tpgsd.sph import dam_break, make_step_fn
+    from tpgsd.sph import dam_break, init_density, make_step_fn
 
     cap = args.capacity if args.capacity == "auto" else int(args.capacity)
     db = dam_break(n_side=args.n_side, capacity=cap)
+    if args.density_mode == "continuity":
+        db = db._replace(state=init_density(db.state, db.grid, db.params))
     print(
         "backend=%s particles=%d cells=%s capacity=%d"
         % (jax.default_backend(), db.n, db.grid.dims, db.grid.capacity)
     )
 
-    step = jax.jit(make_step_fn(db.grid, db.params, block=args.block))
+    # the builder default is now the champion auto config; this row is
+    # the explicit jnp reference, so pin the path
+    step = jax.jit(make_step_fn(db.grid, db.params, block=args.block,
+                                use_pallas=False, density_mode=args.density_mode))
     dt, _ = bench_step(step, db.state, args.steps)
     print(
         "jnp    : %8.2f ms/step  %12.3g particle-steps/s"
@@ -102,8 +112,9 @@ def main(argv=None):
     if args.pallas:
         step_p = jax.jit(
             make_step_fn(
-                db.grid, db.params, use_pallas=True,
+                db.grid, db.params, use_pallas=True, spill=False,
                 pallas_block=args.pallas_block,
+                density_mode=args.density_mode,
             )
         )
         dt_p, _ = bench_step(step_p, db.state, args.steps)
@@ -125,6 +136,7 @@ def main(argv=None):
             make_step_fn(
                 db.grid._replace(capacity=ka), db.params,
                 use_pallas=True, spill=True,
+                density_mode=args.density_mode,
             )
         )
         dt_sp, _ = bench_step(step_sp, db.state, args.steps)
@@ -174,7 +186,9 @@ def main(argv=None):
             mesh = make_mesh3d(shape=shape)
             dist, dcap = distribute_state_3d(db.state, db.grid, mesh)
             builder = make_distributed3d_step_fn
-        step_d = builder(db.grid, db.params, mesh, capacity=dcap)
+        step_d = builder(db.grid, db.params, mesh, capacity=dcap,
+                         use_pallas=False,
+                         density_mode=args.density_mode)
         dt_d, _ = bench_step(step_d, dist, args.steps)
         print(
             "%s%-5s: %7.2f ms/step  %12.3g particle-steps/s  "
@@ -197,6 +211,7 @@ def main(argv=None):
             step_ds = builder(
                 db.grid._replace(capacity=ka), db.params, mesh,
                 capacity=dcap, use_pallas=True, spill=True,
+                density_mode=args.density_mode,
             )
             dt_ds, _ = bench_step(step_ds, dist, args.steps)
             print(
@@ -209,7 +224,8 @@ def main(argv=None):
         from tpgsd.sph import make_slab_step_fn
 
         step_s = jax.jit(
-            make_slab_step_fn(db.grid, db.params, n_slabs=args.slabs)
+            make_slab_step_fn(db.grid, db.params, n_slabs=args.slabs,
+                              spill=False)
         )
         dt_s, _ = bench_step(step_s, db.state, args.steps)
         print(

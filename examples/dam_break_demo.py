@@ -59,6 +59,11 @@ def main(argv=None):
     p.add_argument("--density-renorm", action="store_true",
                    help="free-surface density floor (no negative "
                         "surface pressures)")
+    p.add_argument("--density-mode", choices=["summation", "continuity"],
+                   default="summation",
+                   help="density formulation: continuity evolves rho as "
+                        "carried state (one fused accel+drho sweep; "
+                        "composes with --spill and every --decomp)")
     p.add_argument("--spill", action="store_true",
                    help="two-tier spill cell layout (Pallas; main tier "
                         "sized at 1.15x the densest initial cell)")
@@ -118,6 +123,10 @@ def main(argv=None):
         print("--spill runs unsharded (pallas_call under GSPMD); "
               "dropping --sharded")
         args.sharded = False
+    if args.sharded and args.density_mode == "continuity":
+        print("--density-mode continuity runs unsharded in the demo; "
+              "dropping --sharded (the decomposed paths carry rho)")
+        args.sharded = False
     if args.sharded and args.scenario != "dam_break":
         # padding rows are parked in the 3-D box's far corner, which is
         # only safely out of interaction range for the 3-D dam break; a
@@ -130,6 +139,10 @@ def main(argv=None):
         args.sharded = False
 
     state = db.state
+    if args.density_mode == "continuity":
+        from tpgsd.sph import init_density
+
+        state = init_density(state, db.grid, db.params)
     decomp = args.decomp
     if decomp:
         from tpgsd.parallel import make_mesh2d, make_mesh3d
@@ -173,6 +186,7 @@ def main(argv=None):
                   density_renorm=args.density_renorm,
                   surface_tension=args.surface_tension,
                   spill=args.spill,
+                  density_mode=args.density_mode,
                   use_pallas=True if args.spill else "auto")
         if args.adaptive:
             kw["cfl"] = args.cfl
@@ -240,7 +254,8 @@ def main(argv=None):
             n_fixed=n_fixed, periodic=periodic,
             xsph=args.xsph, density_renorm=args.density_renorm,
             surface_tension=args.surface_tension,
-            spill=args.spill, use_pallas=True if args.spill else "auto",
+            spill=args.spill, density_mode=args.density_mode,
+            use_pallas=True if args.spill else "auto",
         )
         if args.adaptive:
             kw["cfl"] = args.cfl

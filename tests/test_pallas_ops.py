@@ -259,11 +259,11 @@ def test_density_small_grid_edge_cells():
     )
 
 
-@pytest.mark.parametrize("capacity", [128, 64, 48, 32, 24])
+@pytest.mark.parametrize("capacity", [128, 96, 64, 48, 32, 24])
 def test_accel_drho_matches_jnp(capacity):
     """The fused momentum+continuity kernel vs the jnp pair blocks, in
-    both regimes: lane-native (capacity 128) and the packed ragged
-    layout (24-64) the momentum kernel already covers."""
+    every regime: lane-native (128), lane-padded plain (96), and the
+    packed ragged layout (24-64) the momentum kernel already covers."""
     from tpgsd.sph.step import _accel_drho_blocks
 
     db = dam_break(n_side=6, capacity=capacity)

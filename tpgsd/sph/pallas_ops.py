@@ -2608,12 +2608,9 @@ def accel_drho(
     """
     if interpret is None:
         interpret = _interpret_default()
-    k = grid.capacity
-    if k % 128 != 0 and k > 64:
-        raise NotImplementedError(
-            "accel_drho has kernels for lane-native (multiple of 128) "
-            "and packed (<= 64) capacities; got %d" % k
-        )
+    # dispatch mirrors accel exactly: packed rows for k <= 64, the
+    # lane-padded plain kernel (kp = round_up(k, 128)) for everything
+    # else - every capacity accel covers, accel_drho covers
     if wrap_axes is not None and any(wrap_axes):
         g, src, shift, interior = _ghost_maps(grid, tuple(map(bool, wrap_axes)))
         if soa:
