@@ -291,6 +291,36 @@ def test_read_log_warns_on_late_quantities(tmp_path):
     numpy.testing.assert_array_equal(logs["log/value/energy"], [0, 1, 2])
 
 
+def test_late_appearing_log_chunk(tmp_path):
+    """A log quantity first written at frame 2 must not crash frames
+    that omit it: frame 0 has no value to fall back to, so the quantity
+    is simply absent there.  The reference indexes frame 0's log dict
+    unconditionally and raises KeyError on exactly this file
+    (reference: pgsd/pgsd/hoomd.py:885-896)."""
+    with tpgsd.hoomd.open(tmp_path / "t.gsd", mode="w") as hf:
+        for i in range(5):
+            frame = tpgsd.hoomd.Frame()
+            frame.configuration.step = i
+            frame.log["value/always"] = [float(i)]
+            if i == 2:
+                frame.log["value/late"] = [42.0]
+            hf.append(frame)
+
+    with tpgsd.hoomd.open(tmp_path / "t.gsd", mode="r") as traj:
+        # frame 4 omits value/late and frame 0 lacks it: absent, no crash
+        f4 = traj[4]
+        assert "value/late" not in f4.log
+        numpy.testing.assert_array_equal(f4.log["value/always"], [4.0])
+        # the frame that wrote it still reads it
+        numpy.testing.assert_array_equal(traj[2].log["value/late"], [42.0])
+        # frame-0 fallback still applies to quantities frame 0 HAS:
+        # read frame 0 first (caches the initial frame), then a frame
+        # omitting value/always would take frame 0's value - unchanged
+        assert "value/late" not in traj[0].log
+        f3 = traj[3]
+        assert "value/late" not in f3.log
+
+
 def test_pickle(tmp_path, open_mode):
     with tpgsd.hoomd.open(tmp_path / "t.gsd", mode=open_mode.write) as traj:
         traj.extend(create_frame(i) for i in range(20))

@@ -163,6 +163,55 @@ def test_rank0_scalars_plus_striped(tmp_path):
         )
 
 
+def test_single_writer_direct_write_all_false(tmp_path):
+    """A write_all=False chunk above the buffer cap resolves to the
+    direct path; exactly the controller writes it (the reference's
+    ``if (all || rank == 0)`` guard, pgsd/pgsd/pgsd.c:2228).  Redundant
+    overlapping pwrites from the other ranks would waste shared-FS
+    bandwidth and silently paper over caller divergence."""
+    fname = str(tmp_path / "mr_single_writer.gsd")
+    big = numpy.arange(4096, dtype=numpy.float64)  # 32 KiB >> 1 KiB cap
+    data_writes = [0, 0, 0]
+
+    def work(rank, comm):
+        f = tpgsd.fl.PGSDFile(
+            fname, "w", application="mr", schema="none",
+            schema_version=(1, 0), comm=comm,
+        )
+        f.maximum_write_buffer_size = 1024  # force the direct branch
+        orig = f._fh.pwrite_many
+
+        def counting(writes):
+            data_writes[rank] += len(writes)
+            return orig(writes)
+
+        f._fh.pwrite_many = counting
+        f.write_chunk("big", big, write_all=False)
+        # a striped write_all=True chunk in the same frame still has
+        # every rank write its own stripe
+        f.write_chunk(
+            "striped",
+            numpy.full(4, rank, numpy.int32),
+            offset=numpy.array([4, 4, 4], numpy.uint64),
+            rank=rank,
+        )
+        f.end_frame()
+        f.close()
+
+    run_ranks(3, work)
+
+    assert data_writes[0] >= 2  # controller: the global chunk + its stripe
+    assert data_writes[1] == 1  # others: their stripe ONLY
+    assert data_writes[2] == 1
+
+    with tpgsd.fl.open(fname, "r") as f:
+        numpy.testing.assert_array_equal(f.read_chunk(0, "big"), big)
+        numpy.testing.assert_array_equal(
+            f.read_chunk(0, "striped"),
+            numpy.repeat(numpy.arange(3, dtype=numpy.int32), 4),
+        )
+
+
 def test_all_ranks_read_after_write(tmp_path):
     """Every rank can resolve and read chunks committed in the same
     session - requires the name/index replication at flush."""

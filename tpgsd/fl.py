@@ -582,15 +582,24 @@ class PGSDFile:
                     self._write_buffer += numpy.ascontiguousarray(arr).tobytes()
         else:
             # ---- direct path: every shard writes its stripe at EOF ----
+            # With write_all=False the chunk is ONE global copy that
+            # every process holds identically; exactly the controller
+            # writes it (the reference's `if (all || rank == 0)` guard,
+            # reference: pgsd/pgsd/pgsd.c:2228) - N redundant
+            # overlapping pwrites would waste shared-FS bandwidth and
+            # paper over caller divergence.
             location = self._file_size
             if self._comm.rank == 0:
                 entry[2] = location
                 self._frame_index.append(entry)
             writes = []
-            for row_offset, arr in shards:
-                arr = numpy.ascontiguousarray(arr)
-                if arr.size:
-                    writes.append((location + row_offset * M * itemsize, arr.data))
+            if write_all or self._comm.rank == 0:
+                for row_offset, arr in shards:
+                    arr = numpy.ascontiguousarray(arr)
+                    if arr.size:
+                        writes.append(
+                            (location + row_offset * M * itemsize, arr.data)
+                        )
             if writes:
                 if self._combine_writes:
                     # deferred until _flush_data_writes: one threaded

@@ -653,11 +653,19 @@ class HOOMDTrajectory:
             elif self._initial_frame is not None and state[6:] in self._initial_frame.state:
                 snap.state[state[6:]] = self._initial_frame.state[state[6:]]
 
-        # log data
+        # log data.  The frame-0 fallback is guarded by membership: a
+        # quantity first logged at frame k > 0 simply has no value in
+        # earlier/omitting frames (the reference indexes frame 0
+        # unconditionally and crashes with KeyError on such files,
+        # reference: pgsd/pgsd/hoomd.py:885-896 - see docs/api.md
+        # "better than the reference" ledger).
         for log in self.file.find_matching_chunk_names("log/", False):
             if _exists(log):
                 snap.log[log[4:]] = _read(log)
-            elif self._initial_frame is not None:
+            elif (
+                self._initial_frame is not None
+                and log[4:] in self._initial_frame.log
+            ):
                 snap.log[log[4:]] = self._initial_frame.log[log[4:]]
 
         if self._initial_frame is None and idx == 0:
