@@ -77,57 +77,87 @@ def _read_phase(path, names, n_elems, frames):
       their precomputed offsets (``read_chunk(r_all=True)``), the
       repartitioned pattern of ``benchmark-read.cc:90-119``.
 
-    The file was just written, so the page cache is WARM wherever the
-    file fits in RAM (the reference drops caches with root privileges
-    this environment lacks); the numbers bound the file-layer CPU path,
-    not the disk.  Timeboxed via TPGSD_BENCH_READ_BUDGET_S (default
-    60 s per pattern).
+    Cache-state note: the headline writes every span above the direct
+    threshold with O_DIRECT, which BYPASSES the page cache - these
+    reads hit the device cold through the read path under test (only
+    the buffered metadata tail can be cached).  Each pattern runs up to
+    TPGSD_BENCH_READ_REPS times (default 2; best wins, all published),
+    timeboxed via TPGSD_BENCH_READ_BUDGET_S (default 60 s per pattern).
     """
     import numpy
 
     import tpgsd.fl
 
     budget = float(os.environ.get("TPGSD_BENCH_READ_BUDGET_S", 60))
+    read_reps = max(1, int(os.environ.get("TPGSD_BENCH_READ_REPS", 2)))
 
-    with tpgsd.fl.open(name=path, mode="r") as f:
-        t0 = time.perf_counter()
-        got, nf = 0, 0
-        for fr in range(frames):
-            chunks = f.read_all_chunks(fr)
-            got += sum(a.nbytes for a in chunks.values())
-            nf += 1
-            del chunks  # frames must not accumulate in RAM
-            if time.perf_counter() - t0 > budget:
-                break
-        seq_s = time.perf_counter() - t0
+    def _timed_reps(label, one_pass):
+        rates = []
+        detail = None
+        for _ in range(read_reps):
+            t0 = time.perf_counter()
+            got, nf = one_pass(t0)
+            dt = time.perf_counter() - t0
+            rates.append(got / 1e6 / dt if dt else 0.0)
+            if detail is None:
+                detail = (nf, got, dt)
+        spread = (
+            100.0 * (max(rates) - min(rates)) / max(rates)
+            if len(rates) > 1 and max(rates)
+            else 0.0
+        )
         print(
-            "# sequential read: %d frames, %.2f GB in %.1f s = %.1f MB/s "
-            "(read_all_chunks contiguous fast path; warm page cache)"
-            % (nf, got / 1e9, seq_s, got / 1e6 / seq_s),
+            "# %s: %d frames, %.2f GB; reps [%s] MB/s, cold %.1f, best "
+            "%.1f, spread %.0f%% (rep 1 is cold by construction - the "
+            "data spans were written O_DIRECT, bypassing the page "
+            "cache; later reps may be cache-warm on buffered paths)"
+            % (
+                label,
+                detail[0],
+                detail[1] / 1e9,
+                ", ".join("%.1f" % r for r in rates),
+                rates[0],
+                max(rates),
+                spread,
+            ),
             file=sys.stderr,
         )
 
+    with tpgsd.fl.open(name=path, mode="r") as f:
+
+        def seq_pass(t0):
+            got, nf = 0, 0
+            for fr in range(frames):
+                chunks = f.read_all_chunks(fr)
+                got += sum(a.nbytes for a in chunks.values())
+                nf += 1
+                del chunks  # frames must not accumulate in RAM
+                if time.perf_counter() - t0 > budget:
+                    break
+            return got, nf
+
+        _timed_reps("sequential read (read_all_chunks fast path)", seq_pass)
+
         n_shards = 8
         rows = n_elems // n_shards
-        t0 = time.perf_counter()
-        got, nf = 0, 0
-        for fr in range(frames):
-            for name in names:
-                for s in range(n_shards):
-                    stripe = f.read_chunk(
-                        fr, name, N=rows, M=1, offset=s * rows, r_all=True
-                    )
-                    got += stripe.nbytes
-            nf += 1
-            if time.perf_counter() - t0 > budget:
-                break
-        str_s = time.perf_counter() - t0
-        print(
-            "# sharded-stripe read: %d frames x %d stripes/chunk, %.2f GB "
-            "in %.1f s = %.1f MB/s (read_chunk r_all at precomputed "
-            "offsets)"
-            % (nf, n_shards, got / 1e9, str_s, got / 1e6 / str_s),
-            file=sys.stderr,
+
+        def stripe_pass(t0):
+            got, nf = 0, 0
+            for fr in range(frames):
+                for name in names:
+                    for s in range(n_shards):
+                        stripe = f.read_chunk(
+                            fr, name, N=rows, M=1, offset=s * rows, r_all=True
+                        )
+                        got += stripe.nbytes
+                nf += 1
+                if time.perf_counter() - t0 > budget:
+                    break
+            return got, nf
+
+        _timed_reps(
+            "sharded-stripe read (read_chunk r_all x%d)" % n_shards,
+            stripe_pass,
         )
         # regression tripwire for the read path: both patterns must
         # round-trip the written bytes
@@ -199,20 +229,28 @@ def run():
     # a rep at >= this rate already demonstrates the I/O path (further
     # reps only sample device noise) - stop early and save the budget
     good_enough = float(os.environ.get("TPGSD_BENCH_EARLY_MB_S", 500.0))
+    total_bytes = bytes_per_frame * frames
+    rep_mb_s = []  # every rep's rate: best wins, ALL are published so a
+    # round-over-round move is attributable to noise or code at a glance
     try:
         for rep in range(max(1, reps)):
             host_frames = ({name: block[i] for i, name in enumerate(names)}
                            for _ in range(frames))
             t, _stats = _write_loop(path, host_frames, names)
             _verify(path, frames, n_keys)
+            rep_mb_s.append(total_bytes / 1e6 / t)
             elapsed = t if elapsed is None else min(elapsed, t)
             if bytes_per_frame * frames / 1e6 / elapsed >= good_enough:
                 break
             if rep + 1 < max(1, reps):
                 os.unlink(path)  # keep the LAST rep's file for the read phase
 
-        total_bytes = bytes_per_frame * frames
         mb_s = total_bytes / 1e6 / elapsed
+        spread = (
+            100.0 * (max(rep_mb_s) - min(rep_mb_s)) / max(rep_mb_s)
+            if len(rep_mb_s) > 1
+            else 0.0
+        )
         print(
             json.dumps(
                 {
@@ -225,8 +263,15 @@ def run():
             )
         )
         print(
-            "# host-resident: %.2f GB in %.1f s (%.1f ms/frame)"
-            % (total_bytes / 1e9, elapsed, elapsed / frames * 1e3),
+            "# host-resident: %.2f GB in %.1f s (%.1f ms/frame); reps "
+            "[%s] MB/s, spread %.0f%% (virtualized-disk variance)"
+            % (
+                total_bytes / 1e9,
+                elapsed,
+                elapsed / frames * 1e3,
+                ", ".join("%.1f" % r for r in rep_mb_s),
+                spread,
+            ),
             file=sys.stderr,
         )
         _read_phase(path, names, n_elems, frames)
