@@ -120,13 +120,12 @@ def main(argv=None):
     if args.decomp and args.sharded:
         raise SystemExit("--decomp and --sharded are exclusive")
     if args.sharded and args.spill:
-        print("--spill runs unsharded (pallas_call under GSPMD); "
-              "dropping --sharded")
-        args.sharded = False
-    if args.sharded and args.density_mode == "continuity":
-        print("--density-mode continuity runs unsharded in the demo; "
-              "dropping --sharded (the decomposed paths carry rho)")
-        args.sharded = False
+        raise SystemExit(
+            "--spill under GSPMD sharding is refused by XLA (Mosaic "
+            "kernels cannot be auto-partitioned); the spill champion "
+            "on a mesh is the explicitly-communicating path: "
+            "--decomp slab --spill"
+        )
     if args.sharded and args.scenario != "dam_break":
         # padding rows are parked in the 3-D box's far corner, which is
         # only safely out of interaction range for the 3-D dam break; a
@@ -222,32 +221,47 @@ def main(argv=None):
         x = jnp.pad(state.x, ((0, pad), (0, 0)))
         x = x.at[db.n:].set(jnp.asarray(box3, jnp.float32) * 0.999)
         v = jnp.pad(state.v, ((0, pad), (0, 0)))
-        state_sh = SPHState(x=sharding, v=sharding)
+        rho = state.rho
+        if rho is not None:  # continuity: padded rows carry rho0
+            rho = jnp.pad(rho, ((0, pad),), constant_values=db.params.rho0)
+        rho_sh = None if rho is None else sharding
+        state_sh = SPHState(x=sharding, v=sharding, rho=rho_sh)
         aux_sh = (sharding, sharding, None)
+        # the sharding hint makes the "auto" policies GSPMD-aware: the
+        # jnp pair path is what XLA partitions (Mosaic kernels are a
+        # lowering-time error under GSPMD on >1 device)
+        kw = dict(
+            n_fixed=n_fixed, xsph=args.xsph,
+            density_renorm=args.density_renorm,
+            surface_tension=args.surface_tension,
+            density_mode=args.density_mode,
+            sharding=sharding,
+        )
         if args.adaptive:
+            step_fn = make_adaptive_step_fn(
+                db.grid, db.params, cfl=args.cfl, **kw
+            )
             step = jax.jit(
-                make_adaptive_step_fn(
-                    db.grid, db.params, cfl=args.cfl, n_fixed=n_fixed,
-                    xsph=args.xsph, density_renorm=args.density_renorm,
-                    surface_tension=args.surface_tension,
-                ),
+                step_fn,
                 in_shardings=(state_sh, None),
                 out_shardings=(state_sh, aux_sh, None),
             )
         else:
+            step_fn = make_step_fn(db.grid, db.params, **kw)
             step = jax.jit(
-                make_step_fn(
-                    db.grid, db.params, n_fixed=n_fixed, xsph=args.xsph,
-                    density_renorm=args.density_renorm,
-                    surface_tension=args.surface_tension,
-                ),
+                step_fn,
                 in_shardings=(state_sh,),
                 out_shardings=(state_sh, aux_sh),
             )
         state = SPHState(
-            x=jax.device_put(x, sharding), v=jax.device_put(v, sharding)
+            x=jax.device_put(x, sharding),
+            v=jax.device_put(v, sharding),
+            rho=None if rho is None else jax.device_put(rho, sharding),
         )
-        print("sharded over %d devices" % n_dev)
+        print(
+            "sharded over %d devices (resolved: %s)"
+            % (n_dev, step_fn.resolved)
+        )
     else:
         build = make_adaptive_step_fn if args.adaptive else make_step_fn
         kw = dict(

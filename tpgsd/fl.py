@@ -178,6 +178,17 @@ class PGSDFile:
 
         self._is_open = True
 
+        if not readonly and self._comm.size > 1:
+            # advisory: the direct path's concurrent disjoint-offset
+            # pwrites need POSIX/parallel-FS semantics; warn (once, on
+            # the controller) on network/object-store mounts and point
+            # at ComposedFrameWriter (docs/parallel.md, "Shared-
+            # filesystem semantics")
+            if self._comm.rank == 0:
+                from tpgsd.parallel import fs as _fs
+
+                _fs.warn_if_risky(self._name, self._comm.size)
+
         # validate schema on open-for-read like the reference
         # (reference: pgsd/pgsd/fl.pyx:371-378)
         if schema is not None:

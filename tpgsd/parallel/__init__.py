@@ -23,6 +23,7 @@ from .shard_io import (  # noqa: F401
     write_sharded_chunk,
 )
 from .comm import JaxProcessComm, SingleComm, default_comm  # noqa: F401
+from .fs import direct_write_policy, filesystem_kind  # noqa: F401
 from .compose_io import ComposedFrameWriter, compose  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,

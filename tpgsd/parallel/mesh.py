@@ -10,12 +10,26 @@ import numpy as np
 
 
 def make_mesh(n_devices=None, axis_name="shard", devices=None):
-    """A 1-D :class:`jax.sharding.Mesh` over ``n_devices`` devices."""
+    """A 1-D :class:`jax.sharding.Mesh` over ``n_devices`` devices.
+
+    Raises when fewer than ``n_devices`` are available - a silently
+    smaller mesh would change every downstream sharding decision
+    (e.g. ``make_step_fn``'s GSPMD-aware auto policies).
+    """
     import jax
     from jax.sharding import Mesh
 
     if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
+        avail = jax.devices()
+        if n_devices is not None and len(avail) < n_devices:
+            raise ValueError(
+                "make_mesh(n_devices=%d): only %d device(s) available "
+                "(force a virtual CPU mesh with "
+                "jax.config.update('jax_platforms', 'cpu'); "
+                "jax.config.update('jax_num_cpu_devices', %d))"
+                % (n_devices, len(avail), n_devices)
+            )
+        devices = avail[: n_devices or len(avail)]
     return Mesh(np.asarray(devices), (axis_name,))
 
 

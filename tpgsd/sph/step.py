@@ -618,6 +618,32 @@ def init_density(
     return state._replace(rho=rho)
 
 
+def _spmd_device_count(sharding):
+    """Number of devices a ``sharding`` hint spans (1 = unsharded).
+
+    Accepts ``None``, an int, a ``jax.sharding.Mesh`` / ``AbstractMesh``,
+    or any ``jax.sharding.Sharding`` - whatever the caller will jit the
+    step's inputs with.
+    """
+    if sharding is None:
+        return 1
+    if isinstance(sharding, int):
+        return sharding
+    size = getattr(sharding, "size", None)  # Mesh / AbstractMesh
+    if size is not None:
+        return int(size)
+    mesh = getattr(sharding, "mesh", None)  # NamedSharding
+    if mesh is not None:
+        return int(mesh.size)
+    dev = getattr(sharding, "device_set", None)  # generic Sharding
+    if dev is not None:
+        return len(dev)
+    raise TypeError(
+        "sharding hint must be None, an int device count, a Mesh, or a "
+        "jax.sharding.Sharding; got %r" % (type(sharding),)
+    )
+
+
 def make_step_fn(
     grid,
     params,
@@ -634,6 +660,7 @@ def make_step_fn(
     spill="auto",
     density_mode="summation",
     delta_sph=0.1,
+    sharding=None,
     _traced_dt=False,
 ):
     """Build the jittable SPH step.
@@ -737,6 +764,29 @@ def make_step_fn(
             the Molteni-Colagrossi diffusion term dissipates it at the
             particle scale while leaving the hydrostatic component
             intact (see :func:`_accel_drho_blocks`).
+        sharding: REQUIRED hint when the step will be jitted with
+            GSPMD-partitioned inputs (``jax.jit(step, in_shardings=
+            NamedSharding(mesh, P("shard")))``): pass the mesh, the
+            NamedSharding, or the device count.  Mosaic (Pallas)
+            kernels cannot be partitioned by GSPMD - XLA refuses them
+            at lowering time on any >1-device mesh ("wrap the call in
+            a shard_map") - so with a multi-device hint the ``"auto"``
+            policies resolve to the jnp pair path, which GSPMD
+            partitions correctly (parity asserted by the driver's
+            ``dryrun_multichip``).  Explicit ``use_pallas=True`` /
+            ``spill=True`` combined with a multi-device hint raise
+            immediately: the Pallas champion on a mesh is the
+            explicitly-communicating decomposed path
+            (:func:`tpgsd.sph.make_distributed_step_fn` and the 2-D/
+            3-D variants), which runs the kernels inside shard_map
+            with ppermute halo exchange.  Single-device hints (or
+            ``None``, the default) leave the champion resolution
+            untouched.
+
+    The returned function carries the post-resolution configuration in
+    its ``resolved`` attribute (``{"use_pallas", "spill",
+    "density_mode", "gspmd"}``) so callers and tests can pin what the
+    zero-knob defaults chose.
     """
     # trace-time constants stay on the host (numpy): eager jnp.asarray
     # here would trigger device transfers at build time; as embedded
@@ -754,23 +804,50 @@ def make_step_fn(
             "deficit; continuity mode has no deficit to correct - use "
             "delta_sph for its noise control instead"
         )
+    gspmd = _spmd_device_count(sharding) > 1
+    if gspmd and (use_pallas is True or spill is True):
+        raise ValueError(
+            "use_pallas/spill=True cannot run under GSPMD-partitioned "
+            "inputs: XLA refuses to auto-partition Mosaic kernels on a "
+            "multi-device mesh.  Use make_distributed_step_fn (or the "
+            "2-D/3-D variants) - they run the Pallas kernels inside "
+            "shard_map with explicit halo exchange - or leave "
+            "use_pallas/spill='auto' to get the GSPMD-partitionable "
+            "jnp path."
+        )
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and (
-            _po.accel_drho_supported(grid)
-            if continuity
-            else _po.supported(grid)
+        # sharding-aware: GSPMD cannot partition Mosaic kernels (it is
+        # a lowering-time NotImplementedError on >1 device), so a
+        # multi-device hint pins the jnp path REGARDLESS of backend -
+        # the resolution on a real TPU pod is the same one the virtual
+        # CPU-mesh dryrun validates
+        use_pallas = (
+            not gspmd
+            and jax.default_backend() == "tpu"
+            and (
+                _po.accel_drho_supported(grid)
+                if continuity
+                else _po.supported(grid)
+            )
         )
     if spill == "auto":
         # the measured champion wherever it applies: packed capacities
         # on the Pallas path (docs/performance.md - 1.68x at 100k,
         # 1.50x at 1M over single-tier), in BOTH density formulations
         spill = (
-            jax.default_backend() == "tpu"
+            not gspmd
+            and jax.default_backend() == "tpu"
             and bool(use_pallas)
             and _po.spill_supported(grid)
         )
     if pallas_block is None:
         pallas_block = _po.default_block(grid)
+    resolved = {
+        "use_pallas": bool(use_pallas),
+        "spill": bool(spill),
+        "density_mode": density_mode,
+        "gspmd": gspmd,
+    }
 
     nbr_static = neighbor_table(grid, periodic=periodic)
     lo = _np.asarray(grid.lo, _np.float32)
@@ -966,6 +1043,7 @@ def make_step_fn(
                 )
                 return _finish(x, v, out, cells.overflow, dt, rho_cur=rho)
 
+            step_continuity_spill.resolved = resolved
             return step_continuity_spill
 
         def step_spill(state, dt=params.dt):
@@ -1065,6 +1143,7 @@ def make_step_fn(
             )
             return _finish(x, v, out, cells.overflow, dt)
 
+        step_spill.resolved = resolved
         return step_spill
 
     if continuity:
@@ -1135,6 +1214,7 @@ def make_step_fn(
             out = gather_from_cells(bundle, cells, grid)
             return _finish(x, v, out, cells.overflow, dt, rho_cur=rho)
 
+        step_continuity.resolved = resolved
         return step_continuity
 
     def step(state, dt=params.dt):
@@ -1226,6 +1306,7 @@ def make_step_fn(
         out = gather_from_cells(bundle, cells, grid)
         return _finish(x, v, out, cells.overflow, dt)
 
+    step.resolved = resolved
     return step
 
 
@@ -1297,6 +1378,7 @@ def make_adaptive_step_fn(
         ).astype(jnp.float32)
         return new_state, aux, dt_next
 
+    step.resolved = base.resolved
     return step
 
 
