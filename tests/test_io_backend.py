@@ -102,6 +102,60 @@ def test_native_pread_many(tmp_path):
     h.close()
 
 
+def test_native_direct_split_read_roundtrip(tmp_path):
+    """Large reads route through the O_DIRECT striped span path
+    (tio_pread_span2): byte-exact at unaligned offsets and odd sizes,
+    cold (fadvise-evicted) and warm."""
+    native = pytest.importorskip("tpgsd.io.native")
+    path = str(tmp_path / "big.bin")
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    h = native.NativeFileHandle(fd, name=path)
+    if h._fd_direct_r < 0:
+        h.close()
+        pytest.skip("filesystem does not support O_DIRECT")
+    rng = numpy.random.RandomState(7)
+    # odd size above the 1 MiB direct threshold, written at an
+    # unaligned offset so the split has a buffered head and tail
+    data = rng.randint(0, 256, size=3_000_001).astype(numpy.uint8)
+    h.pwrite(13, data)
+    h.fsync()
+    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)  # cold read
+    out = numpy.empty_like(data)
+    h.pread_into(13, out)
+    numpy.testing.assert_array_equal(out, data)
+    out2 = numpy.empty_like(data)  # warm read, same path
+    h.pread_into(13, out2)
+    numpy.testing.assert_array_equal(out2, data)
+    # interior window (aligned-middle only on both ends)
+    win = numpy.empty(1_048_576 + 7, numpy.uint8)
+    h.pread_into(13 + 9001, win)
+    numpy.testing.assert_array_equal(win, data[9001 : 9001 + win.size])
+    h.close()
+
+
+def test_native_pread_many_direct_slices(tmp_path):
+    """Batched reads with direct-qualifying slices (>= threshold) mix
+    correctly with small buffered slices."""
+    native = pytest.importorskip("tpgsd.io.native")
+    path = str(tmp_path / "mix.bin")
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    h = native.NativeFileHandle(fd, name=path)
+    rng = numpy.random.RandomState(11)
+    data = rng.randint(0, 256, size=4_200_000).astype(numpy.uint8)
+    h.pwrite(0, data)
+    h.fsync()
+    reads = [
+        (0, numpy.empty(2_000_000, numpy.uint8)),      # direct
+        (2_000_000, numpy.empty(199, numpy.uint8)),    # buffered
+        (2_000_199, numpy.empty(2_199_801, numpy.uint8)),  # direct
+    ]
+    h.pread_many(reads)
+    numpy.testing.assert_array_equal(reads[0][1], data[:2_000_000])
+    numpy.testing.assert_array_equal(reads[1][1], data[2_000_000:2_000_199])
+    numpy.testing.assert_array_equal(reads[2][1], data[2_000_199:])
+    h.close()
+
+
 def test_short_read_raises(tmp_path):
     for h in _handles(tmp_path):
         h.pwrite(0, b"abc")

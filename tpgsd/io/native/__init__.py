@@ -72,8 +72,17 @@ _lib.tio_pwrite_batch2.argtypes = [
 ]
 _lib.tio_open_direct.restype = ctypes.c_int
 _lib.tio_open_direct.argtypes = [ctypes.c_char_p]
+_lib.tio_open_direct_read.restype = ctypes.c_int
+_lib.tio_open_direct_read.argtypes = [ctypes.c_char_p]
 _lib.tio_pread_batch.restype = ctypes.c_int
 _lib.tio_pread_batch.argtypes = _lib.tio_pwrite_batch.argtypes
+_lib.tio_pread_batch2.restype = ctypes.c_int
+_lib.tio_pread_batch2.argtypes = _lib.tio_pwrite_batch2.argtypes
+_lib.tio_pread_span2.restype = ctypes.c_int
+_lib.tio_pread_span2.argtypes = [
+    ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_uint64,
+    ctypes.c_int64, ctypes.c_int, ctypes.c_uint64,
+]
 _lib.tio_pwrite.restype = ctypes.c_int
 _lib.tio_pwrite.argtypes = [
     ctypes.c_int, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int64,
@@ -110,12 +119,16 @@ class NativeFileHandle(PosixFileHandle):
     threads = int(os.environ.get("TPGSD_IO_THREADS", "0")) or min(
         8, max(4, (os.cpu_count() or 1))
     )
-    #: threads for batched reads: capped at the CORE count.  Reads often
-    #: serve from the page cache, where the work is pure memcpy - on a
-    #: 1-vCPU host, 4 threads thrashing one core measured 349 MB/s
-    #: where a single thread does 4.4 GB/s.  Cold reads lose nothing
-    #: (the device is the bound either way).  An explicit
-    #: TPGSD_IO_THREADS wins for both directions.
+    #: threads for batched BUFFERED reads: capped at the CORE count.
+    #: Buffered reads often serve from the page cache, where the work is
+    #: pure memcpy - on a 1-vCPU host, 4 threads thrashing one core
+    #: measured 349 MB/s where a single thread does 4.4 GB/s.  O_DIRECT
+    #: reads are the opposite regime - pure I/O, no memcpy contention -
+    #: and take the write-style ``threads`` floor of 4 instead (queue
+    #: depth on the device: measured 145 MB/s buffered 1-thread vs
+    #: 1969 MB/s direct 1-thread vs 4787 MB/s direct 4-thread on the
+    #: same 1-vCPU host, 3 GB cold file).  An explicit TPGSD_IO_THREADS
+    #: wins for both directions.
     read_threads = int(os.environ.get("TPGSD_IO_THREADS", "0")) or max(
         1, min(8, (os.cpu_count() or 1))
     )
@@ -129,9 +142,12 @@ class NativeFileHandle(PosixFileHandle):
     def __init__(self, fd, name=""):
         super().__init__(fd, name)
         self._fd_direct = -1
+        self._fd_direct_r = -1
         if self.direct_threshold > 0 and name:
             fd_d = _lib.tio_open_direct(os.fsencode(name))
             self._fd_direct = fd_d if fd_d >= 0 else -1
+            fd_r = _lib.tio_open_direct_read(os.fsencode(name))
+            self._fd_direct_r = fd_r if fd_r >= 0 else -1
 
     def pwrite(self, offset, data):
         view = memoryview(data).cast("B")
@@ -162,10 +178,29 @@ class NativeFileHandle(PosixFileHandle):
         if view.nbytes == 0:
             return
         buf = (ctypes.c_char * view.nbytes).from_buffer(view)
-        _raise(
-            _lib.tio_pread(self.fd, ctypes.addressof(buf), view.nbytes, offset),
-            "pread", self.name,
-        )
+        if view.nbytes >= self.direct_threshold > 0:
+            # large span: stripe over the I/O thread team with the
+            # aligned middle through O_DIRECT (read twin of the write
+            # split) - this is the path under read_all_chunks'
+            # contiguous frame span and every bulk read_chunk.  Direct
+            # reads are I/O-bound, so the team size is the write-style
+            # ``threads`` (queue depth), not the core-capped
+            # ``read_threads``
+            nthreads = (
+                self.threads if self._fd_direct_r >= 0 else self.read_threads
+            )
+            _raise(
+                _lib.tio_pread_span2(
+                    self.fd, self._fd_direct_r, ctypes.addressof(buf),
+                    view.nbytes, offset, nthreads, self.direct_threshold,
+                ),
+                "pread(direct)", self.name,
+            )
+        else:
+            _raise(
+                _lib.tio_pread(self.fd, ctypes.addressof(buf), view.nbytes, offset),
+                "pread", self.name,
+            )
 
     def pread(self, offset, size):
         out = bytearray(size)
@@ -215,9 +250,17 @@ class NativeFileHandle(PosixFileHandle):
             arr[i].buf = ctypes.addressof(buf)
             arr[i].len = view.nbytes
             arr[i].off = off
+        # direct-qualifying slices are I/O-bound (write-style thread
+        # count); all-buffered batches stay core-capped (memcpy-bound
+        # when cache-warm)
+        any_direct = self._fd_direct_r >= 0 and any(
+            s.len >= self.direct_threshold for s in arr
+        )
+        nthreads = (self.threads if any_direct else self.read_threads) if parallel else 1
         _raise(
-            _lib.tio_pread_batch(
-                self.fd, arr, n, self.read_threads if parallel else 1
+            _lib.tio_pread_batch2(
+                self.fd, self._fd_direct_r, arr, n, nthreads,
+                self.direct_threshold,
             ),
             "pread_batch", self.name,
         )
@@ -226,10 +269,12 @@ class NativeFileHandle(PosixFileHandle):
         _raise(_lib.tio_fsync(self.fd), "fsync", self.name)
 
     def close(self):
-        if self._fd_direct >= 0:
-            try:
-                os.close(self._fd_direct)
-            except OSError:
-                pass
-            self._fd_direct = -1
+        for attr in ("_fd_direct", "_fd_direct_r"):
+            fd = getattr(self, attr, -1)
+            if fd >= 0:
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
+                setattr(self, attr, -1)
         super().close()
