@@ -41,14 +41,35 @@ def main(argv=None):
                    help="two-tier spill slot layout: main tier at 1.15x "
                         "the densest initial cell (vs the single-tier "
                         "1.5x) + a flag-skipped spill tier")
+    p.add_argument("--density-mode", choices=["summation", "continuity"],
+                   default="summation",
+                   help="continuity carries rho through the sorted "
+                        "features and runs ONE fused accel+drho sweep "
+                        "per slab (seeded by slab_init_density; resume "
+                        "reloads the dumped density)")
+    p.add_argument("--whole-frame-dump", action="store_true",
+                   help="dump whole frames after each step (the "
+                        "serializing pre-round-5 path) instead of the "
+                        "default pipelined per-slab emission, which "
+                        "streams each slab's rows device->host while "
+                        "later slabs compute")
     args = p.parse_args(argv)
 
     import jax
     import numpy
 
-    from tpgsd.io_runtime import AsyncDumpRunner
+    from tpgsd.io_runtime import (
+        AsyncDumpRunner,
+        SlabDumpChannel,
+        io_callback_supported,
+    )
     from tpgsd.parallel import ShardedFrameWriter
-    from tpgsd.sph import dam_break, make_slab_step_fn, resume
+    from tpgsd.sph import (
+        dam_break,
+        make_slab_step_fn,
+        resume,
+        slab_init_density,
+    )
 
     t0 = time.perf_counter()
     db = dam_break(
@@ -61,19 +82,58 @@ def main(argv=None):
            time.perf_counter() - t0),
         flush=True,
     )
+    keys = args.dump_keys.split(",")
+    pipelined = not args.whole_frame_dump
+    if pipelined and not io_callback_supported():
+        # tunneled runtimes may never deliver host callbacks - the
+        # jitted call would hang forever; the whole-frame path still
+        # overlaps D2H with disk (just not with compute)
+        print(
+            "backend does not deliver ordered io_callbacks "
+            "(tunneled runtime?) - falling back to whole-frame dumps",
+            flush=True,
+        )
+        pipelined = False
+    chan = None
+    if pipelined:
+        chan = SlabDumpChannel(
+            ShardedFrameWriter(args.file), n=db.n, n_slabs=args.slabs,
+            keys=tuple(keys), depth=2,
+        )
     # donate the state: without donation two full states plus the
     # step's working set exceed HBM at 1e8.  Donation means dumped
     # arrays must be fetched to host numpy BEFORE the next step call
-    # (the donated buffer is reused) - sync D2H below.
+    # (the donated buffer is reused) - sync D2H below.  The pipelined
+    # channel sidesteps the whole-frame fetch: each slab's rows stream
+    # through the ordered io_callback while later slabs compute.
     step = jax.jit(
         make_slab_step_fn(
             db.grid, db.params, n_slabs=args.slabs,
             spill=args.spill, use_pallas="auto" if not args.spill else True,
+            slab_emit=chan.slab_emit if pipelined else None,
+            density_mode=args.density_mode,
         ),
         donate_argnums=0,
     )
+    if pipelined:
+        _base_step = step
 
-    keys = args.dump_keys.split(",")
+        def step(state, dump=None):  # noqa: F811 - uniform call shape
+            return _base_step(state, dump if dump is not None else chan.no_dump())
+
+    state0 = db.state
+    if args.density_mode == "continuity":
+        t0 = time.perf_counter()
+        state0 = slab_init_density(
+            state0, db.grid, db.params, args.slabs,
+            spill=args.spill, use_pallas="auto" if not args.spill else True,
+        )
+        jax.block_until_ready(state0.rho)
+        print(
+            "slab_init_density (compile + seed pass): %.0f s"
+            % (time.perf_counter() - t0),
+            flush=True,
+        )
 
     def frame_of(state, rho, pres):
         # synchronous D2H: the state buffers are donated to the next
@@ -90,7 +150,7 @@ def main(argv=None):
         return f
 
     t0 = time.perf_counter()
-    state, (rho, pres, covf, wovf) = step(db.state)
+    state, (rho, pres, covf, wovf) = step(state0)
     jax.block_until_ready(state.x)
     print(
         "compile+first step %.0f s  cell_ovf=%d win_ovf=%d"
@@ -101,37 +161,61 @@ def main(argv=None):
     # ---- phase 1: simulate + overlapped dumps ----
     t0 = time.perf_counter()
     step_s = 0.0
-    with AsyncDumpRunner(ShardedFrameWriter(args.file), depth=2) as dump:
+    if pipelined:
+        # per-slab emission: the dump's D2H rides the slab scan; the
+        # only serialized tail is the final slab's window + disk drain
         for i in range(1, args.steps):
             ts = time.perf_counter()
-            state, (rho, pres, covf, wovf) = step(state)
+            emitting = i % args.dump_every == 0
+            state, (rho, pres, covf, wovf) = step(
+                state, chan.dump(i) if emitting else chan.no_dump()
+            )
             jax.block_until_ready(state.x)
-            if i % args.dump_every == 0:
-                td = time.perf_counter()
-                dump.submit(frame_of(state, rho, pres), step=i)
-                print(
-                    "    D2H+enqueue %.0f s" % (time.perf_counter() - td),
-                    flush=True,
-                )
             step_s += time.perf_counter() - ts
             print(
-                "  step %d: %.1f s (ovf %d/%d)"
-                % (i, time.perf_counter() - ts, int(covf), int(wovf)),
+                "  step %d: %.1f s (ovf %d/%d)%s"
+                % (i, time.perf_counter() - ts, int(covf), int(wovf),
+                   " [emitting]" if emitting else ""),
                 flush=True,
             )
-        dump.flush()
+        chan.flush()
+        s = chan.stats
+        chan.close()
+    else:
+        with AsyncDumpRunner(ShardedFrameWriter(args.file), depth=2) as dump:
+            for i in range(1, args.steps):
+                ts = time.perf_counter()
+                state, (rho, pres, covf, wovf) = step(state)
+                jax.block_until_ready(state.x)
+                if i % args.dump_every == 0:
+                    td = time.perf_counter()
+                    dump.submit(frame_of(state, rho, pres), step=i)
+                    print(
+                        "    D2H+enqueue %.0f s" % (time.perf_counter() - td),
+                        flush=True,
+                    )
+                step_s += time.perf_counter() - ts
+                print(
+                    "  step %d: %.1f s (ovf %d/%d)"
+                    % (i, time.perf_counter() - ts, int(covf), int(wovf)),
+                    flush=True,
+                )
+            dump.flush()
+        s = dump.stats
     wall = time.perf_counter() - t0
-    s = dump.stats
     print(
-        "phase1: %d steps in %.0f s (%.1f s/step compute), "
-        "%d frames %.2f GB, dump %.1f MB/s sustained"
+        "phase1 (%s): %d steps in %.0f s (%.1f s/step incl. overlapped "
+        "dump), %d frames %.2f GB, dump %.1f MB/s sustained, writer "
+        "busy %.0f%% of wall (overlap efficiency)"
         % (
+            "pipelined per-slab" if pipelined else "whole-frame",
             args.steps - 1,
             wall,
             step_s / max(args.steps - 1, 1),
             s.frames,
             s.bytes / 1e9,
             s.bytes / 1e6 / wall,
+            100.0 * s.overlap_efficiency,
         ),
         flush=True,
     )
@@ -140,7 +224,9 @@ def main(argv=None):
     # free phase 1's device references first: state + rho + pres are
     # ~3.2 GB at 1e8 and the resumed state needs that room
     del state, rho, pres
-    state2, last_step, writer, _ = resume(args.file)
+    state2, last_step, writer, _ = resume(
+        args.file, density_mode=args.density_mode
+    )
     print(
         "resumed at step %d (%d frames)" % (last_step, writer.file.nframes),
         flush=True,

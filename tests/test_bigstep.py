@@ -138,3 +138,79 @@ def test_density_renorm_parity_with_global_step():
     assert float(jnp.min(rs)) >= sc.params.rho0  # the floor holds
     numpy.testing.assert_allclose(rs, rg, rtol=2e-5, atol=1e-2)
     numpy.testing.assert_allclose(ss.x, sg.x, rtol=1e-5, atol=1e-7)
+
+
+def test_continuity_slab_step_matches_global_continuity():
+    """Continuity-density slab step: the carried rho rides the sorted
+    features (7th column) and ONE fused accel+drho sweep per slab
+    replaces the density+accel pair - lockstep with the global
+    continuity step."""
+    from tpgsd.sph import init_density
+
+    db = _scenario()
+    st0 = init_density(db.state, db.grid, db.params)
+    kw = dict(density_mode="continuity", use_pallas=False)
+    step_g = jax.jit(make_step_fn(db.grid, db.params, **kw))
+    step_s = jax.jit(make_slab_step_fn(db.grid, db.params, n_slabs=3, **kw))
+    sg, ss = st0, st0
+    for _ in range(3):
+        sg, (rg, _pg, _og) = step_g(sg)
+        ss, (rs, _ps, _os, w) = step_s(ss)
+        assert int(w) == 0
+    numpy.testing.assert_allclose(ss.x, sg.x, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(ss.v, sg.v, rtol=5e-4, atol=5e-4)
+    numpy.testing.assert_allclose(rs, rg, rtol=5e-4)
+
+
+def test_slab_init_density_matches_init_density():
+    from tpgsd.sph import init_density, slab_init_density
+
+    db = _scenario()
+    st_g = init_density(db.state, db.grid, db.params)
+    st_s = slab_init_density(db.state, db.grid, db.params, 3)
+    numpy.testing.assert_allclose(st_s.rho, st_g.rho, rtol=2e-5, atol=1e-2)
+
+
+def test_continuity_spill_slab_matches_single_tier():
+    """Continuity + two-tier spill per slab (interpret mode): parity
+    against the single-tier jnp slab step with capacity for the worst
+    cell."""
+    from tpgsd.sph import dam_break, init_density
+
+    db = dam_break(n_side=10, capacity="auto", capacity_headroom=1.15)
+    cap = min(max(db.grid.capacity, 24), 64)
+    db = db._replace(grid=db.grid._replace(capacity=cap))
+    grid_big = db.grid._replace(capacity=64)
+    st0 = init_density(db.state, grid_big, db.params)
+    step_ref = jax.jit(
+        make_slab_step_fn(grid_big, db.params, n_slabs=3,
+                          density_mode="continuity", use_pallas=False)
+    )
+    step_sp = jax.jit(
+        make_slab_step_fn(db.grid, db.params, n_slabs=3,
+                          density_mode="continuity", use_pallas=True,
+                          pallas_interpret=True, spill=True)
+    )
+    sa, sb = st0, st0
+    for _ in range(2):
+        sa, (ra, _pa, _oa, _wa) = step_ref(sa)
+        sb, (rb, _pb, _ob, _wb) = step_sp(sb)
+    numpy.testing.assert_allclose(sb.x, sa.x, rtol=1e-5, atol=1e-6)
+    numpy.testing.assert_allclose(rb, ra, rtol=5e-4)
+
+
+def test_continuity_slab_requires_rho():
+    db = _scenario()
+    step_s = jax.jit(
+        make_slab_step_fn(db.grid, db.params, n_slabs=3,
+                          density_mode="continuity", use_pallas=False)
+    )
+    with pytest.raises(ValueError, match="slab_init_density"):
+        step_s(db.state)
+
+
+def test_continuity_renorm_rejected():
+    db = _scenario()
+    with pytest.raises(ValueError, match="delta_sph"):
+        make_slab_step_fn(db.grid, db.params, n_slabs=3,
+                          density_mode="continuity", density_renorm=True)

@@ -390,6 +390,105 @@ SPH3D_WORKER = _PREAMBLE + textwrap.dedent(
 )
 
 
+# The CHAMPION configuration (packed Pallas kernels + two-tier spill,
+# in both density formulations) across a REAL process boundary: the
+# slab mesh spans one CPU device per process, so the ext-grid halo and
+# the concatenated 2K-tier layout cross Gloo, with the kernels in
+# interpret mode (the CPU stand-in for the TPU Mosaic path).  The
+# in-process 8-device tests (test_spill.py) prove the math; this proves
+# the decomposed-spill halo/layout contract where jax.distributed
+# actually places process boundaries.  Density mode is derived from the
+# file name ("continuity" substring).
+CHAMPION_WORKER = _PREAMBLE + textwrap.dedent(
+    """
+    import numpy.testing
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from tpgsd.parallel import make_mesh
+    from tpgsd.sph import (
+        SPHParams,
+        SPHState,
+        distribute_state,
+        init_density,
+        make_distributed_step_fn,
+        make_step_fn,
+    )
+    from tpgsd.sph.cells import CellGrid, build_cells
+
+    mode = "continuity" if "continuity" in fname else "summation"
+
+    # the test_spill.py decomp cloud: a dense corner pushes >= 10 cells
+    # past the K=24 main tier (max < 2K = 48, so nothing overflows) and
+    # the (8, 4, 4) grid divides the 2-process slab mesh
+    rng = numpy.random.default_rng(3)
+    n = 2400
+    x = rng.uniform(0.02, 0.98, (n, 3)).astype(numpy.float32)
+    x[:, 0] *= 2.0
+    x[:140, 0] = rng.uniform(0.02, 0.51, 140)
+    x[:140, 1] = rng.uniform(0.02, 0.51, 140)
+    x[:140, 2] = rng.uniform(0.02, 0.51, 140)
+    v = (rng.normal(size=(n, 3)) * 0.05).astype(numpy.float32)
+    grid = CellGrid(lo=(0.0, 0.0, 0.0), cell_size=0.25, dims=(8, 4, 4),
+                    capacity=24)
+    params = SPHParams(mass=0.8, h=0.12, dt=1e-4, c0=20.0,
+                       gravity=(0.0, 0.0, -9.81))
+    grid48 = grid._replace(capacity=48)
+
+    occ = numpy.bincount(
+        numpy.asarray(build_cells(jnp.asarray(x), grid48).cid),
+        minlength=grid.n_cells,
+    )
+    assert (occ > 24).sum() >= 10 and occ.max() <= 44, occ.max()
+
+    state = SPHState(x=jnp.asarray(x), v=jnp.asarray(v))
+    kw = {}
+    if mode == "continuity":
+        state = init_density(state, grid48, params)
+        kw["density_mode"] = "continuity"
+
+    # serial jnp reference at capacity 48: a single tier holds the
+    # worst cell, replicated on every process's own device
+    step_ref = jax.jit(make_step_fn(grid48, params, **kw))
+    s_ref = state
+    for _ in range(2):
+        s_ref, aux_ref = step_ref(s_ref)
+
+    mesh = make_mesh()  # spans all processes: one device each
+    assert mesh.devices.size == nprocs
+    dist, cap = distribute_state(state, grid, mesh)
+    step_d = make_distributed_step_fn(
+        grid, params, mesh, capacity=cap, use_pallas=True, spill=True,
+        **kw)
+    for _ in range(2):
+        dist, aux = step_d(dist)
+
+    movf = multihost_utils.process_allgather(aux.migrate_overflow, tiled=True)
+    covf = multihost_utils.process_allgather(aux.cell_overflow, tiled=True)
+    assert movf.sum() == 0 and covf.sum() == 0
+    xg = multihost_utils.process_allgather(dist.x, tiled=True)
+    vg = multihost_utils.process_allgather(dist.v, tiled=True)
+    pidg = multihost_utils.process_allgather(dist.pid, tiled=True)
+    alive = pidg >= 0
+    assert alive.sum() == n and len(set(pidg[alive].tolist())) == n
+    out_x = numpy.zeros((n, 3), numpy.float32)
+    out_v = numpy.zeros((n, 3), numpy.float32)
+    out_x[pidg[alive]] = xg[alive]
+    out_v[pidg[alive]] = vg[alive]
+    numpy.testing.assert_allclose(
+        out_x, numpy.asarray(s_ref.x), rtol=5e-4, atol=5e-5)
+    numpy.testing.assert_allclose(
+        out_v, numpy.asarray(s_ref.v), rtol=5e-3, atol=5e-3)
+    if mode == "continuity":
+        rg = multihost_utils.process_allgather(dist.rho, tiled=True)
+        out_r = numpy.zeros((n,), numpy.float32)
+        out_r[pidg[alive]] = rg[alive]
+        numpy.testing.assert_allclose(
+            out_r, numpy.asarray(s_ref.rho), rtol=5e-4)
+    print("proc", pid, "OK")
+    """
+)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -546,6 +645,23 @@ def test_sph_dump_cycle_multiprocess(tmp_path, nprocs):
     with open(fname, "rb") as fobj:
         report = tpgsd.pypgsd.verify(fobj, deep=True)
     assert report["ok"], report["errors"]
+
+
+@pytest.mark.parametrize("mode", ["summation", "continuity"])
+def test_champion_spill_multiprocess(tmp_path, mode):
+    """The champion (packed Pallas + two-tier spill) across a REAL
+    process boundary, both density formulations.
+
+    The slab-decomposed step runs its kernels in interpret mode inside
+    shard_map over a 2-process mesh: the ext-grid halo and the
+    concatenated 2K-tier spill layout cross Gloo, and the collected
+    2-step trajectory must match the serial jnp step with a single
+    tier sized for the worst cell."""
+    fname = str(tmp_path / ("champion_%s.gsd" % mode))
+    procs, outputs = _launch(tmp_path, CHAMPION_WORKER, 2, fname)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+        assert "OK" in out
 
 
 @pytest.mark.parametrize("nprocs", [8])

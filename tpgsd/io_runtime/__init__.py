@@ -15,11 +15,14 @@ hazard, no explicit double buffer.
 
 from .dump import AsyncDumpRunner, DumpStats, run_dump_loop
 from .jit_dump import JitDumpChannel, scan_simulate, scan_simulate_adaptive
+from .slab_dump import SlabDumpChannel, io_callback_supported
 
 __all__ = [
     "AsyncDumpRunner",
     "DumpStats",
     "JitDumpChannel",
+    "SlabDumpChannel",
+    "io_callback_supported",
     "run_dump_loop",
     "scan_simulate",
     "scan_simulate_adaptive",

@@ -45,7 +45,7 @@ from .scenarios import (  # noqa: F401
     still_box_2d,
     taylor_green,
 )
-from .bigstep import make_slab_step_fn  # noqa: F401
+from .bigstep import make_slab_step_fn, slab_init_density  # noqa: F401
 from .checkpoint import (  # noqa: F401
     resume,
     resume_distributed,

@@ -68,6 +68,9 @@ def make_slab_step_fn(
     n_fixed=0,
     density_renorm=False,
     spill="auto",
+    slab_emit=None,
+    density_mode="summation",
+    delta_sph=0.1,
 ):
     """Build the memory-bounded slab-sequential step.
 
@@ -90,12 +93,55 @@ def make_slab_step_fn(
             same ~1.5x pair-math win as the global step, at the
             north-star >HBM scales this step exists for.  Per-slab
             peak memory grows by one tier's dense planes.
+        slab_emit: optional host callback
+            ``(step, slab, p0, pids, payload) -> None`` wired through
+            an ordered ``jax.experimental.io_callback`` INSIDE the slab
+            scan: as soon as slab ``s`` finishes, its window of FINAL
+            integrated results - ``payload[w_rows, 8]`` columns
+            ``x(3), v(3), rho, p`` with ``pids[w_rows]`` the global
+            particle ids (pid ``-1`` marks rows past the particle
+            count) - streams device->host while later slabs are still
+            computing.  Sorted rows ``[p0_s, p0_{s+1})`` are final
+            after slab ``s`` (later slabs write only at higher
+            offsets), and ordered emission means a later slab's
+            overlap rows overwrite an earlier slab's halo values
+            host-side, so scattering every window by pid reconstructs
+            the exact post-step frame (the integration is the same
+            shared helper the full-array epilogue uses).  This
+            overlaps the frame's D2H with compute instead of
+            serializing a whole-frame transfer after the step - the
+            pipelined dump at >HBM scale
+            (:class:`tpgsd.io_runtime.SlabDumpChannel`).  With
+            ``slab_emit`` the returned step takes a second traced
+            argument: ``step(state, dump) -> ...`` where ``dump`` is
+            ``(emit_flag, step_number)`` - emission happens only when
+            ``emit_flag`` is nonzero.
+        density_mode: ``"summation"`` (default) or ``"continuity"`` -
+            as in :func:`tpgsd.sph.step.make_step_fn`.  Continuity
+            carries ``state.rho`` (seed with
+            :func:`slab_init_density`), rides it through the sorted
+            features (7 columns), and runs the fused accel+drho sweep
+            per slab - ONE neighbor pass per step instead of two, the
+            measured champion formulation at >HBM scale too.
+        delta_sph: Molteni-Colagrossi diffusion strength (continuity
+            mode only).
 
     Returns:
-        ``step(state) -> (state, (rho, p, cell_overflow, window_overflow))``.
+        ``step(state) -> (state, (rho, p, cell_overflow, window_overflow))``
+        (with ``slab_emit``: ``step(state, dump)``, same outputs).
     """
     from . import pallas_ops as _po
-    from .step import _accel_blocks, _density_blocks
+    from .step import _accel_blocks, _accel_drho_blocks, _density_blocks
+
+    if density_mode not in ("summation", "continuity"):
+        raise ValueError("density_mode must be summation or continuity")
+    continuity = density_mode == "continuity"
+    if continuity and density_renorm:
+        raise ValueError(
+            "density_renorm corrects summation's free-surface support "
+            "deficit; continuity mode has no deficit to correct - use "
+            "delta_sph for its noise control instead"
+        )
 
     nx, ny, nz = grid.dims
     S = int(n_slabs)
@@ -115,7 +161,11 @@ def make_slab_step_fn(
         capacity=k,
     )
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu" and _po.supported(ext_grid)
+        use_pallas = jax.default_backend() == "tpu" and (
+            _po.accel_drho_supported(ext_grid)
+            if continuity
+            else _po.supported(ext_grid)
+        )
     if pallas_block is None:
         pallas_block = _po.default_block(ext_grid)
     if spill == "auto":
@@ -149,8 +199,19 @@ def make_slab_step_fn(
     # plane (kernels see positions relative to their own ext grid)
     core0 = _PAD * nynz  # first core cell within the ext range
 
-    def step(state):
+    nf = 7 if continuity else 6  # sorted feature columns (x, v[, rho])
+
+
+    def step(state, dump=None):
+        if slab_emit is not None:
+            emit_flag, dump_step = dump
         x, v = state.x, state.v
+        if continuity and state.rho is None:
+            raise ValueError(
+                "density_mode='continuity' needs state.rho - seed it "
+                "with tpgsd.sph.slab_init_density(state, grid, params, "
+                "n_slabs)"
+            )
         n = x.shape[0]
         w_rows = int(window) if window else -(-3 * n // S)
         iota = jnp.arange(n, dtype=jnp.int32)
@@ -173,10 +234,12 @@ def make_slab_step_fn(
         dropped = slot >= kt
         cell_ovf = dropped.sum().astype(jnp.int32)
 
-        # sorted features, octet view (see scatter_to_cells_soa)
-        vs = jnp.concatenate([x, v], axis=-1)[order]
+        # sorted features, octet view (see scatter_to_cells_soa);
+        # continuity rides the carried density as a 7th column
+        feats = [x, v] + ([state.rho[:, None]] if continuity else [])
+        vs = jnp.concatenate(feats, axis=-1)[order]
         # 16-particle 128-lane rows (sized for spill's +K slot window)
-        ov = _row_view(vs, n, k, 6, slot_base=k if spill else 0)
+        ov = _row_view(vs, n, k, nf, slot_base=k if spill else 0)
 
         # ext-range helpers padded with _PAD virtual planes each side
         starts_ext = jnp.concatenate(
@@ -196,8 +259,51 @@ def make_slab_step_fn(
         # window slices of cid/slot can overhang the particle count
         cid_pad = jnp.concatenate([cid_s, jnp.full(w_rows, c, jnp.int32)])
         slot_pad = jnp.concatenate([slot, jnp.zeros(w_rows, jnp.int32)])
+        if slab_emit is not None:
+            # per-slab emission needs the sorted features and global
+            # pids window-sliceable; pid -1 marks rows past n
+            vs_pad = jnp.concatenate([vs, jnp.zeros((w_rows, nf), vs.dtype)])
+            pid_pad = jnp.concatenate(
+                [order.astype(jnp.int32), jnp.full(w_rows, -1, jnp.int32)]
+            )
 
         kslots = jnp.arange(k, dtype=jnp.int32)
+
+        def integrate(xw, vw, out6, fixed_mask, rho_cur=None):
+            """Symplectic Euler + reflective walls from a result bundle.
+
+            Shared by the full-array epilogue and the per-slab emission
+            so the streamed frame rows are EXACTLY the post-step state.
+            ``out6`` columns: [acc3 | rho | p | live] (summation) or
+            [acc3 | drho | - | live] (continuity, with the carried
+            density in ``rho_cur``).
+            """
+            valid = out6[..., 5] > 0.5
+            acc = jnp.where(valid[:, None], out6[..., :3], 0.0) + gravity
+            if continuity:
+                # dropped/overflowed rows carry drho = 0 and keep
+                # their density (as the global step's sentinel gather)
+                drho = jnp.where(valid, out6[..., 3], 0.0)
+                rho_w = jnp.maximum(
+                    rho_cur + params.dt * drho, 0.1 * params.rho0
+                )
+                p_w = tait_pressure(rho_w, params)
+            else:
+                rho_w = jnp.where(valid, out6[..., 3], params.rho0)
+                p_w = jnp.where(valid, out6[..., 4], 0.0)
+            v_new = (vw + params.dt * acc) * params.velocity_damping
+            x_new = xw + params.dt * v_new
+            under = x_new < lo_g
+            over = x_new > hi_g
+            x_new = jnp.where(under, 2.0 * lo_g - x_new, x_new)
+            x_new = jnp.where(over, 2.0 * hi_g - x_new, x_new)
+            x_new = jnp.clip(x_new, lo_g, hi_g)
+            bounce = under | over
+            v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
+            if fixed_mask is not None:
+                x_new = jnp.where(fixed_mask[:, None], xw, x_new)
+                v_new = jnp.where(fixed_mask[:, None], 0.0, v_new)
+            return x_new, v_new, rho_w, p_w
 
         def body(out, s):
             c0e = s * nxl * nynz  # ext-range start (starts_ext coords)
@@ -205,7 +311,7 @@ def make_slab_step_fn(
             ct = jax.lax.dynamic_slice(counts_ext, (c0e,), (c_ext,))
             mask = kslots[None, :] < jnp.minimum(ct, k)[:, None]
 
-            soa = _expand_rows(ov, st, c_ext, k, 6)  # [6, c_ext, k]
+            soa = _expand_rows(ov, st, c_ext, k, nf)  # [nf, c_ext, k]
             # shift positions into the slab frame (block-local kernel
             # coordinates must stay ~cell-sized, not domain-sized)
             origin = jnp.stack(
@@ -216,9 +322,83 @@ def make_slab_step_fn(
                 ]
             )
             x_soa = soa[:3] - origin[:, None, None]
-            v_soa = soa[3:]
+            v_soa = soa[3:6]
 
-            if spill:
+            if continuity:
+                # carried density rides column 6; ONE fused accel+drho
+                # sweep per slab replaces the density+accel pair
+                def _tier_rho_p(soa_t, m):
+                    rho_t = jnp.where(
+                        m, jnp.maximum(soa_t[6], 0.1 * params.rho0),
+                        params.rho0,
+                    )
+                    return rho_t, jnp.where(
+                        m, tait_pressure(rho_t, params), 0.0
+                    )
+
+                def _tier4(out4, m):
+                    # bundle columns [acc3 | drho | - | live]
+                    return jnp.concatenate(
+                        [
+                            out4,
+                            jnp.zeros_like(out4[..., :1]),
+                            m.astype(jnp.float32)[..., None],
+                        ],
+                        axis=-1,
+                    )
+
+                rho_a, p_a = _tier_rho_p(soa, mask)
+                if spill:
+                    mask_b = (k + kslots[None, :]) < jnp.minimum(
+                        ct, 2 * k
+                    )[:, None]
+                    soa_b = _expand_rows(ov, st + k, c_ext, k, nf)
+                    xb_soa = soa_b[:3] - origin[:, None, None]
+                    vb_soa = soa_b[3:6]
+                    rho_b, p_b = _tier_rho_p(soa_b, mask_b)
+                    out4_a, out4_b = pallas_ops.accel_drho_spill(
+                        x_soa, v_soa, rho_a, p_a, mask,
+                        xb_soa, vb_soa, rho_b, p_b, mask_b,
+                        ext_grid, params, kernel=kernel,
+                        delta_sph=delta_sph, block=pallas_block,
+                        interpret=pallas_interpret, soa=True,
+                    )
+                    bundle = jnp.concatenate(
+                        [_tier4(out4_a, mask), _tier4(out4_b, mask_b)],
+                        axis=1,
+                    )  # [c_ext, 2K, 6]
+                elif use_pallas:
+                    out4 = pallas_ops.accel_drho(
+                        x_soa, v_soa, rho_a, p_a, mask, ext_grid, params,
+                        kernel=kernel, delta_sph=delta_sph,
+                        block=pallas_block, interpret=pallas_interpret,
+                        soa=True,
+                    )
+                    bundle = _tier4(out4, mask)
+                else:
+                    dense_x = jnp.concatenate(
+                        [
+                            jnp.moveaxis(x_soa, 0, -1),
+                            jnp.zeros((1, k, 3), jnp.float32),
+                        ]
+                    )
+                    dense_v = jnp.concatenate(
+                        [
+                            jnp.moveaxis(v_soa, 0, -1),
+                            jnp.zeros((1, k, 3), jnp.float32),
+                        ]
+                    )
+                    mask_s = jnp.concatenate([mask, jnp.zeros((1, k), bool)])
+                    rho_sd = jnp.concatenate(
+                        [rho_a, jnp.full((1, k), params.rho0, rho_a.dtype)]
+                    )
+                    p_sd = jnp.concatenate([p_a, jnp.zeros((1, k), p_a.dtype)])
+                    out4 = _accel_drho_blocks(
+                        dense_x, dense_v, rho_sd, p_sd, mask_s, nbr_ext,
+                        params, kernel, block, delta_sph,
+                    )
+                    bundle = _tier4(out4, mask)
+            elif spill:
                 # two-tier slab: tier B holds slots [K, 2K) via the same
                 # row-gather expansion at a +K slot offset
                 mask_b = (k + kslots[None, :]) < jnp.minimum(ct, 2 * k)[
@@ -282,7 +462,7 @@ def make_slab_step_fn(
                 rho_d = _density_blocks(
                     dense_x, mask_s, nbr_ext, params, kernel, block
                 )
-            if not spill:
+            if not spill and not continuity:
                 rho_d = jnp.where(
                     mask, jnp.maximum(rho_d, 0.1 * params.rho0), params.rho0
                 )
@@ -336,6 +516,46 @@ def make_slab_step_fn(
             win = jnp.where((sw < kt)[:, None], win, 0.0)
             out = jax.lax.dynamic_update_slice(out, win, (p0, 0))
             rows_s = starts_ext[c0e + core0 + nxl * nynz] - p0
+
+            if slab_emit is not None:
+                # stream this slab's FINAL rows to the host while later
+                # slabs compute.  Rows [p0_s, p0_{s+1}) are final after
+                # slab s; overlap rows beyond that carry halo values a
+                # later (ordered) emission overwrites host-side.
+                pids_w = jax.lax.dynamic_slice(pid_pad, (p0,), (w_rows,))
+                xv_w = jax.lax.dynamic_slice(vs_pad, (p0, 0), (w_rows, nf))
+                fixed_w = (
+                    (pids_w >= 0) & (pids_w < n_fixed)
+                    if n_fixed > 0
+                    else None
+                )
+                xw, vw, rho_w, p_w = integrate(
+                    xv_w[:, :3], xv_w[:, 3:6], win, fixed_w,
+                    rho_cur=xv_w[:, 6] if continuity else None,
+                )
+                payload = jnp.concatenate(
+                    [xw, vw, rho_w[:, None], p_w[:, None]], axis=-1
+                )
+
+                def _do(op):
+                    pids_op, payload_op = op
+                    jax.experimental.io_callback(
+                        slab_emit,
+                        None,
+                        dump_step,
+                        s,
+                        p0,
+                        pids_op,
+                        payload_op,
+                        ordered=True,
+                    )
+                    return jnp.int32(0)
+
+                def _skip(op):
+                    return jnp.int32(0)
+
+                jax.lax.cond(emit_flag != 0, _do, _skip, (pids_w, payload))
+
             return out, jnp.maximum(rows_s - w_rows, 0)
 
         out0 = jnp.zeros((n + w_rows, 6), jnp.float32)
@@ -346,31 +566,38 @@ def make_slab_step_fn(
 
         inv = jnp.argsort(order)
         out_p = out_sorted[:n][inv]  # [n, 6] particle order
-        valid = out_p[..., 5] > 0.5
-        acc = jnp.where(valid[:, None], out_p[..., :3], 0.0) + gravity
-        rho = jnp.where(valid, out_p[..., 3], params.rho0)
-        p = jnp.where(valid, out_p[..., 4], 0.0)
-
-        # symplectic Euler + reflective walls (as make_step_fn)
-        v_new = (v + params.dt * acc) * params.velocity_damping
-        x_new = x + params.dt * v_new
-        under = x_new < lo_g
-        over = x_new > hi_g
-        x_new = jnp.where(under, 2.0 * lo_g - x_new, x_new)
-        x_new = jnp.where(over, 2.0 * hi_g - x_new, x_new)
-        x_new = jnp.clip(x_new, lo_g, hi_g)
-        bounce = under | over
-        v_new = jnp.where(bounce, -params.wall_damping * v_new, v_new)
-
-        if n_fixed > 0:
-            x_new = jnp.concatenate([x[:n_fixed], x_new[n_fixed:]])
-            v_new = jnp.concatenate(
-                [jnp.zeros((n_fixed, 3), v.dtype), v_new[n_fixed:]]
-            )
+        fixed_mask = (
+            jnp.arange(n, dtype=jnp.int32) < n_fixed if n_fixed > 0 else None
+        )
+        # symplectic Euler + reflective walls (as make_step_fn), via the
+        # same helper the per-slab emission uses
+        x_new, v_new, rho, p = integrate(
+            x, v, out_p, fixed_mask,
+            rho_cur=state.rho if continuity else None,
+        )
 
         return (
-            SPHState(x=x_new, v=v_new),
+            SPHState(x=x_new, v=v_new, rho=rho if continuity else None),
             (rho, p, cell_ovf, win_ovf),
         )
 
     return step
+
+
+def slab_init_density(state, grid, params, n_slabs, **kw):
+    """Seed continuity's carried density at >HBM scale.
+
+    The big-step twin of :func:`tpgsd.sph.init_density` (whose dense
+    layout would not fit): one jitted summation slab pass evaluates the
+    SPH density at ``state.x`` (the returned aux density is computed
+    from the PRE-step positions) and attaches it as ``state.rho``.
+    Extra ``kw`` forward to :func:`make_slab_step_fn` (e.g. ``spill``,
+    ``use_pallas``, ``window``).
+    """
+    import jax as _jax
+
+    step = make_slab_step_fn(
+        grid, params, n_slabs, density_mode="summation", **kw
+    )
+    rho = _jax.jit(lambda st: step(st)[1][0])(state)
+    return state._replace(rho=rho)
