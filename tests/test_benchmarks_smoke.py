@@ -81,3 +81,53 @@ def test_benchmark_sph_decomp_smoke(capsys):
     benchmark_sph.main(["--n-side", "8", "--steps", "2", "--decomp", "3d"])
     out = capsys.readouterr().out
     assert "jnp" in out and "3d" in out
+
+
+def test_benchmark_scale_smoke(tmp_path, capsys):
+    import benchmark_scale
+
+    assert (
+        benchmark_scale.main(
+            ["--rows", "10000", "--frames", "2", "--file",
+             str(tmp_path / "sc.gsd")]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "readback verified" in out
+
+
+@pytest.mark.parametrize("mode", ["summation", "continuity"])
+def test_benchmark_bigcycle_smoke(tmp_path, mode, monkeypatch, capsys):
+    """Full bigcycle harness at toy size: slab step + pipelined per-slab
+    dumps + resume + deep fsck.  TPGSD_IO_CALLBACK=1 skips the backend
+    probe (CPU delivers ordered io_callbacks)."""
+    import benchmark_bigcycle
+
+    monkeypatch.setenv("TPGSD_IO_CALLBACK", "1")
+    assert (
+        benchmark_bigcycle.main(
+            ["--n-side", "9", "--slabs", "2", "--steps", "3",
+             "--dump-every", "2", "--resume-steps", "1",
+             "--density-mode", mode,
+             "--file", str(tmp_path / "bc.gsd")]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "pipelined per-slab" in out and "CLEAN" in out
+
+
+def test_benchmark_bigcycle_whole_frame_smoke(tmp_path, capsys):
+    import benchmark_bigcycle
+
+    assert (
+        benchmark_bigcycle.main(
+            ["--n-side", "9", "--slabs", "2", "--steps", "3",
+             "--dump-every", "2", "--resume-steps", "1",
+             "--whole-frame-dump", "--spill",
+             "--file", str(tmp_path / "bw.gsd")]
+        )
+        == 0
+    )
+    assert "whole-frame" in capsys.readouterr().out
