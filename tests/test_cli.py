@@ -102,3 +102,17 @@ def test_convert_subcommand(sample_file, tmp_path):
     assert result.returncode == 0, result.stderr
     assert "Frame 1: N=4" in result.stdout
     assert (outdir / "cli_sample_00001.vtu").exists()
+
+
+def test_package_version_matches_pyproject():
+    """tpgsd.version is the application string written into every file
+    header; a desync with pyproject silently mislabels trajectories."""
+    import os
+    import re
+
+    import tpgsd
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    text = open(os.path.join(root, "pyproject.toml")).read()
+    m = re.search(r'^version = "([^"]+)"', text, re.M)
+    assert m and m.group(1) == tpgsd.version

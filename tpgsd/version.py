@@ -5,4 +5,4 @@ The on-disk file-layer version written by tpgsd is GSD v2 (see
 version (reference: pgsd/pgsd/version.py:12).
 """
 
-version = "1.1.0"
+version = "1.8.0"
