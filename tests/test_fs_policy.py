@@ -127,3 +127,28 @@ def test_fl_open_warns_on_risky_fs(tmp_path, monkeypatch):
             schema_version=(1, 0), comm=_FakeComm(),
         )
         f.close()
+
+
+def test_overmount_same_point_last_wins(monkeypatch):
+    """/proc/mounts lists mounts in order; a later mount on the SAME
+    point shadows the earlier one — the effective filesystem is the
+    last entry, and misclassifying it would silence the NFS warning on
+    exactly the unsafe case."""
+    monkeypatch.setattr(fs_mod.os.path, "realpath", lambda p: p)
+    over = [("/", "ext4"), ("/data", "ext4"), ("/data", "nfs4")]
+    assert filesystem_kind("/data/t.gsd", mounts=over) == "network"
+    # and the reverse: NFS later overmounted by a local fs is safe
+    back = [("/", "ext4"), ("/data", "nfs4"), ("/data", "ext4")]
+    assert filesystem_kind("/data/t.gsd", mounts=back) == "local"
+
+
+def test_no_mount_table_platform_does_not_warn(monkeypatch):
+    """Hosts without /proc/mounts (macOS & co) must not warn on every
+    multi-process open — there is nothing to classify against."""
+    monkeypatch.setattr(fs_mod, "_read_proc_mounts", lambda: [])
+    policy, reason = direct_write_policy("/Users/u/t.gsd", 8)
+    assert policy == "direct"
+    assert "no mount table" in reason
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        assert fs_mod.warn_if_risky("/Users/u/t.gsd", 8) == "direct"

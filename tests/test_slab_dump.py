@@ -158,3 +158,78 @@ def test_slab_dump_bad_key_raises(tmp_path):
             ShardedFrameWriter(str(tmp_path / "x.gsd")),
             n=db.n, n_slabs=2, keys=("position", "entropy"),
         )
+
+
+def test_slab_dump_window_overflow_gap_warns(tmp_path):
+    """Rows past a slab's emission window appear in NO emission (the
+    step counts them as aux[3] window overflow); the channel must
+    surface the gap loudly instead of silently writing zero rows."""
+    db = dam_break(n_side=9)
+    assert db.grid.dims[0] % 2 == 0, db.grid.dims
+    path = str(tmp_path / "gap.gsd")
+    # the dam block concentrates nearly all particles in low-x slabs:
+    # a window far below n forces rows_s > w_rows on the dense slab
+    chan = SlabDumpChannel(
+        ShardedFrameWriter(path), n=db.n, n_slabs=2,
+        keys=("position",),
+    )
+    step = jax.jit(
+        make_slab_step_fn(
+            db.grid, db.params, n_slabs=2, window=db.n // 3,
+            slab_emit=chan.slab_emit,
+        )
+    )
+    with pytest.warns(RuntimeWarning, match="window overflow"):
+        state, (_rho, _p, _co, wo) = step(db.state, chan.dump(0))
+        jax.block_until_ready(state.x)
+        chan.flush()
+    assert int(wo) > 0  # the step counted the same overflow
+    assert chan.gap_rows == int(wo)
+    chan.close()
+    # the frame is still written (everything but the gap is valid)
+    with tpgsd.pypgsd.PGSDFile(open(path, "rb")) as f:
+        assert f.nframes == 1
+
+
+def test_slab_dump_channel_mismatch_errors():
+    """Host-side validation of the channel/step contract."""
+    import tpgsd.fl
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    chan = SlabDumpChannel(
+        ShardedFrameWriter(os.path.join(d, "m.gsd")), n=100, n_slabs=2,
+        keys=("position",),
+    )
+    pids = numpy.arange(4, dtype=numpy.int32)
+    payload = numpy.zeros((4, 8), numpy.float32)
+    with pytest.raises(ValueError, match="n_slabs"):
+        chan.slab_emit(0, 5, 0, 4, pids, payload)      # slab index >= 2
+    with pytest.raises(ValueError, match="particle id"):
+        chan.slab_emit(0, 0, 0, 4, pids + 200, payload)  # pid >= n
+    # channel expecting MORE slabs than the step emits: the frame never
+    # completes -> warned and dropped at close, not silently half-written
+    with pytest.warns(RuntimeWarning, match="incomplete frame"):
+        chan.close()
+
+
+def test_slab_step_missing_dump_arg_raises():
+    db = dam_break(n_side=9)
+    chan_emit = lambda *a: None  # noqa: E731
+    step = make_slab_step_fn(
+        db.grid, db.params, n_slabs=2, slab_emit=chan_emit
+    )
+    with pytest.raises(TypeError, match="chan.dump"):
+        step(db.state)
+
+
+def test_io_callback_env_override_case_insensitive(monkeypatch):
+    from tpgsd.io_runtime import io_callback_supported
+
+    for v in ("False", "NO", "off", "0"):
+        monkeypatch.setenv("TPGSD_IO_CALLBACK", v)
+        assert io_callback_supported() is False, v
+    for v in ("1", "True", "yes"):
+        monkeypatch.setenv("TPGSD_IO_CALLBACK", v)
+        assert io_callback_supported() is True, v

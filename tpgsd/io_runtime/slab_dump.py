@@ -56,7 +56,7 @@ def io_callback_supported(timeout_s=None):
     """
     env = os.environ.get("TPGSD_IO_CALLBACK")
     if env is not None:
-        return env not in ("0", "false", "no")
+        return env.strip().lower() not in ("0", "false", "no", "off")
     if timeout_s is None:
         timeout_s = int(os.environ.get("TPGSD_IO_CALLBACK_PROBE_S", 90))
     code = (
@@ -126,6 +126,10 @@ class SlabDumpChannel:
         self._frame = None   # dict name -> (n, cols) buffer being filled
         self._step = None
         self._slabs_seen = 0
+        self._frame_gap = 0
+        #: cumulative never-emitted (window-overflow) rows across all
+        #: frames - nonzero means written frames hold zero rows
+        self.gap_rows = 0
 
     # -- device side ---------------------------------------------------- #
 
@@ -143,21 +147,40 @@ class SlabDumpChannel:
 
     # -- host side (called by the ordered io_callback) ------------------- #
 
-    def slab_emit(self, step, slab, p0, pids, payload):
+    def slab_emit(self, step, slab, p0, rows, pids, payload):
         """Scatter one slab's window into the frame buffer.
 
         ``pids[w]`` are global particle ids (-1 past the particle
         count); ``payload[w, 8]`` is ``x(3), v(3), rho, p`` - already
         integrated, so rows equal the post-step state exactly.
+        ``rows`` is the slab's TRUE sorted-row count: when it exceeds
+        the emission window ``w`` (the step's counted window overflow,
+        ``aux[3]``), the excess rows appear in no emission and stay
+        zero in the written frame - detected here, warned at frame
+        completion, and counted in :attr:`gap_rows`.
         """
         step = int(numpy.asarray(step))
+        slab = int(numpy.asarray(slab))
+        if not 0 <= slab < self._n_slabs:
+            raise ValueError(
+                "slab index %d outside this channel's n_slabs=%d - the "
+                "channel and make_slab_step_fn were built with "
+                "different slab counts" % (slab, self._n_slabs)
+            )
         if self._frame is None or self._step != step:
             # first slab of a new frame
             self._begin_frame(step)
         pids = numpy.asarray(pids)
         payload = numpy.asarray(payload)
+        self._frame_gap += max(int(numpy.asarray(rows)) - pids.shape[0], 0)
         live = pids >= 0
         ids = pids[live]
+        if ids.size and int(ids.max()) >= self._n:
+            raise ValueError(
+                "emitted particle id %d outside this channel's n=%d - "
+                "the channel and the step were built for different "
+                "particle counts" % (int(ids.max()), self._n)
+            )
         for key in self._keys:
             _name, cols = _COLS[key]
             buf = self._frame[key]
@@ -171,11 +194,20 @@ class SlabDumpChannel:
 
     def _begin_frame(self, step):
         if self._frame is not None:
-            # a frame was left incomplete (shouldn't happen with ordered
-            # emission); drop it rather than write a partial frame
-            self._frame = None
+            # ordered emission makes this reachable only when the step
+            # emits MORE slabs per frame than the channel expects
+            import warnings
+
+            warnings.warn(
+                "dropping incomplete frame for step %s: saw %d of the "
+                "expected %d slab emissions before step %s began - "
+                "channel n_slabs mismatch?"
+                % (self._step, self._slabs_seen, self._n_slabs, step),
+                RuntimeWarning,
+            )
         self._step = step
         self._slabs_seen = 0
+        self._frame_gap = 0
         self._frame = {}
         for key in self._keys:
             _name, cols = _COLS[key]
@@ -184,11 +216,23 @@ class SlabDumpChannel:
             self._frame[key] = numpy.zeros(shape, numpy.float32)
 
     def _finish_frame(self):
+        if self._frame_gap:
+            import warnings
+
+            self.gap_rows += self._frame_gap
+            warnings.warn(
+                "window overflow: %d particle rows of step %s were "
+                "never emitted and are ZERO in the written frame "
+                "(the step's aux[3] counts the same overflow) - "
+                "rebuild with a wider window" % (self._frame_gap, self._step),
+                RuntimeWarning,
+            )
         chunks = {_COLS[k][0]: self._frame[k] for k in self._keys}
         step = self._step
         self._frame = None
         self._step = None
         self._slabs_seen = 0
+        self._frame_gap = 0
         self._runner.submit(chunks, step=step)
 
     # -- lifecycle ------------------------------------------------------- #
@@ -201,10 +245,27 @@ class SlabDumpChannel:
     def writer(self):
         return self._runner._writer
 
+    def _warn_if_incomplete(self):
+        if self._frame is not None:
+            import warnings
+
+            warnings.warn(
+                "dropping incomplete frame for step %s at flush/close: "
+                "saw %d of the expected %d slab emissions - channel "
+                "n_slabs mismatch?"
+                % (self._step, self._slabs_seen, self._n_slabs),
+                RuntimeWarning,
+            )
+            self._frame = None
+            self._step = None
+            self._slabs_seen = 0
+            self._frame_gap = 0
+
     def flush(self):
         """Wait for in-flight emissions (effects barrier), then drain
         the writer queue."""
         jax.effects_barrier()
+        self._warn_if_incomplete()
         self._runner.flush()
 
     def close(self):
@@ -212,6 +273,7 @@ class SlabDumpChannel:
         on the last emitting step's outputs - ordered callbacks may
         still be in flight until then."""
         jax.effects_barrier()
+        self._warn_if_incomplete()
         self._runner.close()
 
     def __enter__(self):

@@ -62,7 +62,10 @@ def filesystem_kind(path, mounts=None):
         if target == point or target.startswith(
             point if point == "/" else point + "/"
         ):
-            if len(point) > best_len:
+            # >= so the LAST equal-point entry wins: /proc/mounts lists
+            # mounts in order, and an overmount on the same point
+            # shadows every earlier entry
+            if len(point) >= best_len:
                 best_len, best_type = len(point), fstype
     if best_type is None:
         return "unknown"
@@ -112,6 +115,14 @@ def direct_write_policy(path, n_processes, mounts=None):
     """
     if n_processes <= 1:
         return "direct", "single process: plain positioned writes"
+    if mounts is None and not _read_proc_mounts():
+        # no mount table on this platform (e.g. no /proc/mounts):
+        # nothing to classify against - don't cry wolf on every open;
+        # the normative docs chapter covers when to choose compose
+        return "direct", (
+            "no mount table available on this platform: filesystem "
+            "class unknown, proceeding with POSIX positioned writes"
+        )
     kind = filesystem_kind(path, mounts=mounts)
     if kind in ("local", "parallel"):
         return "direct", "%s filesystem: concurrent disjoint-offset " \

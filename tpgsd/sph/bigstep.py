@@ -94,14 +94,18 @@ def make_slab_step_fn(
             north-star >HBM scales this step exists for.  Per-slab
             peak memory grows by one tier's dense planes.
         slab_emit: optional host callback
-            ``(step, slab, p0, pids, payload) -> None`` wired through
-            an ordered ``jax.experimental.io_callback`` INSIDE the slab
-            scan: as soon as slab ``s`` finishes, its window of FINAL
-            integrated results - ``payload[w_rows, 8]`` columns
-            ``x(3), v(3), rho, p`` with ``pids[w_rows]`` the global
-            particle ids (pid ``-1`` marks rows past the particle
-            count) - streams device->host while later slabs are still
-            computing.  Sorted rows ``[p0_s, p0_{s+1})`` are final
+            ``(step, slab, p0, rows, pids, payload) -> None`` wired
+            through an ordered ``jax.experimental.io_callback`` INSIDE
+            the slab scan: as soon as slab ``s`` finishes, its window
+            of FINAL integrated results - ``payload[w_rows, 8]``
+            columns ``x(3), v(3), rho, p`` with ``pids[w_rows]`` the
+            global particle ids (pid ``-1`` marks rows past the
+            particle count) and ``rows`` the slab's true sorted-row
+            count (``rows > w_rows`` = the counted window overflow:
+            the excess rows appear in NO emission, so the receiver
+            must surface the gap - ``SlabDumpChannel`` warns and
+            counts it in ``gap_rows``) - streams device->host while
+            later slabs are still computing.  Sorted rows ``[p0_s, p0_{s+1})`` are final
             after slab ``s`` (later slabs write only at higher
             offsets), and ordered emission means a later slab's
             overlap rows overwrite an earlier slab's halo values
@@ -204,6 +208,13 @@ def make_slab_step_fn(
 
     def step(state, dump=None):
         if slab_emit is not None:
+            if dump is None:
+                raise TypeError(
+                    "this step was built with slab_emit: call "
+                    "step(state, dump) where dump is chan.dump(step) "
+                    "for an emitting step or chan.no_dump() for a "
+                    "silent one (SlabDumpChannel)"
+                )
             emit_flag, dump_step = dump
         x, v = state.x, state.v
         if continuity and state.rho is None:
@@ -538,13 +549,14 @@ def make_slab_step_fn(
                 )
 
                 def _do(op):
-                    pids_op, payload_op = op
+                    pids_op, payload_op, rows_op = op
                     jax.experimental.io_callback(
                         slab_emit,
                         None,
                         dump_step,
                         s,
                         p0,
+                        rows_op,
                         pids_op,
                         payload_op,
                         ordered=True,
@@ -554,7 +566,9 @@ def make_slab_step_fn(
                 def _skip(op):
                     return jnp.int32(0)
 
-                jax.lax.cond(emit_flag != 0, _do, _skip, (pids_w, payload))
+                jax.lax.cond(
+                    emit_flag != 0, _do, _skip, (pids_w, payload, rows_s)
+                )
 
             return out, jnp.maximum(rows_s - w_rows, 0)
 
